@@ -1,0 +1,193 @@
+"""Error-tolerant DOM built on stdlib ``html.parser``.
+
+The sandbox has no lxml/bs4 (SURVEY.md §7.1), so the HTML→markdown path
+(SURVEY.md §2.9 U4 — the reference delegates this to MarkItDown, see
+/root/reference/app/main.py:383-391) is fed by this hand-built tolerant DOM:
+
+* auto-closes ``p``/``li``/``tr``/``td`` etc. on sibling open (browsers' implied
+  end tags),
+* ignores stray close tags and mis-nesting (pops to the nearest matching open
+  element, never past a structural boundary),
+* treats void elements (``br``/``img``/``hr`` …) as self-closing,
+* lets ``html.parser`` handle entity/charref decoding (``convert_charrefs``)
+  and ``<script>``/``<style>`` CDATA content.
+
+Pure Python, no Spark imports — the same code runs single-process to produce
+golden fixtures and inside the Arrow-batched extraction UDF.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Elements that never have content (HTML5 void elements).
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Opening <key> implies closing any open element in the mapped set first
+# (subset of the HTML5 implied-end-tag rules sufficient for web text).
+_IMPLIED_END: dict[str, frozenset[str]] = {
+    "p": frozenset({"p"}),
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "thead": frozenset({"tr", "td", "th"}),
+    "tbody": frozenset({"thead", "tr", "td", "th"}),
+    "tfoot": frozenset({"tbody", "tr", "td", "th"}),
+    "option": frozenset({"option"}),
+    "h1": frozenset({"p"}),
+    "h2": frozenset({"p"}),
+    "h3": frozenset({"p"}),
+    "h4": frozenset({"p"}),
+    "h5": frozenset({"p"}),
+    "h6": frozenset({"p"}),
+    "ul": frozenset({"p"}),
+    "ol": frozenset({"p"}),
+    "table": frozenset({"p"}),
+    "blockquote": frozenset({"p"}),
+    "pre": frozenset({"p"}),
+    "div": frozenset({"p"}),
+    "section": frozenset({"p"}),
+    "article": frozenset({"p"}),
+    "header": frozenset({"p"}),
+    "footer": frozenset({"p"}),
+    "nav": frozenset({"p"}),
+    "aside": frozenset({"p"}),
+    "main": frozenset({"p"}),
+}
+
+# Elements a stray </x> will never pop past (structural boundaries).
+_CLOSE_BARRIERS = frozenset({"body", "html", "table", "ul", "ol"})
+
+
+class Node:
+    """DOM node: element (``tag`` set) or text (``tag is None``)."""
+
+    __slots__ = ("tag", "attrs", "children", "text", "parent")
+
+    def __init__(self, tag: str | None, attrs: dict[str, str] | None = None,
+                 text: str = "") -> None:
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Node] = []
+        self.text = text
+        self.parent: Node | None = None
+
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def attr(self, name: str) -> str:
+        return self.attrs.get(name, "")
+
+    def iter_text(self) -> str:
+        """All descendant text, unnormalized."""
+        if self.is_text:
+            return self.text
+        return "".join(c.iter_text() for c in self.children)
+
+    def find_all(self, tag: str) -> list["Node"]:
+        out: list[Node] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag == tag:
+                out.append(n)
+            stack.extend(reversed(n.children))
+        return out
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.is_text:
+            return f"Text({self.text[:30]!r})"
+        return f"<{self.tag} children={len(self.children)}>"
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: list[Node] = [self.root]
+
+    # -- helpers -------------------------------------------------------
+    def _top(self) -> Node:
+        return self.stack[-1]
+
+    def _imply_ends(self, tag: str) -> None:
+        implied = _IMPLIED_END.get(tag)
+        if not implied:
+            return
+        while len(self.stack) > 1 and self.stack[-1].tag in implied:
+            self.stack.pop()
+
+    # -- HTMLParser callbacks -------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        self._imply_ends(tag)
+        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        self._top().append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        self._imply_ends(tag)
+        self._top().append(Node(tag, {k.lower(): (v or "") for k, v in attrs}))
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        # Find nearest matching open element without crossing a barrier.
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                del self.stack[i:]
+                return
+            if t in _CLOSE_BARRIERS and tag not in _CLOSE_BARRIERS:
+                return  # stray close tag inside a structure: ignore
+        # No match anywhere: stray close tag, ignore.
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        top = self._top()
+        # Merge adjacent text nodes to keep the tree small.
+        if top.children and top.children[-1].is_text:
+            top.children[-1].text += data
+        else:
+            top.append(Node(None, text=data))
+
+    # Comments, PIs, declarations: dropped.
+    def handle_comment(self, data: str) -> None:  # noqa: D102
+        pass
+
+    def handle_decl(self, decl: str) -> None:  # noqa: D102
+        pass
+
+    def handle_pi(self, data: str) -> None:  # noqa: D102
+        pass
+
+
+def parse_html(html: str) -> Node:
+    """Parse HTML text into a tolerant DOM tree; never raises on bad markup."""
+    builder = _DomBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # html.parser is highly tolerant already; any residual error keeps
+        # whatever tree was built so far (extraction failures must never kill
+        # the job — mirrors /root/reference/app/main.py:438-441 semantics).
+        pass
+    return builder.root

@@ -1,0 +1,369 @@
+"""Seeded synthetic Common-Crawl-style pages corpus + golden outputs.
+
+Implements FIXTURES.md §1–§3: deterministic (seed=42) generator for the
+``pages`` table (url, warc_ts, html BINARY, text, lang) with
+
+* Zipf-like host skew (one hot host dominates — skew-test ground truth),
+* labeled-boilerplate HTML (nav/header link farms, main/article content,
+  aside/footer/ads) so block classification has an oracle,
+* minimal well-formed PDFs (plain + FlateDecode streams, multi-page),
+* DOCX (OOXML zip) payloads,
+* reject rows (jpg/zip junk — reference whitelist app/main.py:204,224-229)
+  and oversize rows (size gate app/main.py:484-488,644-648, scaled),
+* pathological HTML (unclosed tags, entities) for parser-tolerance tests.
+
+Goldens are produced by the single-process extraction core
+(document_converter_api_spark.extraction.core.extract_document) — SURVEY.md
+§5.2.1. Usage::
+
+    python -m fixtures.genpages --scale smoke --outdir fixtures/data
+
+Scales: smoke=500 rows, correctness=5000, bench=50000 (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import random
+import sys
+import zipfile
+import zlib
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from document_converter_api_spark.extraction.core import extract_document  # noqa: E402
+from document_converter_api_spark.extraction.postformat import (  # noqa: E402
+    format_google_docs,
+    format_plain_text,
+)
+
+SCALES = {"smoke": 500, "correctness": 5000, "bench": 50000}
+
+BASE_TS = datetime(2025, 6, 1, 0, 0, 0)
+
+_WORDS = {
+    "en": ("the quick brown fox jumps over lazy dog data pipeline spark "
+           "cluster partition shuffle extract markdown content analysis "
+           "document corpus language model training quality signal web "
+           "crawl archive snapshot index token batch vector stream").split(),
+    "es": ("el rapido zorro marron salta sobre perro perezoso datos "
+           "canal chispa grupo particion mezcla extraer contenido analisis "
+           "documento corpus lengua modelo entrenamiento calidad red "
+           "rastreo archivo instantanea indice lote vector flujo").split(),
+    "de": ("der schnelle braune fuchs springt uber faulen hund daten "
+           "leitung funke gruppe partition mischen extrahieren inhalt "
+           "dokument korpus sprache modell training qualitat netz "
+           "durchlauf archiv abbild index stapel vektor strom").split(),
+}
+
+HOSTS = ["hot.example.com"] + [f"site{i:02d}.example.org" for i in range(1, 20)]
+# Zipf-ish: hot host ~40%, rest 1/k decay.
+_HOST_WEIGHTS = [40.0] + [6.0 / k for k in range(1, 20)]
+
+
+def _sentence(rng: random.Random, lang: str, nwords: int) -> str:
+    pool = _WORDS[lang]
+    ws = [rng.choice(pool) for _ in range(nwords)]
+    return (" ".join(ws)).capitalize() + "."
+
+
+def _paragraph(rng: random.Random, lang: str) -> str:
+    return " ".join(_sentence(rng, lang, rng.randint(6, 14))
+                    for _ in range(rng.randint(2, 5)))
+
+
+def _link_farm(rng: random.Random, n: int) -> str:
+    return " ".join(
+        f'<a href="/cat/{rng.randint(1, 99)}">{rng.choice(_WORDS["en"])}</a>'
+        for _ in range(n)
+    )
+
+
+def _build_html(rng: random.Random, lang: str, idx: int) -> tuple[bytes, str]:
+    """Return (payload, ground-truth main plain text)."""
+    title = _sentence(rng, lang, 4).rstrip(".")
+    heads = []
+    main_parts = []
+    truth_parts = []
+
+    h1 = _sentence(rng, lang, rng.randint(3, 6)).rstrip(".")
+    main_parts.append(f"<h1>{h1}</h1>")
+    truth_parts.append(h1)
+
+    n_sections = rng.randint(1, 3)
+    for s in range(n_sections):
+        h2 = _sentence(rng, lang, rng.randint(2, 5)).rstrip(".")
+        main_parts.append(f"<h2>{h2}</h2>")
+        truth_parts.append(h2)
+        for _ in range(rng.randint(1, 4)):
+            p = _paragraph(rng, lang)
+            style = rng.random()
+            if style < 0.15:
+                words = p.split(" ")
+                k = rng.randrange(max(1, len(words) - 3))
+                words[k] = f"<strong>{words[k]}</strong>"
+                if len(words) > k + 2:
+                    words[k + 2] = f"<em>{words[k + 2]}</em>"
+                html_p = " ".join(words)
+            elif style < 0.25:
+                words = p.split(" ")
+                k = rng.randrange(max(1, len(words) - 1))
+                words[k] = f'<a href="https://ref.example/{idx}">{words[k]}</a>'
+                html_p = " ".join(words)
+            elif style < 0.32:
+                html_p = p.replace(" data ", " &amp; data ").replace(
+                    " el ", " &amp; el ").replace(" der ", " &amp; der ")
+            else:
+                html_p = p
+            closing = "" if rng.random() < 0.1 else "</p>"  # unclosed <p>
+            main_parts.append(f"<p>{html_p}{closing}")
+            truth_parts.append(p)
+
+    if rng.random() < 0.5:
+        items = [_sentence(rng, lang, rng.randint(3, 6)) for _ in range(rng.randint(3, 6))]
+        tag = "ul" if rng.random() < 0.7 else "ol"
+        lis = "".join(f"<li>{it}" + ("</li>" if rng.random() > 0.2 else "")
+                      for it in items)
+        main_parts.append(f"<{tag}>{lis}</{tag}>")
+        truth_parts.extend(items)
+
+    if rng.random() < 0.3:
+        rows = [[_sentence(rng, lang, 2).rstrip("."), str(rng.randint(1, 999))]
+                for _ in range(rng.randint(2, 4))]
+        body = "".join(f"<tr><td>{a}</td><td>{b}</td></tr>" for a, b in rows)
+        main_parts.append(
+            "<table><tr><th>Name</th><th>Value</th></tr>" + body + "</table>")
+        truth_parts.extend(a for a, _ in rows)
+
+    if rng.random() < 0.25:
+        code = "\n".join(f"x{j} = compute({j})" for j in range(rng.randint(2, 5)))
+        main_parts.append(f"<pre><code>{code}</code></pre>")
+        truth_parts.append(code)
+
+    if rng.random() < 0.2:
+        q = _paragraph(rng, lang)
+        main_parts.append(f"<blockquote><p>{q}</p></blockquote>")
+        truth_parts.append(q)
+
+    nav = _link_farm(rng, rng.randint(8, 16))
+    footer = _link_farm(rng, rng.randint(5, 10))
+    aside = _paragraph(rng, "en")[:80]
+    ad = "Buy now! " + _link_farm(rng, 3)
+
+    html = f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<title>{title}</title>
+<style>body {{ margin: 0; }} .ads {{ color: red }}</style>
+<script>var t = "tracker"; load(t);</script>
+</head>
+<body>
+<header><div class="logo">SiteLogo</div>{_link_farm(rng, 4)}</header>
+<nav class="main-nav">{nav}</nav>
+<div class="ads">{ad}</div>
+<main>
+<article>
+{chr(10).join(main_parts)}
+</article>
+</main>
+<aside class="sidebar">{aside}</aside>
+<div class="cookie-banner">We use cookies. <a href="/accept">Accept</a></div>
+<footer>{footer}<p>© 2025 Example Corp</p></footer>
+</body>
+</html>"""
+    truth = "\n".join(truth_parts)
+    return html.encode("utf-8"), truth
+
+
+def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool]) -> bytes:
+    """Well-formed single-xref PDF with one content stream per page."""
+    objs: list[bytes] = []
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    n_pages = len(pages_lines)
+    # obj 1: catalog, obj 2: pages, obj 3: font; page i -> obj 4+2i, content 5+2i
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(pages_lines):
+        content = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                content.append("0 -14 Td")
+            content.append(f"({esc(line)}) Tj")
+        content.append("ET")
+        stream = "\n".join(content).encode("latin-1")
+        filt = b""
+        if compress_mask[i]:
+            stream = zlib.compress(stream, 6)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>".encode())
+        objs.append(b"<< /Length " + str(len(stream)).encode() + filt
+                    + b" >>\nstream\n" + stream + b"\nendstream")
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(f"{n} 0 obj\n".encode())
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(f"xref\n0 {len(objs) + 1}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        out.write(f"{off:010d} 00000 n \n".encode())
+    out.write(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+              f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return out.getvalue()
+
+
+def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
+    n_pages = rng.randint(1, 3)
+    pages_lines = []
+    compress = []
+    for _ in range(n_pages):
+        lines = [_sentence(rng, lang, rng.randint(4, 9)) for _ in range(rng.randint(3, 8))]
+        pages_lines.append(lines)
+        compress.append(rng.random() < 0.5)
+    payload = build_minimal_pdf(pages_lines, compress)
+    truth = "".join("\n".join(lines) + "\n\f" for lines in pages_lines)
+    return payload, truth
+
+
+def _build_docx(rng: random.Random, lang: str) -> tuple[bytes, str]:
+    paras = []
+    truth = []
+    h = _sentence(rng, lang, 3).rstrip(".")
+    paras.append(("Heading1", h))
+    truth.append(h)
+    for _ in range(rng.randint(2, 5)):
+        p = _paragraph(rng, lang)
+        paras.append(("", p))
+        truth.append(p)
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for style, text in paras:
+        st = (f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else "")
+        body.append(f"<w:p>{st}<w:r><w:t>{text}</w:t></w:r></w:p>")
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{w}"><w:body>{"".join(body)}</w:body></w:document>')
+    buf = io.BytesIO()
+    # Fixed zip-entry timestamps: payload bytes must be run-independent.
+    fixed_dt = (2025, 6, 1, 0, 0, 0)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, payload in (
+            ("[Content_Types].xml",
+             '<?xml version="1.0"?><Types '
+             'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>'),
+            ("word/document.xml", doc),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=fixed_dt)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, payload)
+    return buf.getvalue(), "\n".join(truth)
+
+
+def gen_pages(n: int, seed: int = 42,
+              oversize_bytes: int = 300_000) -> pa.Table:
+    rng = random.Random(seed)
+    urls, tss, payloads, texts, langs = [], [], [], [], []
+    for i in range(n):
+        host = rng.choices(HOSTS, weights=_HOST_WEIGHTS, k=1)[0]
+        lang = rng.choices(["en", "es", "de"], weights=[6, 3, 1], k=1)[0]
+        r = rng.random()
+        if r < 0.78:
+            ext = "html"
+            payload, truth = _build_html(rng, lang, i)
+        elif r < 0.88:
+            ext = "pdf"
+            payload, truth = _build_pdf(rng, lang)
+        elif r < 0.92:
+            ext = "docx"
+            payload, truth = _build_docx(rng, lang)
+        elif r < 0.96:
+            ext = "jpg"
+            payload = b"\xff\xd8\xff\xe0" + bytes(rng.getrandbits(8) for _ in range(64))
+            truth = ""
+        else:
+            ext = "zip"
+            payload = b"PK\x05\x06" + bytes(rng.getrandbits(8) for _ in range(64))
+            truth = ""
+        # a few oversize html docs to exercise the size gate (scaled limit)
+        if ext == "html" and i % 97 == 0:
+            filler = "<p>" + "pad " * (oversize_bytes // 4) + "</p>"
+            payload = payload.replace(b"</article>",
+                                      filler.encode() + b"</article>")
+        url = f"https://{host}/{lang}/page-{i:06d}.{ext}"
+        ts = BASE_TS + timedelta(minutes=(i * 7) % (48 * 60))
+        urls.append(url)
+        tss.append(ts)
+        payloads.append(payload)
+        texts.append(truth)
+        langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def gen_goldens(pages: pa.Table) -> pa.Table:
+    urls = pages.column("url").to_pylist()
+    payloads = pages.column("html").to_pylist()
+    md, plain, gdocs, errs = [], [], [], []
+    for url, payload in zip(urls, payloads):
+        res = extract_document(payload, url)
+        md.append(res.markdown)
+        plain.append(format_plain_text(res.markdown) if res.markdown is not None else None)
+        gdocs.append(format_google_docs(res.markdown) if res.markdown is not None else None)
+        errs.append(res.error)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "markdown": pa.array(md, pa.large_string()),
+            "plain_text": pa.array(plain, pa.large_string()),
+            "google_docs": pa.array(gdocs, pa.large_string()),
+            "error": pa.array(errs, pa.string()),
+        }
+    )
+
+
+def materialize(scale: str, outdir: str, seed: int = 42) -> tuple[str, str]:
+    n = SCALES[scale]
+    os.makedirs(outdir, exist_ok=True)
+    pages = gen_pages(n, seed)
+    goldens = gen_goldens(pages)
+    p_path = os.path.join(outdir, f"pages_{scale}.parquet")
+    g_path = os.path.join(outdir, f"goldens_{scale}.parquet")
+    pq.write_table(pages, p_path, compression="zstd")
+    pq.write_table(goldens, g_path, compression="zstd")
+    return p_path, g_path
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=sorted(SCALES), default="smoke")
+    ap.add_argument("--outdir", default=os.path.join(os.path.dirname(__file__), "data"))
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    p, g = materialize(args.scale, args.outdir, args.seed)
+    print(p)
+    print(g)
