@@ -1,0 +1,184 @@
+"""End-to-end extraction job: read → gate → salt-repartition → mapInArrow →
+commit results + lineage, resumable at partition granularity.
+
+This is the Spark restatement of the reference's whole request lifecycle
+(SURVEY.md §3): the async background path (/root/reference/app/main.py:359-465)
+*is* the batch job; the in-memory ``jobs_store`` dict (app/main.py:97) becomes
+the durable :class:`LineageStore`; polling ``GET /status`` becomes reading the
+lineage table; restart-safety (which the reference lacks — its state dies with
+the process) is J3: only partitions not marked ``completed`` are reprocessed.
+
+Scale notes (SURVEY.md §4.2): partitions are the checkpoint granule —
+``partition_id = pmod(xxhash64(url), P)`` is stable across runs and cluster
+sizes; commits batch ``partitions_per_commit`` granules per Spark action so
+the commit rate is O(P/K) jobs, not O(P); the partition_id filter prunes at
+the scan when the pages table is stored partitioned by the same expression
+(Iceberg bucket transform on a real cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import (
+    MAX_FILE_SIZE,
+    chunks_if_large_expr,
+    markdown_to_plain_expr,
+)
+from ..operators.extract import prepare_pages, run_extract
+from ..sources.tableio import LineageStore, ManifestTable
+
+
+def _chunks(seq: list[int], size: int) -> list[list[int]]:
+    return [seq[i:i + size] for i in range(0, len(seq), size)]
+
+
+def partition_metrics(results: DataFrame) -> DataFrame:
+    """A6 per-partition lineage aggregates (SURVEY.md §2.4): single hash
+    aggregate, map-side partials free from Catalyst."""
+    return results.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failure_count"),
+        F.slice(F.filter(F.collect_list(F.when(F.col("error").isNotNull(), F.col("url"))),
+                         lambda u: u.isNotNull()), 1, 20).alias("failure_urls"),
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    num_partitions: int = 64,
+    partitions_per_commit: int = 16,
+    max_bytes: int = MAX_FILE_SIZE,
+    shuffle_partitions: int | None = None,
+    fail_after_commits: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction pipeline.
+
+    ``fail_after_commits`` injects a crash after N commit groups — the resume
+    test's kill switch (SURVEY.md §5.2.4).
+    """
+    t_start = time.time()
+    results_table = ManifestTable(os.path.join(output_root, "results"))
+    rejects_table = ManifestTable(os.path.join(output_root, "rejects"))
+    lineage = LineageStore(os.path.join(output_root, "_lineage", "lineage.json"))
+
+    pages = spark.read.parquet(input_path)
+    valid, rejects = prepare_pages(pages, max_bytes=max_bytes,
+                                   num_partitions=num_partitions)
+
+    done = lineage.completed_partitions()
+    pending = [p for p in range(num_partitions) if p not in done]
+    groups = _chunks(pending, partitions_per_commit)
+
+    stats = {"resumed": bool(done), "skipped_partitions": len(done),
+             "processed_partitions": 0, "docs": 0, "failures": 0,
+             "bytes_in": 0, "bytes_out": 0}
+
+    for gi, group in enumerate(groups):
+        if fail_after_commits is not None and gi >= fail_after_commits:
+            raise RuntimeError(f"injected failure after {gi} commit groups")
+        now = time.time()
+        lineage.merge({p: {"status": "processing", "started_at": now}
+                       for p in group})
+
+        gset = set(group)
+        sub_valid = valid.filter(F.col("partition_id").isin(group))
+        sub_rejects = rejects.filter(F.col("partition_id").isin(group))
+
+        results = run_extract(sub_valid, shuffle_partitions=shuffle_partitions)
+        key = f"g{min(gset):05d}"
+        results_table.replace_group(results, key)          # data first …
+        rejects_table.replace_group(sub_rejects, key)
+
+        # metrics from the *written* files (no recompute of the UDF stage)
+        written = spark.read.parquet(
+            os.path.join(results_table.root, "data",
+                         results_table.commits()[key]))
+        rej_written = spark.read.parquet(
+            os.path.join(rejects_table.root, "data",
+                         rejects_table.commits()[key]))
+        mrows = {r["partition_id"]: r.asDict()
+                 for r in partition_metrics(written).collect()}
+        rej_counts = {r["partition_id"]: (r["n"], r["b"], r["urls"]) for r in
+                      rej_written.groupBy("partition_id")
+                      .agg(F.count("*").alias("n"), F.sum("bytes_in").alias("b"),
+                           F.slice(F.collect_list("url"), 1, 20).alias("urls"))
+                      .collect()}
+        done_ts = time.time()
+        merged_rows = {}
+        for p in group:
+            m = mrows.get(p, {"doc_count": 0, "bytes_in": 0, "bytes_out": 0,
+                              "failure_count": 0, "failure_urls": []})
+            rn, rb, rurls = rej_counts.get(p, (0, 0, []))
+            merged_rows[p] = {
+                "status": "completed",
+                "doc_count": int(m["doc_count"] or 0),
+                "bytes_in": int((m["bytes_in"] or 0) + (rb or 0)),
+                "bytes_out": int(m["bytes_out"] or 0),
+                "failure_count": int((m["failure_count"] or 0) + rn),
+                "failure_urls": (list(m["failure_urls"] or []) + list(rurls or []))[:20],
+                "completed_at": done_ts,
+            }
+            stats["docs"] += merged_rows[p]["doc_count"]
+            stats["failures"] += merged_rows[p]["failure_count"]
+            stats["bytes_in"] += merged_rows[p]["bytes_in"]
+            stats["bytes_out"] += merged_rows[p]["bytes_out"]
+        lineage.merge(merged_rows)                          # … lineage second
+        stats["processed_partitions"] += len(group)
+
+    stats["wall_seconds"] = round(time.time() - t_start, 3)
+    stats["docs_per_sec"] = round(stats["docs"] / max(stats["wall_seconds"], 1e-9), 2)
+    return stats
+
+
+def postprocess_results(results: DataFrame) -> DataFrame:
+    """F2/F4/P6 projection outside the UDF (SURVEY.md §2.9 U6): plain text,
+    conditional chunking, content_length — pure Catalyst, codegen'd."""
+    return (
+        results
+        .withColumn("plain_text", markdown_to_plain_expr(F.col("markdown")))
+        .withColumn("chunks", chunks_if_large_expr(F.col("markdown")))
+        .withColumn("total_chunks", F.size("chunks"))
+        .withColumn("content_length", F.length("markdown").cast("long"))
+    )
+
+
+def main() -> None:  # pragma: no cover - CLI
+    ap = argparse.ArgumentParser(description="webtext extraction job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--partitions-per-commit", type=int, default=16)
+    ap.add_argument("--max-bytes", type=int, default=MAX_FILE_SIZE)
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args()
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName("webtext-extract")
+        .config("spark.sql.shuffle.partitions", str(int(args.cores) * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .getOrCreate()
+    )
+    stats = run_extraction_job(
+        spark, args.input, args.output,
+        num_partitions=args.partitions,
+        partitions_per_commit=args.partitions_per_commit,
+        max_bytes=args.max_bytes,
+    )
+    import json
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

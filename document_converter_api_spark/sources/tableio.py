@@ -1,0 +1,179 @@
+"""Iceberg-style table shim: parquet data files + JSON manifest commits.
+
+No Iceberg/Delta jars ship in this sandbox (SURVEY.md §7.1), so tables are a
+thin deterministic layer with the same observable semantics the pipeline
+needs on a real cluster — swap :class:`ManifestTable` for a real Iceberg
+catalog (``df.writeTo(...).append()`` / ``MERGE INTO``) and nothing upstream
+changes:
+
+* **append**: write a new parquet directory, then atomically publish it in
+  ``manifest.json`` (``os.replace`` — atomic per POSIX on one filesystem;
+  SURVEY.md §7.4.6). Data written but not yet in the manifest is invisible —
+  a killed run never exposes partial output.
+* **replace_group / delete_where**: snapshot-rewrite equivalents.
+* **LineageStore.merge**: the MERGE-INTO-keyed-on-partition_id upsert that
+  backs partition-granular checkpointing (north rule — the reference keeps
+  job state in an in-memory dict, /root/reference/app/main.py:97, and loses
+  it on restart; ours must not).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class ManifestTable:
+    """Parquet directories published through an atomic JSON manifest."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.manifest_path = os.path.join(root, "manifest.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"snapshot_id": 0, "commits": {}}
+        with open(self.manifest_path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def commits(self) -> dict[str, str]:
+        """commit_key -> data subdirectory (published commits only)."""
+        return dict(self._load()["commits"])
+
+    def append(self, df: DataFrame, commit_key: str | None = None) -> str:
+        """Write ``df`` as a new commit and publish it atomically."""
+        key = commit_key or uuid.uuid4().hex
+        subdir = f"commit-{key}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, "data", subdir)
+        df.write.mode("overwrite").parquet(out)
+        man = self._load()
+        man["snapshot_id"] += 1
+        man["commits"][key] = subdir
+        man["committed_at"] = time.time()
+        _atomic_write_json(self.manifest_path, man)
+        return key
+
+    def replace_group(self, df: DataFrame, commit_key: str) -> None:
+        """Overwrite the commit for ``commit_key`` (idempotent re-run of a
+        partition group after a kill between data write and lineage merge)."""
+        self.append(df, commit_key)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        man = self._load()
+        paths = [os.path.join(self.root, "data", d) for d in man["commits"].values()]
+        if not paths:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        return spark.read.parquet(*paths)
+
+    def is_empty(self) -> bool:
+        return not self._load()["commits"]
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """S7 retention sweep (app/main.py:301-343 → snapshot rewrite):
+        rewrite every commit without rows matching ``predicate``; returns
+        deleted row count."""
+        man = self._load()
+        deleted = 0
+        for key, subdir in list(man["commits"].items()):
+            path = os.path.join(self.root, "data", subdir)
+            df = spark.read.parquet(path)
+            keep = df.filter(f"NOT ({predicate})")
+            n_before = df.count()
+            n_after = keep.count()
+            if n_after == n_before:
+                continue
+            deleted += n_before - n_after
+            new_subdir = f"commit-{key}-{uuid.uuid4().hex[:8]}"
+            keep.write.mode("overwrite").parquet(
+                os.path.join(self.root, "data", new_subdir))
+            man["commits"][key] = new_subdir
+        man["snapshot_id"] += 1
+        _atomic_write_json(self.manifest_path, man)
+        return deleted
+
+
+class LineageStore:
+    """Per-partition lineage/status rows (FIXTURES.md §4 ``lineage`` schema),
+    upserted MERGE-style keyed on partition_id (S9, SURVEY.md §2.1)."""
+
+    STATUSES = ("pending", "processing", "completed", "failed")
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def load(self) -> dict[int, dict]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path, encoding="utf-8") as f:
+            raw = json.load(f)
+        return {int(k): v for k, v in raw.items()}
+
+    def merge(self, rows: dict[int, dict]) -> None:
+        """MERGE INTO lineage USING rows ON partition_id (app/main.py:503,
+        663 job-store upserts → durable table)."""
+        cur = self.load()
+        for pid, row in rows.items():
+            merged = cur.get(pid, {})
+            merged.update(row)
+            cur[pid] = merged
+        _atomic_write_json(self.path, {str(k): v for k, v in cur.items()})
+
+    def completed_partitions(self) -> set[int]:
+        return {pid for pid, row in self.load().items()
+                if row.get("status") == "completed"}
+
+    def delete(self, partition_id: int) -> bool:
+        """S10 ≙ DELETE /jobs/{job_id} (app/main.py:864-874)."""
+        cur = self.load()
+        if partition_id not in cur:
+            return False
+        del cur[partition_id]
+        _atomic_write_json(self.path, {str(k): v for k, v in cur.items()})
+        return True
+
+    def to_dataframe(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, LongType, StringType, StructField,
+            StructType, TimestampType,
+        )
+        import datetime as _dt
+
+        schema = StructType([
+            StructField("partition_id", IntegerType()),
+            StructField("status", StringType()),
+            StructField("doc_count", LongType()),
+            StructField("bytes_in", LongType()),
+            StructField("bytes_out", LongType()),
+            StructField("failure_count", LongType()),
+            StructField("failure_urls", ArrayType(StringType())),
+            StructField("started_at", TimestampType()),
+            StructField("completed_at", TimestampType()),
+        ])
+        rows = []
+        for pid, r in sorted(self.load().items()):
+            rows.append((
+                pid, r.get("status"), r.get("doc_count"), r.get("bytes_in"),
+                r.get("bytes_out"), r.get("failure_count"),
+                r.get("failure_urls"),
+                _dt.datetime.fromtimestamp(r["started_at"], _dt.timezone.utc)
+                .replace(tzinfo=None) if r.get("started_at") else None,
+                _dt.datetime.fromtimestamp(r["completed_at"], _dt.timezone.utc)
+                .replace(tzinfo=None) if r.get("completed_at") else None,
+            ))
+        return spark.createDataFrame(rows, schema)

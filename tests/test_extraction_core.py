@@ -1,0 +1,234 @@
+"""Unit tests for the pure-Python extraction core (SURVEY.md §5.2.3).
+
+Covers the tolerant DOM on pathological HTML, boilerplate classification
+ground truth, PDF content-stream decoding, and reference-parity of the
+post-format helpers against hand-computed expectations from
+/root/reference/app/main.py:243-299 semantics.
+"""
+
+from __future__ import annotations
+
+from document_converter_api_spark.extraction.boilerplate import keep_block
+from document_converter_api_spark.extraction.core import extract_document
+from document_converter_api_spark.extraction.html_dom import parse_html
+from document_converter_api_spark.extraction.markdown import html_to_markdown
+from document_converter_api_spark.extraction.pdf import pdf_to_text
+from document_converter_api_spark.extraction.postformat import (
+    chunk_text,
+    format_google_docs,
+    format_plain_text,
+    sanitize_filename,
+)
+from document_converter_api_spark.extraction.sniff import sniff_content_type
+from fixtures.genpages import build_minimal_pdf
+
+
+MAIN = ("This is a long enough paragraph of real main content that should "
+        "comfortably clear the density thresholds used by the classifier.")
+
+
+def _page(body: str) -> str:
+    return f"<html><head><title>T</title></head><body>{body}</body></html>"
+
+
+class TestDomTolerance:
+    def test_unclosed_p_tags(self):
+        md = html_to_markdown(_page(f"<main><p>{MAIN}<p>{MAIN}</main>"))
+        assert md.count(MAIN) == 2
+        assert md == f"{MAIN}\n\n{MAIN}"
+
+    def test_unclosed_li(self):
+        html = _page(f"<main><ul><li>alpha item one<li>beta item two</ul>"
+                     f"<p>{MAIN}</p></main>")
+        md = html_to_markdown(html)
+        assert "- alpha item one\n- beta item two" in md
+
+    def test_stray_close_tags_ignored(self):
+        md = html_to_markdown(_page(f"<main></div><p>{MAIN}</p></span></main>"))
+        assert md == MAIN
+
+    def test_entities_decoded(self):
+        md = html_to_markdown(_page("<main><p>a &amp; b &lt;c&gt; &#233;tude "
+                                    "plus padding words to clear size</p></main>"))
+        assert "a & b <c> étude" in md
+
+    def test_mis_nesting(self):
+        md = html_to_markdown(_page(
+            f"<main><p><strong>bold {MAIN}</p><p>{MAIN}</strong></p></main>"))
+        assert MAIN in md
+
+
+class TestBoilerplate:
+    def test_nav_and_footer_stripped(self):
+        html = _page(
+            '<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+            f"<main><p>{MAIN}</p></main>"
+            '<footer><a href="/c">Legal</a> © corp</footer>')
+        md = html_to_markdown(html)
+        assert md == MAIN
+
+    def test_deny_class_divs_stripped(self):
+        html = _page(
+            f'<div class="ads">Buy this thing now limited offer</div>'
+            f"<main><p>{MAIN}</p></main>"
+            f'<div class="cookie-banner">We use cookies accept them all</div>')
+        md = html_to_markdown(html)
+        assert md == MAIN
+
+    def test_link_farm_dropped_outside_main(self):
+        farm = " ".join(f'<a href="/{i}">link{i}</a>' for i in range(20))
+        html = _page(f"<div>{farm}</div><div><p>{MAIN}</p></div>")
+        md = html_to_markdown(html)
+        assert md == MAIN
+
+    def test_script_style_never_leak(self):
+        html = _page("<script>var secret = 1;</script>"
+                     "<style>.x{color:red}</style>"
+                     f"<main><p>{MAIN}</p></main>")
+        md = html_to_markdown(html)
+        assert "secret" not in md and "color" not in md
+
+    def test_keep_block_integer_math(self):
+        assert keep_block("text", 100, 33, False)       # exactly 1/3 links ok
+        assert not keep_block("text", 100, 34, False)   # just over 1/3
+        assert keep_block("text", 100, 66, True)        # main tolerates 2/3
+        assert not keep_block("text", 100, 67, True)
+        assert not keep_block("text", 24, 0, False)     # under min chars
+        assert not keep_block("text", 0, 0, True)
+
+
+class TestMarkdownShape:
+    def test_heading_levels(self):
+        md = html_to_markdown(_page(
+            f"<main><h1>Top</h1><p>{MAIN}</p><h3>Deep</h3><p>{MAIN}</p></main>"))
+        assert md.startswith("# Top\n\n")
+        assert "\n\n### Deep\n\n" in md
+
+    def test_heading_without_content_dropped(self):
+        md = html_to_markdown(_page(
+            f"<main><h2>Orphan</h2></main><div><h2>Also orphan</h2></div>"
+            f"<main><p>{MAIN}</p></main>"))
+        assert "Orphan" not in md
+
+    def test_table_pipe_format(self):
+        html = _page("<main><table><tr><th>K</th><th>V</th></tr>"
+                     "<tr><td>a|b</td><td>2</td></tr></table>"
+                     f"<p>{MAIN}</p></main>")
+        md = html_to_markdown(html)
+        assert "| K | V |" in md
+        assert "| --- | --- |" in md
+        assert "| a\\|b | 2 |" in md
+
+    def test_code_fence(self):
+        html = _page("<main><pre><code>x = 1\ny = 2</code></pre>"
+                     f"<p>{MAIN}</p></main>")
+        md = html_to_markdown(html)
+        assert "```\nx = 1\ny = 2\n```" in md
+
+    def test_links_and_emphasis(self):
+        html = _page(f'<main><p>See <a href="https://x.y/z">the docs</a> and '
+                     f"<strong>bold</strong> and <em>ital</em> {MAIN}</p></main>")
+        md = html_to_markdown(html)
+        assert "[the docs](https://x.y/z)" in md
+        assert "**bold**" in md and "*ital*" in md
+
+    def test_ordered_list_numbering(self):
+        html = _page(f"<main><ol><li>first thing here</li><li>second thing here"
+                     f"</li></ol><p>{MAIN}</p></main>")
+        md = html_to_markdown(html)
+        assert "1. first thing here\n2. second thing here" in md
+
+    def test_blockquote(self):
+        html = _page(f"<main><blockquote><p>{MAIN}</p></blockquote></main>")
+        md = html_to_markdown(html)
+        assert md == f"> {MAIN}"
+
+    def test_no_trailing_newline(self):
+        md = html_to_markdown(_page(f"<main><p>{MAIN}</p></main>"))
+        assert not md.endswith("\n")
+
+
+class TestPdf:
+    def test_roundtrip_plain_and_flate(self):
+        pages = [["line one alpha", "line two beta"], ["second page gamma"]]
+        for mask in ([False, False], [True, True], [True, False]):
+            data = build_minimal_pdf(pages, mask)
+            text = pdf_to_text(data)
+            assert text == "line one alpha\nline two beta\n\fsecond page gamma\n\f"
+
+    def test_escapes(self):
+        data = build_minimal_pdf([["paren (x) and \\ slash"]], [False])
+        assert pdf_to_text(data) == "paren (x) and \\ slash\n\f"
+
+    def test_not_pdf_raises_into_error(self):
+        res = extract_document(b"%PDX-broken", "http://x/a.pdf", "pdf")
+        assert res.markdown is None and res.error
+
+
+class TestSniff:
+    def test_magic_bytes_win_over_extension(self):
+        assert sniff_content_type(b"%PDF-1.4 ...", "http://x/f.html") == "pdf"
+        assert sniff_content_type(b"PK\x03\x04xxxx", "http://x/f.html") == "docx"
+
+    def test_html_markers(self):
+        assert sniff_content_type(b"  <!DOCTYPE html><html>", "") == "html"
+        assert sniff_content_type(b"<div>hi</div>", "") == "html"
+
+    def test_extension_fallback(self):
+        assert sniff_content_type(b"\x00\x01\x02", "http://x/f.pdf") == "pdf"
+        assert sniff_content_type(b"\xff\xd8\xff", "http://x/f.jpg") == "unknown"
+
+
+class TestPostformatParity:
+    """Byte-exact parity with /root/reference/app/main.py helpers."""
+
+    def test_plain_text_regex_chain(self):
+        md = ("# Head\n\n**bold** and *ital* and [txt](http://u) and `code`\n"
+              "## Sub\nplain")
+        # reference chain: headers, bold, italic, links, code — in order
+        assert format_plain_text(md) == (
+            "Head\n\nbold and ital and txt and code\nSub\nplain")
+
+    def test_plain_text_bold_before_italic_order(self):
+        # '**x**' must be consumed by the bold pass, not twice by italic
+        assert format_plain_text("**x**") == "x"
+        assert format_plain_text("*y*") == "y"
+        assert format_plain_text("***z***") == "z"
+
+    def test_gdocs_literal_star_eats_bullets(self):
+        # the reference's '*' replace also hits list markers — faithfully kept
+        # '# ' replace is position-independent: mid-string '# d' loses it too
+        assert format_google_docs("- a\n* b\n**c** # d") == "- a\n b\nc d"
+        # '# ' pass runs FIRST, so '### Sub' → '##Sub' (reference-faithful)
+        assert format_google_docs("# Title\n### Sub") == "Title\n##Sub"
+        # '#### ' contains '# ' → partially eaten, reference-faithful:
+        assert format_google_docs("#### deep") == "###deep"
+
+    def test_chunk_text_exact_grouping(self):
+        text = "\n".join(str(i) for i in range(2500))
+        chunks = chunk_text(text, 1000)
+        assert len(chunks) == 3
+        assert chunks[0].splitlines()[0] == "0"
+        assert chunks[0].splitlines()[-1] == "999"
+        assert chunks[2].splitlines() == [str(i) for i in range(2000, 2500)]
+        assert "\n".join(chunks) == text
+
+    def test_chunk_text_empty(self):
+        assert chunk_text("", 1000) == [""]
+
+    def test_sanitize_filename(self):
+        assert sanitize_filename("My Doc (final).pdf") == "My-Doc-final"
+        assert sanitize_filename("--a  b--.docx") == "a-b"
+        assert sanitize_filename("résumé.pdf") == "résumé"  # \w is unicode in py
+
+
+class TestDispatch:
+    def test_unknown_type_is_error_not_exception(self):
+        res = extract_document(b"\x00\x01", "http://x/f.bin")
+        assert res.markdown is None
+        assert res.error.startswith("unsupported_content_type")
+
+    def test_truncated_html_still_extracts(self):
+        res = extract_document(f"<html><body><main><p>{MAIN}".encode(), "u.html")
+        assert res.error is None
+        assert res.markdown == MAIN

@@ -1,0 +1,108 @@
+"""Resume + lineage semantics (SURVEY.md §5.2.4; north rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+Kill after k commit groups → rerun → only pending partitions reprocessed and
+the final output is identical to a single-shot run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from document_converter_api_spark.plans.pipeline import run_extraction_job
+from document_converter_api_spark.sources.tableio import LineageStore, ManifestTable
+
+from .conftest import TEST_MAX_BYTES
+
+N_PARTS = 16
+PER_COMMIT = 4
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_kill_then_resume_processes_only_pending(spark, smoke_paths, outdir):
+    pages_path, goldens_path = smoke_paths
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(spark, pages_path, outdir,
+                           num_partitions=N_PARTS,
+                           partitions_per_commit=PER_COMMIT,
+                           max_bytes=TEST_MAX_BYTES,
+                           fail_after_commits=1)
+
+    lineage = LineageStore(os.path.join(outdir, "_lineage", "lineage.json"))
+    done_after_kill = lineage.completed_partitions()
+    assert len(done_after_kill) == PER_COMMIT
+
+    stats = run_extraction_job(spark, pages_path, outdir,
+                               num_partitions=N_PARTS,
+                               partitions_per_commit=PER_COMMIT,
+                               max_bytes=TEST_MAX_BYTES)
+    assert stats["resumed"] is True
+    assert stats["skipped_partitions"] == PER_COMMIT
+    assert stats["processed_partitions"] == N_PARTS - PER_COMMIT
+
+    # final output byte-identical to goldens for every extracted url
+    results = ManifestTable(os.path.join(outdir, "results")).read(spark)
+    gold = pq.read_table(goldens_path)
+    golden = dict(zip(gold.column("url").to_pylist(),
+                      gold.column("markdown").to_pylist()))
+    rows = results.select("url", "markdown").collect()
+    assert rows, "no results after resume"
+    assert all(golden[r.url] == r.markdown for r in rows)
+
+    # lineage invariants
+    rows = lineage.load()
+    assert set(rows) == set(range(N_PARTS))
+    assert all(r["status"] == "completed" for r in rows.values())
+    assert sum(r["doc_count"] for r in rows.values()) == len(
+        [u for u, m in golden.items() if m is not None]) - _oversize_count(gold)
+
+
+def _oversize_count(gold_table) -> int:
+    # goldens extracted oversize rows (no size gate there); the pipeline
+    # rejects them at TEST_MAX_BYTES, so doc_count differs by that many.
+    urls = gold_table.column("url").to_pylist()
+    md = gold_table.column("markdown").to_pylist()
+    import pyarrow.parquet as pq  # noqa: F401
+    from .conftest import PAGES_SMOKE
+    pages = pq.read_table(PAGES_SMOKE)
+    sizes = {u: len(p) for u, p in zip(pages.column("url").to_pylist(),
+                                       pages.column("html").to_pylist())}
+    return sum(1 for u, m in zip(urls, md)
+               if m is not None and sizes[u] > TEST_MAX_BYTES)
+
+
+def test_rerun_after_completion_is_noop(spark, smoke_paths, outdir):
+    pages_path, _ = smoke_paths
+    run_extraction_job(spark, pages_path, outdir, num_partitions=N_PARTS,
+                       partitions_per_commit=PER_COMMIT,
+                       max_bytes=TEST_MAX_BYTES)
+    stats = run_extraction_job(spark, pages_path, outdir,
+                               num_partitions=N_PARTS,
+                               partitions_per_commit=PER_COMMIT,
+                               max_bytes=TEST_MAX_BYTES)
+    assert stats["processed_partitions"] == 0
+    assert stats["docs"] == 0
+
+
+def test_lineage_delete(spark, smoke_paths, outdir):
+    pages_path, _ = smoke_paths
+    run_extraction_job(spark, pages_path, outdir, num_partitions=N_PARTS,
+                       partitions_per_commit=N_PARTS,
+                       max_bytes=TEST_MAX_BYTES)
+    lineage = LineageStore(os.path.join(outdir, "_lineage", "lineage.json"))
+    assert lineage.delete(0) is True
+    assert lineage.delete(0) is False
+    stats = run_extraction_job(spark, pages_path, outdir,
+                               num_partitions=N_PARTS,
+                               partitions_per_commit=N_PARTS,
+                               max_bytes=TEST_MAX_BYTES)
+    assert stats["processed_partitions"] == 1  # only the deleted granule
