@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship extraction query at sf0.001 (UDF stage + relational
+              tail, SURVEY.md §7.5).
+``queries`` — one entry per implemented operator from SURVEY.md §2 plus the
+              training-data operators (dedup / similarity / text analysis).
+``oracle_sql`` — DuckDB-runnable ANSI-SQL twins; aliases match exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +12,256 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship (SURVEY.md §7.5): synthesize page payloads from sf0.001
+    documents, run the full gated mapInArrow extraction pipeline, and report
+    per-language doc counts + extracted bytes."""
+    from document_converter_api_spark.operators.extract import extract_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example/"), F.col("source"), F.lit("/"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body><main><h1>Doc </h1><p>"),
+                     F.col("text"),
+                     F.lit("</p></main></body></html>")),
+            "utf-8").alias("html"),
+        F.col("lang"),
+    )
+    results, _rejects = extract_pipeline(pages, num_partitions=8,
+                                         shuffle_partitions=8)
+    return (results.filter(F.col("error").isNull())
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("bytes_out").alias("md_bytes"))
+            .orderBy("lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from document_converter_api_spark.plans import queries as Q
+    from document_converter_api_spark.operators import dedup as D
+    from document_converter_api_spark.operators import similarity as S
+    from document_converter_api_spark.operators import text_analysis as T
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations (A1/A2)
+        "status_counts": Q.q_status_counts,
+        "stats_conditional": Q.q_stats_conditional,
+        # filter/project/sort/limit (P1/P2/O1/O2)
+        "jobs_listing": Q.q_jobs_listing,
+        "retention_filter": Q.q_retention_filter,
+        # joins (J1/J3 + TPC-H-style)
+        "point_lookup": Q.q_point_lookup,
+        "resume_antijoin": Q.q_resume_antijoin,
+        "orders_join": Q.q_orders_join,
+        "tpch_q1": Q.q_tpch_q1,
+        # window (§2.5)
+        "window_rank": Q.q_window_rank,
+        # scalar expression layer (F1-F14, O3/O4)
+        "plain_text_format": Q.q_plain_text_format,
+        "gdocs_format": Q.q_gdocs_format,
+        "chunk_text": Q.q_chunk_text,
+        "sanitize_names": Q.q_sanitize_names,
+        "url_extension": Q.q_url_extension,
+        "preview": Q.q_preview,
+        "iso_timestamps": Q.q_iso_timestamps,
+        "json_props": Q.q_json_props,
+        "element_at_chunk": Q.q_element_at_chunk,
+        # deduplication suite
+        "dedup_exact": D.q_dedup_exact,
+        "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
+        "dedup_simhash": D.q_dedup_simhash,
+        # similarity search
+        "ann_cosine_topk": S.q_ann_cosine_topk,
+        "ann_lsh_bucketed": S.q_ann_lsh_bucketed,
+        # text analysis
+        "lang_id": T.q_lang_id,
+        "quality_score": T.q_quality_score,
+        "token_count": T.q_token_count,
+        "fingerprint": T.q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from document_converter_api_spark.operators.dedup import DEDUP_ORACLES
+    from document_converter_api_spark.operators.similarity import SIMILARITY_ORACLES
+    from document_converter_api_spark.operators.text_analysis import TEXT_ORACLES
+
+    sql = {
+        "status_counts": """
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stats_conditional": """
+            SELECT count(*) AS total,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+        """,
+        "jobs_listing": """
+            SELECT event_id, user_id, ts, round(value, 2) AS value
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY ts DESC, event_id ASC LIMIT 50
+        """,
+        "retention_filter": """
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT count(*) AS n_expired,
+                   count(DISTINCT user_id) AS n_users
+            FROM events, mx WHERE ts < m - INTERVAL 24 HOURS
+        """,
+        "point_lookup": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id % 10 = 0 AND doc_id < 500
+            ORDER BY doc_id
+        """,
+        "resume_antijoin": """
+            SELECT count(*) AS n_pending, sum(n_chars) AS chars_pending
+            FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "orders_join": """
+            SELECT n.n_name AS nation,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderstatus = 'O'
+            GROUP BY n.n_name ORDER BY nation
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "window_rank": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events) t
+            WHERE rn <= 3 AND user_id < 100
+            ORDER BY user_id, rn, event_id
+        """,
+        "plain_text_format": r"""
+            WITH f AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(text, '#{1,6}\s+', '', 'g'),
+                      '\*\*(.*?)\*\*', '\1', 'g'),
+                    '\*(.*?)\*', '\1', 'g'),
+                  '\[([^\]]+)\]\([^\)]+\)', '\1', 'g'),
+                '`([^`]+)`', '\1', 'g') AS plain
+              FROM documents)
+            SELECT doc_id, substring(plain, 1, 200) AS plain_prefix,
+                   length(plain) AS plain_len
+            FROM f ORDER BY doc_id
+        """,
+        "gdocs_format": """
+            WITH f AS (
+              SELECT doc_id,
+                replace(replace(replace(replace(replace(
+                  text, '# ', ''), '## ', ''), '### ', ''), '**', ''), '*', '')
+                AS gd
+              FROM documents)
+            SELECT doc_id, substring(gd, 1, 200) AS gdocs_prefix,
+                   length(gd) AS gdocs_len
+            FROM f ORDER BY doc_id
+        """,
+        "chunk_text": """
+            WITH c AS (
+              SELECT doc_id, text, str_split(text, chr(10)) AS lines,
+                     CAST(ceil(len(str_split(text, chr(10))) / 3.0) AS INT) AS nc
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN length(text) > 200 THEN nc ELSE 1 END AS total_chunks,
+                   CASE WHEN length(text) > 200
+                        THEN length(array_to_string(lines[1:3], chr(10)))
+                        ELSE length(text) END AS first_chunk_len,
+                   CASE WHEN length(text) > 200
+                        THEN length(array_to_string(lines[(nc-1)*3+1:nc*3], chr(10)))
+                        ELSE length(text) END AS last_chunk_len
+            FROM c ORDER BY doc_id
+        """,
+        "sanitize_names": r"""
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    source || ' doc (' || doc_id || ')',
+                  '[^\w\s-]', '', 'g'),
+                '[-\s]+', '-', 'g'),
+              '^-+|-+$', '', 'g') AS safe_name
+            FROM documents ORDER BY doc_id LIMIT 100
+        """,
+        "url_extension": r"""
+            SELECT doc_id,
+              lower(regexp_extract(
+                'https://x.example/' || source || '/f' || doc_id ||
+                  (CASE WHEN doc_id % 2 = 0 THEN '.pdf' ELSE '.docx' END),
+                '(\.[^./?#]+)([?#].*)?$', 1)) AS ext,
+              greatest(1, CAST(floor(n_chars * 1024 / 1048576.0) AS BIGINT)) AS est_minutes,
+              round(n_chars * 1024 / 1048576.0, 2) AS mb
+            FROM documents ORDER BY doc_id LIMIT 200
+        """,
+        "preview": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 100
+                        THEN substring(text, 1, 100) || '...'
+                        ELSE text END AS preview
+            FROM documents ORDER BY doc_id LIMIT 200
+        """,
+        "iso_timestamps": """
+            WITH w AS (
+              SELECT event_id, ts,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_ts
+              FROM events)
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+                   round(date_diff('microsecond', ts, next_ts) / 1e6, 3) AS gap_seconds
+            FROM w WHERE next_ts IS NOT NULL
+            ORDER BY event_id LIMIT 500
+        """,
+        "json_props": """
+            SELECT json_extract_string(props, '$.k') AS k_bucket,
+                   count(*) AS n
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY k_bucket ORDER BY k_bucket
+        """,
+        "element_at_chunk": """
+            WITH c AS (
+              SELECT doc_id, str_split(text, chr(10)) AS lines,
+                     CAST(ceil(len(str_split(text, chr(10))) / 2.0) AS INT) AS nc
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN nc >= 2
+                        THEN length(array_to_string(lines[3:4], chr(10)))
+                        ELSE NULL END AS second_chunk_len,
+                   (99 > nc) AS oob_is_null
+            FROM c ORDER BY doc_id LIMIT 200
+        """,
+    }
+    sql.update(DEDUP_ORACLES)
+    sql.update(SIMILARITY_ORACLES)
+    sql.update(TEXT_ORACLES)
+    return sql

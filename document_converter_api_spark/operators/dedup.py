@@ -1,0 +1,272 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four tiers, all shuffle-conscious and oracle-checked against DuckDB:
+
+* **exact**      — hash-groupBy on md5(text): one shuffle on a 32-byte key,
+  never on the text payload itself (at 100 TB you shuffle digests, not docs).
+* **n-gram Jaccard** — 3-word shingles → explode → self-join on shingle →
+  pair-count → Jaccard ≥ τ. The shingle join is the classic candidate
+  generator; at scale the explode output is partitioned by shingle hash so
+  the join co-locates without a second shuffle.
+* **MinHash + LSH** — K=8 signatures = min(md5(k || shingle)) (string-min of
+  a keyed digest is a valid permutation surrogate and — unlike xxhash64 —
+  reproducible in any engine), banded 4×2; candidates = band-bucket join.
+  At 10^12 docs this is the only tier that avoids the quadratic shingle join:
+  cost is O(docs × bands) with bucket-local pairs.
+* **SimHash**    — 16-bit signature from per-token digest bit-majorities;
+  near-dup = Hamming distance ≤ 3. Banding on the high byte bounds the
+  pair space.
+
+The fixture corpus has no natural duplicates, so every query derives a
+deterministic corpus: documents ∪ exact copies (doc_id+10000 for doc_id%5=0)
+∪ near copies with one appended token (doc_id+20000 for doc_id%7=0). Both
+engines build the same derivation, so the oracle checks the operator, not
+the data generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = (docs.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    near = (docs.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extraword")).alias("text")))
+    return docs.unionAll(exact).unionAll(near)
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, text || ' extraword' AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _shingles(text):
+    """Distinct 3-word shingles as an array column (lower-cased)."""
+    words = F.split(F.lower(text), " ", -1)
+    n = F.greatest(F.size(words) - F.lit(2), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1),
+                              F.element_at(words, i + 2)),
+    )
+    return F.array_distinct(F.when(n > 0, grams).otherwise(F.array()))
+
+_SHINGLES_SQL = """
+    list_distinct(CASE WHEN len(str_split(lower(text), ' ')) >= 3 THEN
+      list_transform(range(1, len(str_split(lower(text), ' ')) - 1),
+        i -> str_split(lower(text), ' ')[i] || ' ' ||
+             str_split(lower(text), ' ')[i+1] || ' ' ||
+             str_split(lower(text), ' ')[i+2])
+      ELSE [] END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: shuffle on md5 digest, not document bytes."""
+    corpus = _corpus(spark, sf_dir)
+    return (corpus
+            .groupBy(F.md5(F.col("text")).alias("text_hash"))
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count("*").alias("dup_count"))
+            .filter(F.col("dup_count") > 1)
+            .select("canonical_id", "dup_count")
+            .orderBy("canonical_id"))
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with 3-gram Jaccard ≥ 0.5 (a < b). Explode-join candidate
+    generation; Jaccard from |∩| and set sizes only — text never re-read."""
+    corpus = _corpus(spark, sf_dir).withColumn("sh", _shingles(F.col("text")))
+    sized = corpus.select("doc_id", "sh", F.size("sh").alias("n_sh")).filter("n_sh > 0")
+    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.col("a.n_sh").alias("na"),
+                      F.col("b.n_sh").alias("nb"))
+             .agg(F.count("*").alias("common")))
+    return (pairs
+            .withColumn("jaccard",
+                        F.round(F.col("common") /
+                                (F.col("na") + F.col("nb") - F.col("common")), 4))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("id_a", "id_b", "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(sh):
+    """K keyed-digest minima over the shingle set.
+
+    NB: the per-key lambda must be unary — F.transform treats a 2-arg lambda
+    as (element, index), which would silently replace the hash key with the
+    array position."""
+    def one(k: int):
+        prefix = F.lit(f"{k}|")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[one(k) for k in range(N_MINHASH)])
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: equal (band_id, band_value) bucket → distinct
+    pairs (a < b). Shuffle cost O(docs × N_BANDS) on short digest strings —
+    the 10^12-doc-scale near-dup plan."""
+    corpus = _corpus(spark, sf_dir).withColumn("sh", _shingles(F.col("text")))
+    sigs = (corpus.filter(F.size("sh") > 0)
+            .select("doc_id", _minhash_sig(F.col("sh")).alias("sig")))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.concat_ws("|", *[F.element_at("sig", j * 2 + r + 1)
+                                        for r in range(2)]).alias("bval"))
+            for j in range(N_BANDS)
+        ])).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bval") == F.col("b.bval"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct()
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash(tokens):
+    """16-bit simhash: bit b = majority over tokens of md5-nibble-b high bit.
+    Integer-only (+1/-1 sums; ties → bit set) for cross-engine determinism."""
+    def bit_sum(b):
+        return F.aggregate(
+            tokens, F.lit(0),
+            lambda acc, t: acc + F.when(
+                F.substring(F.md5(t), b + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+    val = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        val = val + F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return val
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ 3 among derived corpus docs.
+    Banding on the signature high byte bounds the join (same-byte buckets)."""
+    corpus = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    sigs = (corpus.select("doc_id", _simhash(toks).alias("simhash"))
+            .withColumn("band", F.floor(F.col("simhash") / 256).cast("int")))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                     .alias("hamming")))
+    return (pairs.filter(F.col("hamming") <= HAMMING_MAX)
+            .orderBy("id_a", "id_b"))
+
+
+_SIMHASH_SQL = """
+    (SELECT doc_id,
+       {bits} AS simhash
+     FROM corpus)
+""".format(bits=" + ".join(
+    f"""(CASE WHEN list_sum(list_transform(str_split(lower(text), ' '),
+            t -> CASE WHEN substring(md5(t), {b + 1}, 1)
+                 IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
+          THEN {1 << b} ELSE 0 END)"""
+    for b in range(SIMHASH_BITS)))
+
+
+DEDUP_ORACLES = {
+    "dedup_exact": f"""
+        WITH corpus AS ({_CORPUS_SQL})
+        SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+        ORDER BY canonical_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh
+                  FROM sh WHERE len(shingles) > 0),
+        ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               round(common / (na + nb - common), 4) AS jaccard
+        FROM pairs
+        WHERE round(common / (na + nb - common), 4) >= {JACCARD_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+        sized AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sigs AS (SELECT doc_id,
+            [{", ".join(
+                f"list_aggregate(list_transform(shingles, s -> md5('{k}|' || s)), 'min')"
+                for k in range(N_MINHASH))}] AS sig
+          FROM sized),
+        bands AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {j} AS band, sig[{j * 2 + 1}] || '|' || sig[{j * 2 + 2}] AS bval FROM sigs"
+              for j in range(N_BANDS))}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """,
+    "dedup_simhash": f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        sigs AS (SELECT doc_id, simhash, CAST(floor(simhash / 256.0) AS INT) AS band
+                 FROM {_SIMHASH_SQL} s),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+          FROM sigs a JOIN sigs b
+            ON a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= {HAMMING_MAX}
+        ORDER BY id_a, id_b
+    """,
+}

@@ -1,0 +1,186 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two tiers (training-data ANN for near-dup/retrieval at corpus scale):
+
+* **brute-force cosine top-k** — broadcast the tiny query set, JVM-side
+  higher-order dot products (``zip_with``/``aggregate``, no Python), window
+  top-k per query. The exact baseline; O(N·Q) dot products, one shuffle for
+  the per-query top-k.
+* **LSH-bucketed ANN** — 8 deterministic md5-derived random hyperplanes →
+  sign-bit bucket per vector; candidates share the query's bucket; exact
+  cosine re-rank inside buckets. At 10^12 vectors the bucket join replaces
+  the full scan; the plane constants are baked into both the Spark plan and
+  the SQL oracle so results are engine-independent.
+
+Float math determinism: elements are float32 (exact in float64); both
+engines fold the arrays in index order, and scores are rounded to 6 dp
+before compare/rank with doc-id tie-breaks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 5
+QUERY_IDS = (0, 1, 2)
+
+
+def _plane_weight(p: int, i: int) -> int:
+    """Deterministic ±1 weight for hyperplane p, dimension i (md5-derived —
+    reproducible in any engine/language, unlike xxhash64)."""
+    h = hashlib.md5(f"{p}_{i}".encode()).hexdigest()
+    return 1 if h[0] in "89abcdef" else -1
+
+
+PLANES = [[_plane_weight(p, i) for i in range(DIM)] for p in range(N_PLANES)]
+
+
+def _dot(a, b):
+    """Index-ordered float64 fold — same arithmetic order as the SQL twin."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb")))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 3 query vectors (self excluded)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _queries_df(spark, sf_dir)
+    scored = (emb.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(_dot(F.col("embedding"), F.col("q_emb")) /
+                              (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                              6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", "cosine")
+            .orderBy("query_id", "rank"))
+
+
+def _bucket_expr(emb_col):
+    """8-bit sign bucket: bit p set iff dot(plane_p, v) >= 0."""
+    val = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        signed = F.aggregate(
+            F.zip_with(emb_col,
+                       F.array(*[F.lit(float(w)) for w in plane]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        val = val + F.when(signed >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return val
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tier: same-bucket candidates, exact cosine re-rank, top-3.
+    Scale path: bucket is a cheap JVM-side expression; the candidate join is
+    an equi-join on an 8-bit key instead of a full cross product."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("bucket", _bucket_expr(F.col("embedding"))))
+    q = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    cand = (emb.join(F.broadcast(q), emb.bucket == q.q_bucket)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.round(_dot(F.col("embedding"), F.col("q_emb")) /
+                            (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                            6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", "cosine")
+            .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (plane constants baked in)
+# ---------------------------------------------------------------------------
+
+def _dot_sql(a: str, b: str) -> str:
+    """Index-ordered fold, same order as the Spark aggregate."""
+    return (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))")
+
+
+def _bucket_sql(col: str) -> str:
+    terms = []
+    for p, plane in enumerate(PLANES):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+        dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+               f"i -> CAST({col}[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_QID_LIST = ", ".join(str(q) for q in QUERY_IDS)
+
+SIMILARITY_ORACLES = {
+    "ann_cosine_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id IN ({_QID_LIST})),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round({_dot_sql('e.embedding', 'q.q_emb')} /
+                       ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')}), 6)
+                 AS cosine
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id AS neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+    "ann_lsh_bucketed": f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_bucket_sql('embedding')} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+              FROM b WHERE vec_id IN ({_QID_LIST})),
+        cand AS (
+          SELECT q.query_id, e.vec_id,
+                 round({_dot_sql('e.embedding', 'q.q_emb')} /
+                       ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')}), 6)
+                 AS cosine
+          FROM b e JOIN q ON e.bucket = q.q_bucket
+          WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id AS neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+}

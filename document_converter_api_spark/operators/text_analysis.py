@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All four are pure Catalyst expressions (JVM-side, WholeStageCodegen — the
+100 TB path never enters Python for these):
+
+* language-ID  — stopword-hit heuristic with deterministic argmax;
+* quality score — length / punctuation / stopword-ratio signals,
+  integer-ratio math rounded once at the end;
+* token counting — whitespace tokens plus a BPE-ish regex segmentation;
+* fingerprinting — digest of whitespace/punct-normalized text (the
+  canonical-form key used by fuzzy-dedup pre-passes).
+
+Each has a DuckDB SQL twin in ``TEXT_ORACLES`` with identical constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ("the", "of", "and", "a", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "a", "en", "un", "ser", "se"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+}
+LANG_ORDER = ("en", "es", "de")  # deterministic tie-break order
+
+# BPE-ish segmentation: letter runs, digit runs, or single non-space symbols.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text):
+    return F.split(F.lower(text), " ", -1)
+
+
+def _stop_hits(tokens, lang: str):
+    return F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID; argmax over (en, es, de) with fixed
+    order tie-break; compared against the table's ``lang`` label."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    hits = {lang: _stop_hits(toks, lang) for lang in LANG_ORDER}
+    pred = (F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en")
+            .when(hits["es"] >= hits["de"], "es")
+            .otherwise("de"))
+    return (docs.select(
+        "doc_id", "lang",
+        hits["en"].alias("hits_en"),
+        hits["es"].alias("hits_es"),
+        hits["de"].alias("hits_de"),
+        pred.alias("pred_lang"))
+        .withColumn("match", (F.col("pred_lang") == F.col("lang")).cast("int"))
+        .orderBy("doc_id"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token count, mean token length, stopword ratio,
+    punctuation density, and a blended 0-1 score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    stop_all = F.size(F.filter(
+        toks, lambda t: t.isin(*(STOPWORDS["en"] + STOPWORDS["es"] + STOPWORDS["de"]))))
+    mean_tok_len = F.round((n_chars - (n_tok - 1)) / n_tok, 4)
+    stop_ratio = F.round(stop_all / n_tok, 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    score = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.4
+        + F.least(F.lit(1.0), stop_all / F.lit(5.0)) * 0.3
+        + (F.lit(1.0) - F.least(F.lit(1.0), n_punct / F.greatest(n_tok, F.lit(1)))) * 0.3,
+        4)
+    return (docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"))
+        .orderBy("doc_id"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex segment count + chars/token."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws_tokens = F.size(F.split(F.col("text"), r"\s+", -1))
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    return (docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        F.round(F.length("text") / F.greatest(bpe_tokens, F.lit(1)), 4)
+        .alias("chars_per_token"))
+        .orderBy("doc_id"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of lowercased, punctuation-stripped,
+    whitespace-collapsed text — plus a 16-hex-prefix shard key (how a
+    10^12-doc dedup pre-pass buckets the corpus)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+        r"\s+", " "))
+    fp = F.md5(norm)
+    return (docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("shard"))
+        .orderBy("doc_id"))
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+_ALL_STOPS = STOPWORDS["en"] + STOPWORDS["es"] + STOPWORDS["de"]
+
+TEXT_ORACLES = {
+    "lang_id": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+            len(list_filter(str_split(lower(text), ' '),
+                x -> x IN ({_in_list(STOPWORDS['en'])}))) AS hits_en,
+            len(list_filter(str_split(lower(text), ' '),
+                x -> x IN ({_in_list(STOPWORDS['es'])}))) AS hits_es,
+            len(list_filter(str_split(lower(text), ' '),
+                x -> x IN ({_in_list(STOPWORDS['de'])}))) AS hits_de
+          FROM documents)
+        SELECT doc_id, lang, hits_en, hits_es, hits_de,
+               CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+                    WHEN hits_es >= hits_de THEN 'es'
+                    ELSE 'de' END AS pred_lang,
+               CAST(CASE WHEN (CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
+                               THEN 'en' WHEN hits_es >= hits_de THEN 'es'
+                               ELSE 'de' END) = lang THEN 1 ELSE 0 END AS INT) AS match
+        FROM t ORDER BY doc_id
+    """,
+    "quality_score": rf"""
+        WITH t AS (
+          SELECT doc_id,
+            len(str_split(lower(text), ' ')) AS n_tok,
+            length(text) AS n_chars,
+            len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+            len(list_filter(str_split(lower(text), ' '),
+                x -> x IN ({_in_list(_ALL_STOPS)}))) AS stop_all
+          FROM documents)
+        SELECT doc_id,
+               n_tok AS n_tokens,
+               round((n_chars - (n_tok - 1)) / n_tok, 4) AS mean_token_len,
+               round(stop_all / n_tok, 4) AS stopword_ratio,
+               round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+               round(least(1.0, n_tok / 100.0) * 0.4
+                     + least(1.0, stop_all / 5.0) * 0.3
+                     + (1.0 - least(1.0, n_punct / greatest(n_tok, 1))) * 0.3,
+                     4) AS quality
+        FROM t ORDER BY doc_id
+    """,
+    "token_count": rf"""
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,
+               round(length(text) /
+                     greatest(len(regexp_extract_all(text, '{BPE_RE}')), 1), 4)
+               AS chars_per_token
+        FROM documents ORDER BY doc_id
+    """,
+    "fingerprint": r"""
+        WITH n AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+              '\s+', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id, md5(norm) AS fingerprint,
+               substring(md5(norm), 1, 2) AS shard
+        FROM n ORDER BY doc_id
+    """,
+}
