@@ -44,6 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from document_converter_api_spark.plans import queries as Q
     from document_converter_api_spark.operators import dedup as D
+    from document_converter_api_spark.operators import multimodal as M
+    from document_converter_api_spark.operators import skew as K
     from document_converter_api_spark.operators import similarity as S
     from document_converter_api_spark.operators import text_analysis as T
 
@@ -76,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
         "dedup_simhash": D.q_dedup_simhash,
+        "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,
@@ -84,6 +87,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.q_quality_score,
         "token_count": T.q_token_count,
         "fingerprint": T.q_fingerprint,
+        # multimodal binary columns (decode oracle-checked vs planted meta;
+        # frame-sample/audio-features are rows-only — byte math not in SQL)
+        "multimodal_decode": M.q_multimodal_decode,
+        "multimodal_frame_sample": M.q_multimodal_frame_sample,
+        "multimodal_audio_features": M.q_multimodal_audio_features,
+        # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
+        "host_stats_salted": K.q_host_stats_salted,
     }
 
 
@@ -264,4 +274,16 @@ def oracle_sql() -> dict[str, str]:
     sql.update(DEDUP_ORACLES)
     sql.update(SIMILARITY_ORACLES)
     sql.update(TEXT_ORACLES)
+
+    import os
+    from document_converter_api_spark.operators.dedup import _embedding_cosine_oracle
+    from document_converter_api_spark.operators.multimodal import oracle_sql_for_media
+    sql["dedup_embedding_cosine"] = _embedding_cosine_oracle()
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    sql.update(oracle_sql_for_media(repo_root))
+    from document_converter_api_spark.operators.skew import host_stats_oracle
+    sql["host_stats_salted"] = host_stats_oracle(repo_root)
+    # multimodal_frame_sample / multimodal_audio_features: intentionally no
+    # oracle (rows-only check) — byte-level frame digests and PCM math are
+    # not SQL-expressible.
     return sql

@@ -212,6 +212,73 @@ _SIMHASH_SQL = """
     for b in range(SIMHASH_BITS)))
 
 
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.99
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup: derived corpus = embeddings ∪ slightly
+    perturbed copies (vec_id+10000, dim-1 += 0.01, every 10th vector);
+    candidates bucketed by the same md5-derived hyperplane LSH as the ANN
+    operator (the 10^12-vector plan: bucket equi-join, then exact cosine
+    ≥ 0.99 re-check inside buckets only)."""
+    from .similarity import _bucket_expr, _dot, _norm
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.transform(F.col("embedding"),
+                               lambda x: x.cast("double")).alias("embedding")))
+    # All math in float64 on both engines (float32→float64 is exact; adding
+    # 0.01 in mixed precision would double-round and diverge cross-engine).
+    perturbed = (emb.filter(F.col("vec_id") % 10 == 0)
+                 .select((F.col("vec_id") + 10000).alias("vec_id"),
+                         F.transform(
+                             F.col("embedding"),
+                             lambda x, i: F.when(i == 0, x + F.lit(0.01))
+                             .otherwise(x)).alias("embedding")))
+    corpus = (emb.unionAll(perturbed)
+              .withColumn("bucket", _bucket_expr(F.col("embedding"))))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(_dot(F.col("a.embedding"), F.col("b.embedding")) /
+                            (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                            6).alias("cosine"))
+            .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+            .orderBy("id_a", "id_b"))
+
+
+def _embedding_cosine_oracle() -> str:
+    from .similarity import DIM, _bucket_sql, _dot_sql, _norm_sql
+    perturb = (f"list_transform(range(1, {DIM + 1}), "
+               f"i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.01 "
+               f"ELSE CAST(embedding[i] AS DOUBLE) END)")
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, {perturb}::DOUBLE[] AS embedding
+          FROM embeddings WHERE vec_id % 10 = 0),
+        b AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+              FROM corpus),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 round({_dot_sql('a.embedding', 'b2.embedding')} /
+                       ({_norm_sql('a.embedding')} * {_norm_sql('b2.embedding')}), 6)
+                 AS cosine
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        SELECT id_a, id_b, cosine FROM pairs
+        WHERE cosine >= {COSINE_DUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """
+
+
 DEDUP_ORACLES = {
     "dedup_exact": f"""
         WITH corpus AS ({_CORPUS_SQL})

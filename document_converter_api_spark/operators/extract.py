@@ -186,11 +186,22 @@ def prepare_pages(pages: DataFrame,
 
 def run_extract(valid: DataFrame,
                 shuffle_partitions: int | None = None,
-                max_batch_bytes: int = 64 * 1024 * 1024) -> DataFrame:
-    """Shuffle to even, salted partitions and run the Arrow stage."""
+                max_batch_bytes: int = 64 * 1024 * 1024,
+                pre_shuffle: bool = True) -> DataFrame:
+    """Run the Arrow stage, optionally behind a salted repartition.
+
+    ``pre_shuffle=True`` (default) hash-exchanges on (xxhash64(url), salt) —
+    required when downstream commits by partition_id granule (resume
+    pipeline), and measured FASTER even on a balanced corpus (the exchange
+    decouples the scan from the Python stage and evens per-task doc counts;
+    skipping it fused scan+UDF into fewer, skewed tasks and lost ~40%).
+    ``pre_shuffle=False`` exists for pipelines that already partitioned
+    upstream (e.g. bucketed Iceberg writes) where a second exchange would be
+    pure waste."""
     spark = valid.sparkSession
     n = shuffle_partitions or spark.sparkContext.defaultParallelism * 4
-    distributed = valid.repartition(n, F.xxhash64("url"), F.col("salt"))
+    distributed = (valid.repartition(n, F.xxhash64("url"), F.col("salt"))
+                   if pre_shuffle else valid)
     return distributed.drop("salt").mapInArrow(
         lambda it: extract_arrow_batches(it, max_batch_bytes),
         schema=EXTRACT_SCHEMA,
@@ -200,7 +211,8 @@ def run_extract(valid: DataFrame,
 def extract_pipeline(pages: DataFrame,
                      max_bytes: int = MAX_FILE_SIZE,
                      num_partitions: int | None = None,
-                     shuffle_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+                     shuffle_partitions: int | None = None,
+                     pre_shuffle: bool = True) -> tuple[DataFrame, DataFrame]:
     """(results, rejects) — the composed S2/S3/P5 → repartition → U1–U5 flow."""
     valid, rejects = prepare_pages(pages, max_bytes, num_partitions)
-    return run_extract(valid, shuffle_partitions), rejects
+    return run_extract(valid, shuffle_partitions, pre_shuffle=pre_shuffle), rejects

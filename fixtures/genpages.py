@@ -353,8 +353,11 @@ def materialize(scale: str, outdir: str, seed: int = 42) -> tuple[str, str]:
     goldens = gen_goldens(pages)
     p_path = os.path.join(outdir, f"pages_{scale}.parquet")
     g_path = os.path.join(outdir, f"goldens_{scale}.parquet")
-    pq.write_table(pages, p_path, compression="zstd")
-    pq.write_table(goldens, g_path, compression="zstd")
+    # Small row groups: a single-row-group file gives Spark exactly ONE scan
+    # task no matter what maxPartitionBytes says (measured: it serialized the
+    # whole map stage and capped cluster utilization at ~12/32 cores).
+    pq.write_table(pages, p_path, compression="zstd", row_group_size=512)
+    pq.write_table(goldens, g_path, compression="zstd", row_group_size=512)
     return p_path, g_path
 
 

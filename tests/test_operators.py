@@ -1,0 +1,150 @@
+"""Tests for training-data operators: skew-salted aggregation, multimodal
+decode/resize/frame-sample, streaming AvailableNow, dedup recall."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import PAGES_SMOKE
+
+
+class TestSkew:
+    def test_salted_agg_equals_naive(self, spark):
+        from document_converter_api_spark.operators.skew import (
+            detect_hot_hosts, host_expr, salted_host_agg,
+        )
+        pages = spark.read.parquet(PAGES_SMOKE)
+        hot = detect_hot_hosts(pages)
+        assert "hot.example.com" in hot  # Zipf fixture ground truth
+        salted = {r.host: (r.n_docs, r.total_bytes)
+                  for r in salted_host_agg(pages, hot).collect()}
+        naive = {r.host: (r.n_docs, r.total_bytes)
+                 for r in pages.select(host_expr(F.col("url")).alias("host"),
+                                       F.length("html").cast("long").alias("b"))
+                 .groupBy("host")
+                 .agg(F.count("*").alias("n_docs"), F.sum("b").alias("total_bytes"))
+                 .collect()}
+        assert salted == naive
+
+    def test_salt_actually_spreads_hot_host(self, spark):
+        """Post-salt, the hot host's rows occupy many distinct salt values —
+        the property that bounds max-partition/median at scale."""
+        from document_converter_api_spark.operators.skew import (
+            DEFAULT_SALT_BUCKETS, host_expr,
+        )
+        pages = spark.read.parquet(PAGES_SMOKE)
+        n_salts = (pages
+                   .withColumn("host", host_expr(F.col("url")))
+                   .filter(F.col("host") == "hot.example.com")
+                   .select(F.pmod(F.xxhash64("url"),
+                                  F.lit(DEFAULT_SALT_BUCKETS)).alias("salt"))
+                   .distinct().count())
+        assert n_salts == DEFAULT_SALT_BUCKETS
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from document_converter_api_spark.operators.multimodal import _media_df
+        return _media_df(spark)
+
+    def test_decode_matches_planted_meta(self, spark, media):
+        from document_converter_api_spark.operators.multimodal import decode_media
+        import json
+        decoded = {r.media_id: r for r in decode_media(media).collect()}
+        for row in media.select("media_id", "kind", "meta").collect():
+            meta = json.loads(row.meta)
+            d = decoded[row.media_id]
+            assert d.error is None
+            if row.kind == "image":
+                assert (d.width, d.height, d.channels) == (
+                    meta["width"], meta["height"], meta["channels"])
+            elif row.kind == "audio":
+                assert (d.sample_rate, d.n_samples) == (
+                    meta["sample_rate"], meta["n_samples"])
+            else:
+                assert (d.n_frames, d.width, d.height) == (
+                    meta["n_frames"], meta["width"], meta["height"])
+
+    def test_resize_deterministic(self, spark, media):
+        from document_converter_api_spark.operators.multimodal import (
+            RESIZE_SCHEMA, resize_image_batches,
+        )
+        imgs = media.filter(F.col("kind") == "image")
+        out1 = (imgs.mapInPandas(resize_image_batches(8, 8), RESIZE_SCHEMA)
+                .orderBy("media_id").collect())
+        out2 = (imgs.repartition(7).mapInPandas(resize_image_batches(8, 8),
+                                                RESIZE_SCHEMA)
+                .orderBy("media_id").collect())
+        assert out1 == out2
+        assert all(r.out_width == 8 and r.out_height == 8 for r in out1)
+        assert len(out1) == imgs.count()
+
+    def test_frame_sample_counts(self, spark, media):
+        import json
+        from document_converter_api_spark.operators.multimodal import (
+            FRAME_SAMPLE_SCHEMA, frame_sample_batches,
+        )
+        vids = media.filter(F.col("kind") == "video")
+        out = vids.mapInPandas(frame_sample_batches(4), FRAME_SAMPLE_SCHEMA)
+        counts = {r.media_id: r.n for r in
+                  out.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+        for row in vids.select("media_id", "meta").collect():
+            nf = json.loads(row.meta)["n_frames"]
+            assert counts[row.media_id] == (nf + 3) // 4
+
+    def test_real_codec_raises_not_implemented(self):
+        from document_converter_api_spark.operators.multimodal import _parse_image
+        with pytest.raises(NotImplementedError, match="jpeg"):
+            _parse_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+
+
+class TestStreamingAvailableNow:
+    def test_incremental_drain(self, spark, smoke_paths, tmp_path):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        from document_converter_api_spark.streaming.availablenow import (
+            run_available_now,
+        )
+        pages_path, goldens_path = smoke_paths
+        t = pq.read_table(pages_path)
+        indir = str(tmp_path / "in")
+        outdir = str(tmp_path / "out")
+        os.makedirs(indir)
+        # first drop: 100 rows
+        pq.write_table(t.slice(0, 100), os.path.join(indir, "drop1.parquet"))
+        n1 = run_available_now(spark, indir, outdir, max_bytes=256 * 1024)
+        assert n1 >= 1
+        res1 = spark.read.parquet(os.path.join(outdir, "results")).count()
+        # second drop: 50 more rows; only these are processed
+        pq.write_table(t.slice(100, 50), os.path.join(indir, "drop2.parquet"))
+        run_available_now(spark, indir, outdir, max_bytes=256 * 1024)
+        res2 = spark.read.parquet(os.path.join(outdir, "results")).count()
+        assert res2 > res1
+        # byte-identity vs goldens for streamed output
+        g = pq.read_table(goldens_path)
+        golden = dict(zip(g.column("url").to_pylist(),
+                          g.column("markdown").to_pylist()))
+        rows = (spark.read.parquet(os.path.join(outdir, "results"))
+                .select("url", "markdown").collect())
+        assert all(golden[r.url] == r.markdown for r in rows)
+
+
+class TestDedupRecall:
+    def test_minhash_lsh_finds_exact_dups(self, spark):
+        """Every exact-copy pair (doc_id, doc_id+10000) must be an LSH
+        candidate — identical shingle sets share all bands."""
+        from document_converter_api_spark.operators.dedup import (
+            q_dedup_minhash_lsh,
+        )
+        sf = "/root/testdata/sf0.001"
+        pairs = {(r.id_a, r.id_b) for r in q_dedup_minhash_lsh(spark, sf).collect()}
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        expected = {(r.doc_id, r.doc_id + 10000) for r in
+                    docs.filter((F.col("doc_id") % 5 == 0)).collect()
+                    if len((r.text or "").split()) >= 3}
+        missing = expected - pairs
+        assert not missing, f"LSH missed exact dup pairs: {sorted(missing)[:5]}"
