@@ -73,6 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iso_timestamps": Q.q_iso_timestamps,
         "json_props": Q.q_json_props,
         "element_at_chunk": Q.q_element_at_chunk,
+        "download_names": Q.q_download_names,
+        "result_json": Q.q_result_json,
+        # rollup / distinct / set-op / top-k (§2.4, §2.6, §2.7)
+        "rollup_stats": Q.q_rollup_stats,
+        "distinct_users": Q.q_distinct_users,
+        "except_users": Q.q_except_users,
+        "top_revenue_orders": Q.q_top_revenue_orders,
         # deduplication suite
         "dedup_exact": D.q_dedup_exact,
         "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -269,6 +276,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS second_chunk_len,
                    (99 > nc) AS oob_is_null
             FROM c ORDER BY doc_id LIMIT 200
+        """,
+        "download_names": r"""
+            SELECT doc_id,
+                   regexp_extract('uploads/' || source || '/report_' || doc_id || '.docx',
+                                  '([^/]+?)(\.[^./]*)?$', 1) AS stem,
+                   regexp_extract('uploads/' || source || '/report_' || doc_id || '.docx',
+                                  '([^/]+?)(\.[^./]*)?$', 1)
+                     || '_converted'
+                     || (CASE WHEN doc_id % 2 = 0 THEN '.md' ELSE '.txt' END)
+                     AS download_name
+            FROM documents ORDER BY doc_id LIMIT 200
+        """,
+        "result_json": """
+            SELECT doc_id,
+                   '{"id":' || doc_id
+                     || ',"lang":"' || lang
+                     || '","content_length":' || length(text)
+                     || ',"source":"' || source || '"}' AS result_json
+            FROM documents ORDER BY doc_id LIMIT 200
+        """,
+        "rollup_stats": """
+            SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
+            ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "except_users": """
+            WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'
+                       EXCEPT
+                       SELECT user_id FROM events WHERE event_type = 'purchase')
+            SELECT count(*) AS n_view_only, sum(user_id) AS sum_ids FROM v
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
     }
     sql.update(DEDUP_ORACLES)

@@ -166,7 +166,7 @@ def main() -> None:  # pragma: no cover - CLI
         .appName("webtext-extract")
         .config("spark.sql.shuffle.partitions", str(int(args.cores) * 4))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .getOrCreate()
     )
     stats = run_extraction_job(

@@ -24,7 +24,9 @@ from pyspark.sql.window import Window
 
 from ..functions.expressions import (
     chunks_if_large_expr,
+    download_name_expr,
     estimated_minutes_expr,
+    filename_stem_expr,
     iso_timestamp_expr,
     markdown_to_gdocs_expr,
     markdown_to_plain_expr,
@@ -263,6 +265,79 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("k_bucket")
             .agg(F.count("*").alias("n"))
             .orderBy("k_bucket"))
+
+
+def q_download_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 stem + F7 download-name compose + F8 ext-for-format
+    (app/main.py:617-619, 345-347) over synthetic upload filenames."""
+    docs = _read(spark, sf_dir, "documents")
+    fname = F.concat(F.lit("uploads/"), F.col("source"), F.lit("/report_"),
+                     F.col("doc_id"), F.lit(".docx"))
+    fmt = F.when(F.col("doc_id") % 2 == 0, F.lit("markdown")).otherwise(F.lit("text"))
+    return (docs.select(
+        "doc_id",
+        filename_stem_expr(fname).alias("stem"),
+        download_name_expr(fname, fmt).alias("download_name"))
+        .orderBy("doc_id").limit(200))
+
+
+def q_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 JSON result assembly (app/main.py:401-418): to_json(struct(...))
+    — columnar until the API edge, serialize only in the projection."""
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        F.to_json(F.struct(
+            F.col("doc_id").alias("id"),
+            F.col("lang").alias("lang"),
+            F.length("text").cast("long").alias("content_length"),
+            F.col("source").alias("source"))).alias("result_json"))
+        .orderBy("doc_id").limit(200))
+
+
+def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (SURVEY.md §2.4 'trivially available' tier):
+    doc counts + char sums by (source, lang) with subtotals and a grand
+    total — one shuffle, Expand handles the grouping sets."""
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.rollup("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy(F.asc_nulls_first("source"), F.asc_nulls_first("lang")))
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact distinct users per event type (the
+    approx_count_distinct scale path is benchmarked, not oracle'd — HLL
+    sketches differ across engines)."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events"))
+            .orderBy("event_type"))
+
+
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (SURVEY.md §2.7): users who viewed but never purchased —
+    EXCEPT (distinct) compiles to a left-anti hash join."""
+    ev = _read(spark, sf_dir, "events")
+    viewed = ev.filter(F.col("event_type") == "view").select("user_id")
+    bought = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (viewed.subtract(bought)
+            .agg(F.count("*").alias("n_view_only"),
+                 F.sum("user_id").alias("sum_ids")))
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy-hitter orders by revenue: aggregation then global top-10
+    via TakeOrderedAndProject (no total sort at scale)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
 
 
 def q_element_at_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,8 @@ SUBSET = (
     "window_rank", "plain_text_format", "chunk_text", "json_props",
     "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
     "lang_id", "fingerprint", "multimodal_decode", "host_stats_salted",
+    "rollup_stats", "distinct_users", "except_users", "top_revenue_orders",
+    "download_names", "result_json",
 )
 
 

@@ -1,0 +1,101 @@
+"""Physical-plan contracts (SURVEY.md §4): the 100 TB properties asserted.
+
+These tests pin the *plan shape*, not timings — the properties that decide
+whether the job survives a 1000-executor / 100 TB scale-up:
+column pruning of the binary payload, filter pushdown to the parquet scan,
+broadcast for point lookups, top-k instead of total sort, and exactly one
+(or zero) shuffle ahead of the Arrow extraction stage.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from .conftest import PAGES_SMOKE
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    # formatted explain repeats node names in the details section — count
+    # unique node ids, not string occurrences
+    return len(set(re.findall(r"Exchange \(\d+\)", plan)))
+
+
+def test_metadata_scan_prunes_html_and_pushes_filter(spark):
+    pages = spark.read.parquet(PAGES_SMOKE)
+    q = (pages.filter(F.col("lang") == "en")
+         .groupBy("lang").agg(F.count("*").alias("n")))
+    plan = plan_of(q)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, "binary payload must be pruned"
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "lang" in pushed, "lang predicate must reach the parquet scan"
+
+
+def test_extract_pipeline_has_single_exchange_before_arrow(spark):
+    from document_converter_api_spark.operators.extract import extract_pipeline
+    pages = spark.read.parquet(PAGES_SMOKE)
+    results, _ = extract_pipeline(pages, num_partitions=8, shuffle_partitions=8)
+    plan = plan_of(results)
+    assert n_exchanges(plan) == 1, "exactly one salted repartition"
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+
+
+def test_extract_no_pre_shuffle_has_zero_exchange(spark):
+    from document_converter_api_spark.operators.extract import (
+        prepare_pages, run_extract)
+    pages = spark.read.parquet(PAGES_SMOKE)
+    valid, _ = prepare_pages(pages, num_partitions=8)
+    plan = plan_of(run_extract(valid, pre_shuffle=False))
+    assert n_exchanges(plan) == 0, "bucketed input → no shuffle at all"
+
+
+def test_point_lookup_broadcasts(spark):
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["point_lookup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jobs_listing_is_topk_not_total_sort(spark):
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["jobs_listing"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a total sort"
+
+
+def test_expression_layer_is_pure_catalyst(spark):
+    # the F-layer regex chain must compile to a single Project of JVM
+    # expressions (codegen'd at runtime) — zero Python eval nodes
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["plain_text_format"](spark, SF))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                 "MapInPandas"):
+        assert node not in plan, "F-layer must be pure Catalyst"
+    assert "regexp_replace" in plan.split("(2) Project")[1], \
+        "regex chain expected inside the Project node"
+
+
+def test_resume_antijoin_plan_shape(spark):
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["resume_antijoin"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_rollup_uses_expand(spark):
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["rollup_stats"](spark, SF))
+    assert "Expand" in plan

@@ -33,7 +33,7 @@ def main() -> None:
         .config("spark.driver.memory", "8g")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.shuffle.partitions", str(args.cores * 2))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
