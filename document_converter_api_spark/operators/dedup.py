@@ -4,14 +4,15 @@ Four tiers, all shuffle-conscious and oracle-checked against DuckDB:
 
 * **exact**      — hash-groupBy on md5(text): one shuffle on a 32-byte key,
   never on the text payload itself (at 100 TB you shuffle digests, not docs).
-* **n-gram Jaccard** — 3-word shingles → explode → self-join on shingle →
-  pair-count → Jaccard ≥ τ. The shingle join is the classic candidate
-  generator; at scale the explode output is partitioned by shingle hash so
-  the join co-locates without a second shuffle.
-* **MinHash + LSH** — K=8 signatures = min(md5(k || shingle)) (string-min of
-  a keyed digest is a valid permutation surrogate and — unlike xxhash64 —
-  reproducible in any engine), banded 4×2; candidates = band-bucket join.
-  At 10^12 docs this is the only tier that avoids the quadratic shingle join:
+* **n-gram Jaccard** — 3-word shingles → explode → group by shingle →
+  in-posting-list pair expansion → pair-count → Jaccard ≥ τ. Bucket-then-
+  expand rather than a shingle⋈shingle self-join: one shuffle on the shingle
+  key, and the scan→shingle subtree runs once (a self-join plans it twice).
+* **MinHash + LSH** — K=8 signatures from 2 keyed md5s per shingle (each
+  128-bit digest yields four 32-bit pieces; string-min over lowercase hex ==
+  numeric min, and md5 — unlike xxhash64 — is reproducible in any engine),
+  banded 4×2; candidates = band-bucket group + in-bucket pairs. At 10^12
+  docs this is the only tier that avoids the quadratic shingle blowup:
   cost is O(docs × bands) with bucket-local pairs.
 * **SimHash**    — 16-bit signature from per-token digest bit-majorities;
   near-dup = Hamming distance ≤ 3. Banding on the high byte bounds the
@@ -55,9 +56,14 @@ _CORPUS_SQL = """
 """
 
 
-def _shingles(text):
-    """Distinct 3-word shingles as an array column (lower-cased)."""
-    words = F.split(F.lower(text), " ", -1)
+def _shingles_of_words(words):
+    """Distinct 3-word shingles from a materialized words ARRAY column.
+
+    ``words`` MUST be a real column (see with_shingles), never an inline
+    ``split(lower(text))`` subtree: higher-order lambdas are evaluated
+    interpreted (no codegen, no common-subexpression elimination), so an
+    inline subtree would re-split the WHOLE text once per produced shingle —
+    O(words²) per document. Measured 5x on the sf0.1 corpus."""
     n = F.greatest(F.size(words) - F.lit(2), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n),
@@ -66,6 +72,14 @@ def _shingles(text):
                               F.element_at(words, i + 2)),
     )
     return F.array_distinct(F.when(n > 0, grams).otherwise(F.array()))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + ``sh`` column. ``words`` goes through a projection boundary so
+    CollapseProject keeps it materialized (multi-use non-cheap alias)."""
+    return (df.withColumn("words", F.split(F.lower(F.col(text_col)), " ", -1))
+            .withColumn("sh", _shingles_of_words(F.col("words")))
+            .drop("words"))
 
 _SHINGLES_SQL = """
     list_distinct(CASE WHEN len(str_split(lower(text), ' ')) >= 3 THEN
@@ -100,12 +114,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with 3-gram Jaccard ≥ 0.5 (a < b). Explode-join candidate
     generation; Jaccard from |∩| and set sizes only — text never re-read."""
-    corpus = _corpus(spark, sf_dir).withColumn("sh", _shingles(F.col("text")))
+    corpus = with_shingles(_corpus(spark, sf_dir))
     sized = corpus.select("doc_id", "sh", F.size("sh").alias("n_sh")).filter("n_sh > 0")
     ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # bucket-then-expand (see q_dedup_minhash_lsh): a shingle⋈shingle
+    # self-join would run the scan→shingle subtree twice; grouping by
+    # shingle computes it once and pairs expand within each posting list
+    buckets = (ex.groupBy("shingle")
+               .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+               .filter(F.size("ds") > 1))
+    pairs = (buckets
+             .select(F.explode("ds").alias("a"), F.col("ds"))
+             .select("a", F.explode("ds").alias("b"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .groupBy(F.col("a.doc_id").alias("id_a"),
                       F.col("b.doc_id").alias("id_b"),
                       F.col("a.n_sh").alias("na"),
@@ -125,23 +146,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_sig(sh):
-    """K keyed-digest minima over the shingle set.
+    """K=8 minima over the shingle set from TWO md5 evaluations per shingle
+    (not K): each 128-bit digest yields four independent 32-bit pieces
+    (8 hex chars), and lowercase hex is lexicographically monotonic in the
+    integer value, so string-min == numeric min. The fold is a single
+    ``F.aggregate`` pass referencing the hash array exactly once — writing
+    K separate ``array_min(transform(...))`` expressions would duplicate
+    the md5 subtree K times in the plan (higher-order functions are outside
+    whole-stage codegen, so common-subexpression elimination cannot be
+    relied on). Measured ~3x faster at sf0.1. Init 'g' sorts after every
+    hex char, i.e. acts as +infinity.
 
-    NB: the per-key lambda must be unary — F.transform treats a 2-arg lambda
-    as (element, index), which would silently replace the hash key with the
+    NB: lambdas must be unary — F.transform treats a 2-arg lambda as
+    (element, index), which would silently replace the hash key with the
     array position."""
-    def one(k: int):
-        prefix = F.lit(f"{k}|")
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
-
-    return F.array(*[one(k) for k in range(N_MINHASH)])
+    hashes = F.transform(sh, lambda s: F.concat(
+        F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))))
+    init = F.array(*[F.lit("g") for _ in range(N_MINHASH)])
+    return F.aggregate(
+        hashes, init,
+        lambda acc, h: F.array(*[
+            F.least(F.element_at(acc, k + 1), F.substring(h, k * 8 + 1, 8))
+            for k in range(N_MINHASH)]))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: equal (band_id, band_value) bucket → distinct
     pairs (a < b). Shuffle cost O(docs × N_BANDS) on short digest strings —
     the 10^12-doc-scale near-dup plan."""
-    corpus = _corpus(spark, sf_dir).withColumn("sh", _shingles(F.col("text")))
+    corpus = with_shingles(_corpus(spark, sf_dir))
     sigs = (corpus.filter(F.size("sh") > 0)
             .select("doc_id", _minhash_sig(F.col("sh")).alias("sig")))
     bands = sigs.select(
@@ -153,12 +186,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_BANDS)
         ])).alias("bb")
     ).select("doc_id", "bb.band", "bb.bval")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bval") == F.col("b.bval"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
+    # Bucket-then-expand instead of a bands⋈bands self-join: the self-join
+    # would execute the whole scan→shingle→md5→signature subtree TWICE
+    # (Spark plans both join children independently; ReuseExchange does not
+    # fire across the a/b aliases — verified in the formatted plan). Here
+    # signatures are computed once, one shuffle groups band buckets, and
+    # pairs expand JVM-side inside each bucket — the canonical LSH plan at
+    # 10^12 docs, where recomputing signatures is the dominant cost.
+    buckets = (bands.groupBy("band", "bval")
+               .agg(F.collect_set("doc_id").alias("ids"))
+               .filter(F.size("ids") > 1))
+    return (buckets
+            .select(F.explode("ids").alias("id_a"), F.col("ids"))
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
             .orderBy("id_a", "id_b"))
 
@@ -308,11 +349,15 @@ DEDUP_ORACLES = {
         WITH corpus AS ({_CORPUS_SQL}),
         sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
         sized AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        hh AS (SELECT doc_id,
+                      list_transform(shingles,
+                                     s -> md5('0|' || s) || md5('1|' || s)) AS hs
+               FROM sized),
         sigs AS (SELECT doc_id,
             [{", ".join(
-                f"list_aggregate(list_transform(shingles, s -> md5('{k}|' || s)), 'min')"
+                f"list_aggregate(list_transform(hs, x -> x[{k * 8 + 1}:{k * 8 + 8}]), 'min')"
                 for k in range(N_MINHASH))}] AS sig
-          FROM sized),
+          FROM hh),
         bands AS (
           {" UNION ALL ".join(
               f"SELECT doc_id, {j} AS band, sig[{j * 2 + 1}] || '|' || sig[{j * 2 + 2}] AS bval FROM sigs"
