@@ -208,14 +208,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash(tokens):
+def _simhash_from_hashes(hh):
     """16-bit simhash: bit b = majority over tokens of md5-nibble-b high bit.
-    Integer-only (+1/-1 sums; ties → bit set) for cross-engine determinism."""
+    Integer-only (+1/-1 sums; ties → bit set) for cross-engine determinism.
+
+    ``hh`` MUST be a materialized column of per-token md5 hex strings:
+    hashing inline here would recompute md5 per token per BIT (16x), since
+    the 16 bit_sum folds each reference the array independently and
+    higher-order lambdas get no codegen/CSE."""
     def bit_sum(b):
         return F.aggregate(
-            tokens, F.lit(0),
-            lambda acc, t: acc + F.when(
-                F.substring(F.md5(t), b + 1, 1).isin(
+            hh, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.substring(h, b + 1, 1).isin(
                     "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
     val = F.lit(0)
     for b in range(SIMHASH_BITS):
@@ -227,8 +232,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ 3 among derived corpus docs.
     Banding on the signature high byte bounds the join (same-byte buckets)."""
     corpus = _corpus(spark, sf_dir)
-    toks = F.split(F.lower(F.col("text")), " ", -1)
-    sigs = (corpus.select("doc_id", _simhash(toks).alias("simhash"))
+    sigs = (corpus
+            .withColumn("toks", F.split(F.lower(F.col("text")), " ", -1))
+            .withColumn("hh", F.transform(F.col("toks"), F.md5))
+            .select("doc_id",
+                    _simhash_from_hashes(F.col("hh")).alias("simhash"))
             .withColumn("band", F.floor(F.col("simhash") / 256).cast("int")))
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))

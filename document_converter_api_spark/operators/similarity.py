@@ -55,22 +55,30 @@ def _norm(a):
                               lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
-def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _with_norm(emb: DataFrame) -> DataFrame:
+    """Precompute the L2 norm as a per-row column BEFORE any join: the
+    scored join would otherwise re-fold the norm once per (vector, query)
+    PAIR — N·Q folds instead of N+Q. Materialized through a projection
+    boundary (multi-use non-cheap alias survives CollapseProject)."""
+    return emb.withColumn("nrm", _norm(F.col("embedding")))
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
             .select(F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("q_emb")))
+                    F.col("embedding").alias("q_emb"),
+                    F.col("nrm").alias("q_nrm")))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 3 query vectors (self excluded)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = _queries_df(spark, sf_dir)
+    emb = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    q = _queries_df(emb)
     scored = (emb.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
                       F.round(_dot(F.col("embedding"), F.col("q_emb")) /
-                              (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                              (F.col("nrm") * F.col("q_nrm")),
                               6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -97,17 +105,18 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH tier: same-bucket candidates, exact cosine re-rank, top-3.
     Scale path: bucket is a cheap JVM-side expression; the candidate join is
     an equi-join on an 8-bit key instead of a full cross product."""
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (_with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
            .withColumn("bucket", _bucket_expr(F.col("embedding"))))
     q = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm"),
                  F.col("bucket").alias("q_bucket")))
     cand = (emb.join(F.broadcast(q), emb.bucket == q.q_bucket)
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id",
                     F.round(_dot(F.col("embedding"), F.col("q_emb")) /
-                            (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                            (F.col("nrm") * F.col("q_nrm")),
                             6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (cand.withColumn("rank", F.row_number().over(w))

@@ -39,18 +39,22 @@ def _stop_hits(tokens, lang: str):
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-count language ID; argmax over (en, es, de) with fixed
-    order tie-break; compared against the table's ``lang`` label."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _tokens(F.col("text"))
-    hits = {lang: _stop_hits(toks, lang) for lang in LANG_ORDER}
-    pred = (F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en")
-            .when(hits["es"] >= hits["de"], "es")
+    order tie-break; compared against the table's ``lang`` label.
+
+    Tokens and per-language hit counts are materialized as columns — an
+    inline split/filter subtree would be re-evaluated at every reference
+    (higher-order functions get no codegen/CSE): 3 hit filters + the argmax
+    reusing them = ~7 full re-tokenizations per row."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("toks", _tokens(F.col("text"))))
+    for lang in LANG_ORDER:
+        docs = docs.withColumn(f"hits_{lang}", _stop_hits(F.col("toks"), lang))
+    pred = (F.when((F.col("hits_en") >= F.col("hits_es"))
+                   & (F.col("hits_en") >= F.col("hits_de")), "en")
+            .when(F.col("hits_es") >= F.col("hits_de"), "es")
             .otherwise("de"))
     return (docs.select(
-        "doc_id", "lang",
-        hits["en"].alias("hits_en"),
-        hits["es"].alias("hits_es"),
-        hits["de"].alias("hits_de"),
+        "doc_id", "lang", "hits_en", "hits_es", "hits_de",
         pred.alias("pred_lang"))
         .withColumn("match", (F.col("pred_lang") == F.col("lang")).cast("int"))
         .orderBy("doc_id"))
@@ -59,13 +63,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: token count, mean token length, stopword ratio,
     punctuation density, and a blended 0-1 score."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _tokens(F.col("text"))
-    n_tok = F.size(toks)
+    # tokens + counts as materialized columns (see q_lang_id: inline HOF
+    # subtrees re-tokenize once per reference — n_tok alone is read 5x here)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("toks", _tokens(F.col("text")))
+            .withColumn("n_tok", F.size("toks"))
+            .withColumn("stop_all", F.size(F.filter(
+                F.col("toks"),
+                lambda t: t.isin(*(STOPWORDS["en"] + STOPWORDS["es"]
+                                   + STOPWORDS["de"])))))
+            .withColumn("n_punct", F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(r"[^\w\s]"), 0))))
+    n_tok = F.col("n_tok")
     n_chars = F.length("text")
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
-    stop_all = F.size(F.filter(
-        toks, lambda t: t.isin(*(STOPWORDS["en"] + STOPWORDS["es"] + STOPWORDS["de"]))))
+    n_punct = F.col("n_punct")
+    stop_all = F.col("stop_all")
     mean_tok_len = F.round((n_chars - (n_tok - 1)) / n_tok, 4)
     stop_ratio = F.round(stop_all / n_tok, 4)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
