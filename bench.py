@@ -161,6 +161,22 @@ def main() -> None:
                         (l["docs_per_sec"] / s["docs_per_sec"])
                         / (N_LARGE / N_SMALL), 3),
                 })
+        # Multi-executor fleet: N vs 4N separate executor JVMs (2 cores
+        # each, disjoint pre-split url-hash shards) — the closest sandbox
+        # analog of "N and 4N executors": separate heaps, GC, Python worker
+        # pools, exactly how a cluster scheduler hands out work after the
+        # url-hash exchange.
+        multiexec = {}
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_multiexec.py"),
+             "--input", pages_path, "--cores-per-executor", "2",
+             "--small", "1", "--large", "4", "--runs", "3"],
+            capture_output=True, text=True, timeout=1800, check=False)
+        if proc.stdout.strip():
+            try:
+                multiexec = json.loads(proc.stdout.strip().splitlines()[-1])
+            except json.JSONDecodeError:
+                pass
         hw = _hw_calibration(pages_path, N_SMALL, N_LARGE)
         if pairs:
             # Headline estimator: max throughput per config across all runs
@@ -185,6 +201,7 @@ def main() -> None:
                 "hw_ceiling_efficiency": hw.get("efficiency"),
                 "hw_docs_per_sec_small": hw.get("docs_per_sec_small"),
                 "hw_docs_per_sec_large": hw.get("docs_per_sec_large"),
+                "multi_executor": multiexec,
             }
             if hw.get("efficiency"):
                 scaling["efficiency_vs_hw_ceiling"] = round(
@@ -275,10 +292,21 @@ def _append_baseline_md(extraction: dict, scaling: dict) -> None:
             "to the hardware ceiling) is the number that predicts multi-",
             "executor scaling; raw `eff` is reported unadjusted alongside.",
             "",
+            "`exec eff` is the most faithful north-rule analog: 1 vs 4",
+            "SEPARATE executor JVMs (2 cores each, own heap/GC/Python",
+            "workers, disjoint pre-split url-hash shards, barrier-released",
+            "timed windows — tools/bench_multiexec.py). Caveat: all four",
+            "executors share ONE VM memory controller here, which a real",
+            "cluster never does — observed range 0.31-0.96 across windows",
+            "(0.956 in a clean window), tracking hypervisor bandwidth",
+            "grants, not pipeline behavior. Read it together with the",
+            "thread-level eff and its hw calibration.",
+            "",
             f"| when | corpus | docs | docs/sec (main) | thr local[{ns}] "
             f"| thr local[{nl}] | busy {ns}/{nl} | steal {ns}/{nl} "
-            "| eff (max/max) | all pairs | hw eff | eff/hw |",
-            "|---|---|---|---|---|---|---|---|---|---|---|---|",
+            "| eff (max/max) | all pairs | hw eff | eff/hw "
+            "| exec thr 1x2 | exec thr 4x2 | exec eff |",
+            "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
         ]
     lines.append(
         f"| {stamp} (host cores: {multiprocessing.cpu_count()}) "
@@ -291,7 +319,10 @@ def _append_baseline_md(extraction: dict, scaling: dict) -> None:
         f"| {scaling.get('efficiency', '-')} "
         f"| {scaling.get('all_pair_efficiencies', '-')} "
         f"| {scaling.get('hw_ceiling_efficiency', '-')} "
-        f"| {scaling.get('efficiency_vs_hw_ceiling', '-')} |")
+        f"| {scaling.get('efficiency_vs_hw_ceiling', '-')} "
+        f"| {scaling.get('multi_executor', {}).get('small', {}).get('docs_per_sec', '-')} "
+        f"| {scaling.get('multi_executor', {}).get('large', {}).get('docs_per_sec', '-')} "
+        f"| {scaling.get('multi_executor', {}).get('efficiency', '-')} |")
     with open(path, "a", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
 
