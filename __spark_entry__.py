@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": Q.q_distinct_users,
         "except_users": Q.q_except_users,
         "top_revenue_orders": Q.q_top_revenue_orders,
+        "region_revenue": Q.q_region_revenue,
+        "part_type_share": Q.q_part_type_share,
         # deduplication suite
         "dedup_exact": D.q_dedup_exact,
         "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -320,6 +322,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r.r_name AS region,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey AND o.o_orderstatus = 'O'
+            GROUP BY region ORDER BY region
+        """,
+        "part_type_share": """
+            SELECT p.p_brand AS brand,
+                   round(sum(CASE WHEN p.p_type = 'ECONOMY'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0.0 END), 2) AS economy_rev,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+                   count(*) AS n_items,
+                   round(round(sum(CASE WHEN p.p_type = 'ECONOMY'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0.0 END), 2)
+                         / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+                         4) AS economy_share
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY brand ORDER BY brand
         """,
     }
     sql.update(DEDUP_ORACLES)

@@ -340,6 +340,47 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: revenue per region for open orders,
+    supplier and customer in the same nation. region/nation/supplier are
+    broadcast-able dims; the lineitem⋈orders fact join shuffles once."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .filter(cust.c_nationkey == supp.s_nationkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .filter(F.col("o_orderstatus") == "O")
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("region"))
+
+
+def q_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: revenue share of ECONOMY parts per brand — a
+    conditional aggregate over a broadcast part⋈lineitem join."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.round(F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+                               .otherwise(F.lit(0.0))), 2).alias("economy_rev"),
+                 F.round(F.sum(rev), 2).alias("total_rev"),
+                 F.count("*").alias("n_items"))
+            .withColumn("economy_share",
+                        F.round(F.col("economy_rev") / F.col("total_rev"), 4))
+            .orderBy("brand"))
+
+
 def q_element_at_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 chunk indexing with bounds semantics (app/main.py:811-816):
     element_at returns NULL beyond bounds instead of a 400 error."""

@@ -20,7 +20,7 @@ SUBSET = (
     "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
     "lang_id", "fingerprint", "multimodal_decode", "host_stats_salted",
     "rollup_stats", "distinct_users", "except_users", "top_revenue_orders",
-    "download_names", "result_json",
+    "download_names", "result_json", "region_revenue", "part_type_share",
 )
 
 
