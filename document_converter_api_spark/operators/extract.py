@@ -187,7 +187,8 @@ def prepare_pages(pages: DataFrame,
 def run_extract(valid: DataFrame,
                 shuffle_partitions: int | None = None,
                 max_batch_bytes: int = 64 * 1024 * 1024,
-                pre_shuffle: bool = True) -> DataFrame:
+                pre_shuffle: bool = True,
+                metrics=None) -> DataFrame:
     """Run the Arrow stage, optionally behind a salted repartition.
 
     ``pre_shuffle=True`` (default) hash-exchanges on (xxhash64(url), salt) —
@@ -202,17 +203,22 @@ def run_extract(valid: DataFrame,
     n = shuffle_partitions or spark.sparkContext.defaultParallelism * 4
     distributed = (valid.repartition(n, F.xxhash64("url"), F.col("salt"))
                    if pre_shuffle else valid)
-    return distributed.drop("salt").mapInArrow(
-        lambda it: extract_arrow_batches(it, max_batch_bytes),
-        schema=EXTRACT_SCHEMA,
-    )
+    fn = lambda it: extract_arrow_batches(it, max_batch_bytes)  # noqa: E731
+    if metrics is not None:
+        # accumulator-backed live throughput + per-task skew channel
+        # (operators/metrics.ExtractionMetrics, north-rule requirement)
+        fn = metrics.wrap(fn)
+    return distributed.drop("salt").mapInArrow(fn, schema=EXTRACT_SCHEMA)
 
 
 def extract_pipeline(pages: DataFrame,
                      max_bytes: int = MAX_FILE_SIZE,
                      num_partitions: int | None = None,
                      shuffle_partitions: int | None = None,
-                     pre_shuffle: bool = True) -> tuple[DataFrame, DataFrame]:
+                     pre_shuffle: bool = True,
+                     metrics=None) -> tuple[DataFrame, DataFrame]:
     """(results, rejects) — the composed S2/S3/P5 → repartition → U1–U5 flow."""
     valid, rejects = prepare_pages(pages, max_bytes, num_partitions)
-    return run_extract(valid, shuffle_partitions, pre_shuffle=pre_shuffle), rejects
+    return (run_extract(valid, shuffle_partitions, pre_shuffle=pre_shuffle,
+                        metrics=metrics),
+            rejects)
