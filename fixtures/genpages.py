@@ -245,32 +245,79 @@ def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
 
 
 def _build_docx(rng: random.Random, lang: str) -> tuple[bytes, str]:
-    paras = []
+    """OOXML exercising the full U3 surface: heading/plain/list paragraphs,
+    bold/italic runs, hyperlinks (rels part), pipe tables."""
     truth = []
+    body = []
+
+    def run(text: str, bold: bool = False, italic: bool = False) -> str:
+        rpr = ""
+        if bold or italic:
+            rpr = ("<w:rPr>" + ("<w:b/>" if bold else "")
+                   + ("<w:i/>" if italic else "") + "</w:rPr>")
+        return f"<w:r>{rpr}<w:t>{text}</w:t></w:r>"
+
     h = _sentence(rng, lang, 3).rstrip(".")
-    paras.append(("Heading1", h))
+    body.append(f'<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>{run(h)}</w:p>')
     truth.append(h)
+    rels = []
     for _ in range(rng.randint(2, 5)):
         p = _paragraph(rng, lang)
-        paras.append(("", p))
-        truth.append(p)
+        runs = [run(p)]
+        r = rng.random()
+        if r < 0.3:
+            extra = _sentence(rng, lang, 3)
+            runs.append(run(extra, bold=True))
+            truth.append(p + extra)
+        elif r < 0.5:
+            anchor = _sentence(rng, lang, 2).rstrip(".")
+            rid = f"rId{len(rels) + 10}"
+            rels.append((rid, f"https://link.example/{len(rels)}"))
+            runs.append(f'<w:hyperlink r:id="{rid}">{run(anchor)}</w:hyperlink>')
+            truth.append(p + anchor)
+        else:
+            truth.append(p)
+        body.append(f"<w:p>{''.join(runs)}</w:p>")
+    for _ in range(rng.randint(0, 3)):
+        item = _sentence(rng, lang, rng.randint(3, 6))
+        body.append(f'<w:p><w:pPr><w:pStyle w:val="ListParagraph"/></w:pPr>'
+                    f"{run(item)}</w:p>")
+        truth.append(item)
+    if rng.random() < 0.5:
+        n_cols = rng.randint(2, 3)
+        rows_out = []
+        for _ in range(rng.randint(2, 4)):
+            cells = [_sentence(rng, lang, 2).rstrip(".") for _ in range(n_cols)]
+            truth.extend(cells)
+            rows_out.append("<w:tr>" + "".join(
+                f"<w:tc><w:p>{run(c)}</w:p></w:tc>" for c in cells) + "</w:tr>")
+        body.append("<w:tbl>" + "".join(rows_out) + "</w:tbl>")
     w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
-    body = []
-    for style, text in paras:
-        st = (f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else "")
-        body.append(f"<w:p>{st}<w:r><w:t>{text}</w:t></w:r></w:p>")
+    r_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
     doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-           f'<w:document xmlns:w="{w}"><w:body>{"".join(body)}</w:body></w:document>')
+           f'<w:document xmlns:w="{w}" xmlns:r="{r_ns}">'
+           f'<w:body>{"".join(body)}</w:body></w:document>')
+    rels_xml = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships">'
+                + "".join(f'<Relationship Id="{rid}" Type="http://schemas.'
+                          f'openxmlformats.org/officeDocument/2006/'
+                          f'relationships/hyperlink" Target="{t}" '
+                          f'TargetMode="External"/>' for rid, t in rels)
+                + "</Relationships>")
     buf = io.BytesIO()
     # Fixed zip-entry timestamps: payload bytes must be run-independent.
     fixed_dt = (2025, 6, 1, 0, 0, 0)
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        for name, payload in (
+        entries = [
             ("[Content_Types].xml",
              '<?xml version="1.0"?><Types '
              'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>'),
             ("word/document.xml", doc),
-        ):
+        ]
+        if rels:
+            entries.append(("word/_rels/document.xml.rels", rels_xml))
+        for name, payload in entries:
             zi = zipfile.ZipInfo(name, date_time=fixed_dt)
             zi.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(zi, payload)
