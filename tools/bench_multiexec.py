@@ -40,8 +40,13 @@ def split_shards(input_path: str, n: int) -> list[str]:
     fallback) would charge the fleet n full scans the single-executor
     config never pays."""
     import duckdb
-    outdir = os.path.join("/tmp", f"multiexec_shards_{n}_"
-                          + os.path.basename(input_path).replace(".", "_"))
+    # cache key includes size+mtime: a regenerated corpus with the same
+    # filename must not silently reuse stale shards
+    st = os.stat(input_path)
+    outdir = os.path.join(
+        "/tmp",
+        f"multiexec_shards_{n}_{st.st_size}_{int(st.st_mtime)}_"
+        + os.path.basename(input_path).replace(".", "_"))
     paths = [os.path.join(outdir, f"shard_{k}.parquet") for k in range(n)]
     if all(os.path.exists(p) for p in paths):
         return paths
