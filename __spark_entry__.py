@@ -103,7 +103,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": M.q_multimodal_audio_features,
         # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
         "host_stats_salted": K.q_host_stats_salted,
+        # stateful sessionization — batch twin of the
+        # applyInPandasWithState streaming operator (streaming/sessionize.py)
+        "sessionize": _q_sessionize,
     }
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.streaming.sessionize import q_sessionize
+    return q_sessionize(spark, sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -364,6 +372,10 @@ def oracle_sql() -> dict[str, str]:
     sql.update(oracle_sql_for_media(repo_root))
     from document_converter_api_spark.operators.skew import host_stats_oracle
     sql["host_stats_salted"] = host_stats_oracle(repo_root)
+    from document_converter_api_spark.streaming.sessionize import (
+        SESSIONIZE_ORACLE_SQL,
+    )
+    sql["sessionize"] = SESSIONIZE_ORACLE_SQL
     # multimodal_frame_sample / multimodal_audio_features: intentionally no
     # oracle (rows-only check) — byte-level frame digests and PCM math are
     # not SQL-expressible.

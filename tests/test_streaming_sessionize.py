@@ -1,0 +1,112 @@
+"""Stateful sessionization (applyInPandasWithState): the streaming operator
+must emit exactly the sessions its window-function batch twin computes on
+the same events — in-batch closes and event-time-timeout flushes combined —
+and the pure fold helper must close sessions at the gap boundary."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType, TimestampType,
+)
+
+from document_converter_api_spark.streaming.sessionize import (
+    _session_fold,
+    run_sessionize_available_now,
+    sessionize_batch,
+)
+
+BASE = datetime.datetime(2025, 7, 1, 10, 0, 0)
+MIN = datetime.timedelta(minutes=1)
+
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("value", DoubleType()),
+])
+
+
+def _events_file(path: str, rows: list[tuple[int, datetime.datetime, int, float]]) -> None:
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }), path)
+
+
+def test_session_fold_closes_at_gap():
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime([0, 10_000, 2_000_000], unit="ms"),
+        "value": [1.0, 2.0, 4.0],
+    })
+    closed, cur = _session_fold(None, ev, gap_ms=1_800_000)
+    assert closed == [(0, 10_000, 2, 3.0)]
+    assert cur == (2_000_000, 2_000_000, 1, 4.0)
+    # state carries across batches: next event within gap extends
+    ev2 = pd.DataFrame({"ts": pd.to_datetime([2_100_000], unit="ms"),
+                        "value": [0.5]})
+    closed2, cur2 = _session_fold(cur, ev2, gap_ms=1_800_000)
+    assert closed2 == [] and cur2 == (2_000_000, 2_100_000, 2, 4.5)
+
+
+def test_stream_sessions_match_batch_twin(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    os.makedirs(indir)
+
+    # 3 users; sessions split within a file, across files, and single-event.
+    # user 1: two sessions in file A (gap 45 min); session 2 continues in
+    # file B (gap 5 min across the file boundary).
+    # user 2: one session spanning both files.
+    # user 3: single event.
+    file_a = [
+        (0, BASE + 0 * MIN, 1, 1.0),
+        (1, BASE + 5 * MIN, 1, 2.0),
+        (2, BASE + 50 * MIN, 1, 3.0),     # > 30 min gap -> new session
+        (3, BASE + 10 * MIN, 2, 10.0),
+        (4, BASE + 20 * MIN, 2, 10.0),
+        (5, BASE + 15 * MIN, 3, 7.25),
+    ]
+    file_b = [
+        (6, BASE + 55 * MIN, 1, 4.0),     # 5 min after event 2: same session
+        (7, BASE + 40 * MIN, 2, 10.0),    # 20 min after event 4: same session
+    ]
+    _events_file(os.path.join(indir, "part-000.parquet"), file_a)
+    _events_file(os.path.join(indir, "part-001.parquet"), file_b)
+
+    n = run_sessionize_available_now(spark, indir, outdir,
+                                     EVENTS_STREAM_SCHEMA)
+    assert n >= 1
+
+    # a far-future sentinel event advances the watermark past every open
+    # session's (end + gap) timeout, flushing them on the next drain
+    sentinel = [(99, BASE + datetime.timedelta(days=7), 999, 0.0)]
+    _events_file(os.path.join(indir, "part-002.parquet"), sentinel)
+    run_sessionize_available_now(spark, indir, outdir, EVENTS_STREAM_SCHEMA)
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(os.path.join(outdir, "sessions")).collect()
+        if r.user_id != 999)
+
+    batch = spark.createDataFrame(
+        [(eid, ts, uid, v) for eid, ts, uid, v in file_a + file_b],
+        "event_id long, ts timestamp, user_id long, value double")
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in sessionize_batch(batch).collect())
+
+    assert got == want
+    # shape sanity: user 1 has 2 sessions, users 2/3 have 1 each
+    per_user = {}
+    for u, *_ in got:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert per_user == {1: 2, 2: 1, 3: 1}
