@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": Q.q_top_revenue_orders,
         "region_revenue": Q.q_region_revenue,
         "part_type_share": Q.q_part_type_share,
+        "shipping_priority": Q.q_shipping_priority,
+        "big_orders": Q.q_big_orders,
         # deduplication suite
         "dedup_exact": D.q_dedup_exact,
         "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,
+        "ann_ivf": S.q_ann_ivf,
         # text analysis
         "lang_id": T.q_lang_id,
         "quality_score": T.q_quality_score,
@@ -106,7 +109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateful sessionization — batch twin of the
         # applyInPandasWithState streaming operator (streaming/sessionize.py)
         "sessionize": _q_sessionize,
+        # bucketed co-located join (sources/bucketed.py) — results == plain
+        # join; the zero-Exchange plan property is pinned in test_plans.py
+        "bucketed_join": _q_bucketed_join,
     }
+
+
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.sources.bucketed import q_bucketed_doc_join
+    return q_bucketed_doc_join(spark, sf_dir)
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +370,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY brand ORDER BY brand
         """,
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+              AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+            LIMIT 10
+        """,
+        "big_orders": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, q.sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, round(sum(l_quantity), 1) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING round(sum(l_quantity), 1) > 300) q
+              ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 10
+        """,
     }
     sql.update(DEDUP_ORACLES)
     sql.update(SIMILARITY_ORACLES)
@@ -376,6 +413,10 @@ def oracle_sql() -> dict[str, str]:
         SESSIONIZE_ORACLE_SQL,
     )
     sql["sessionize"] = SESSIONIZE_ORACLE_SQL
+    from document_converter_api_spark.sources.bucketed import (
+        BUCKETED_JOIN_ORACLE_SQL,
+    )
+    sql["bucketed_join"] = BUCKETED_JOIN_ORACLE_SQL
     # multimodal_frame_sample / multimodal_audio_features: intentionally no
     # oracle (rows-only check) — byte-level frame digests and PCM math are
     # not SQL-expressible.

@@ -193,3 +193,129 @@ SIMILARITY_ORACLES = {
         WHERE rank <= 3 ORDER BY query_id, rank
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF tier (coarse quantizer + inverted lists)
+# ---------------------------------------------------------------------------
+
+K_CENTROIDS = 16
+NPROBE = 4
+IVF_TOP_K = 3
+
+
+def _centroid_rows(emb: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Deterministic coarse quantizer: the K lowest-vec_id vectors act as
+    centroids. K rows are driver-side metadata (collected once and baked
+    into the plan as literals) — at 10^12 vectors this is exactly how a
+    trained IVF codebook ships to executors: tiny broadcast state, while
+    list assignment stays a pure projection with NO shuffle."""
+    import math
+    rows = (emb.filter(F.col("vec_id") < K_CENTROIDS)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id").collect())
+    out = []
+    for r in rows:
+        vals = [float(x) for x in r.embedding]
+        nrm = math.sqrt(sum(v * v for v in vals))  # index-ordered, as SQL/Spark
+        out.append((int(r.vec_id), vals, nrm))
+    return out
+
+
+def _centroid_cos_structs(cents, negate_cid: bool = True):
+    """Per-centroid struct(cos, -cid): array_max/array_sort then pick the
+    best by cosine with lowest-cid tie-break."""
+    structs = []
+    for cid, c_emb, c_nrm in cents:
+        arr = F.array(*[F.lit(v) for v in c_emb])
+        cos = F.round(_dot(F.col("embedding"), arr)
+                      / (F.col("nrm") * F.lit(c_nrm)), 6)
+        structs.append(F.struct(cos.alias("cos"),
+                                F.lit(-cid if negate_cid else cid).alias("c")))
+    return structs
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid's inverted list
+    (pure projection — centroids are baked literals), probe the NPROBE
+    nearest lists per query, exact cosine re-rank inside the probed lists.
+    Scale path vs brute force: candidates shrink by ~K/NPROBE; the only
+    joins are broadcasts of the tiny probe/query sets."""
+    emb = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    cents = _centroid_rows(emb)
+
+    assigned = emb.withColumn(
+        "list_id", -F.array_max(F.array(*_centroid_cos_structs(cents)))["c"])
+
+    # per-query probe lists: top-NPROBE centroids by cosine (cid tie-break)
+    probes_src = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+                  .withColumn(
+                      "probe_ids",
+                      F.transform(
+                          F.slice(F.reverse(F.array_sort(
+                              F.array(*_centroid_cos_structs(cents)))),
+                              1, NPROBE),
+                          lambda s: -s["c"])))
+    q = probes_src.select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("q_emb"),
+                          F.col("nrm").alias("q_nrm"),
+                          F.explode("probe_ids").alias("probe_list"))
+    cand = (assigned.join(F.broadcast(q),
+                          assigned.list_id == q.probe_list)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.round(_dot(F.col("embedding"), F.col("q_emb")) /
+                            (F.col("nrm") * F.col("q_nrm")),
+                            6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVF_TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", "cosine")
+            .orderBy("query_id", "rank"))
+
+
+ANN_IVF_ORACLE_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {K_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round({_dot_sql('e.embedding', 'c.c_emb')} /
+                   ({_norm_sql('e.embedding')} * {_norm_sql('c.c_emb')}), 6)
+             AS cos
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS probe_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored WHERE vec_id IN ({_QID_LIST})) WHERE rn <= {NPROBE}),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id IN ({_QID_LIST})),
+    cand AS (
+      SELECT p.query_id, e.vec_id,
+             round({_dot_sql('e.embedding', 'q.q_emb')} /
+                   ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')}), 6)
+             AS cosine
+      FROM embeddings e
+      JOIN assigned a ON e.vec_id = a.vec_id
+      JOIN probes p ON a.list_id = p.probe_list
+      JOIN q ON q.query_id = p.query_id
+      WHERE e.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM cand)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked
+    WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
+SIMILARITY_ORACLES["ann_ivf"] = ANN_IVF_ORACLE_SQL

@@ -394,3 +394,45 @@ def q_element_at_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.try_element_at(chunks, F.lit(2))).alias("second_chunk_len"),
         F.try_element_at(chunks, F.lit(99)).isNull().alias("oob_is_null"))
         .orderBy("doc_id").limit(200))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: unshipped-revenue per order for one market segment.
+    The filtered customer dim broadcasts; lineitem⋈orders is the single
+    fact shuffle; the final top-10 is TakeOrderedAndProject, not a total
+    sort."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-01-01"))
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01"))
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a threshold
+    (pre-aggregate lineitem, HAVING-filter, then join back). The HAVING
+    shrinks the fact side to a handful of keys before any join — at 100 TB
+    the qty aggregate reuses lineitem's shuffle and the surviving keys
+    broadcast to orders."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    qty = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    return (orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10))

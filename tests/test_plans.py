@@ -99,3 +99,38 @@ def test_rollup_uses_expand(spark):
     import __spark_entry__ as entrymod
     plan = plan_of(entrymod.queries()["rollup_stats"](spark, SF))
     assert "Expand" in plan
+
+
+def test_bucketed_join_and_agg_have_zero_exchange(spark, tmp_path):
+    """Bucketed co-location (sources/bucketed.py): the join shuffle moves
+    into the one-time bucketed write; the join and a groupBy on the bucket
+    key must then plan with ZERO Exchange."""
+    from document_converter_api_spark.sources.bucketed import bucketed_pair
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"))
+    embs = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("label"))
+    bdocs, bembs = bucketed_pair(
+        spark, docs, embs, "doc_id", "vec_id",
+        base_dir=str(tmp_path), names=("tp_bdocs", "tp_bembs"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bdocs.join(bembs, bdocs.doc_id == bembs.vec_id) \
+            .select("doc_id", "lang", "label")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0, plan
+        assert joined.count() == 400
+
+        agg = bdocs.groupBy("doc_id").agg(F.count("*").alias("n"))
+        aplan = plan_of(agg)
+        assert n_exchanges(aplan) == 0, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tp_bdocs")
+        spark.sql("DROP TABLE IF EXISTS tp_bembs")
