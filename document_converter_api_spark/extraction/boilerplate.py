@@ -95,10 +95,15 @@ def anchor_chars(node: Node) -> int:
 
 
 _WS_RUN = re.compile(r"\s+")
+# A string needs collapsing iff it has a 2+ whitespace run OR any whitespace
+# char that isn't a plain space (\s is unicode-aware, so this covers \xa0 &c).
+_WS_DIRTY = re.compile(r"\s\s|[^\S ]")
 
 
 def collapse_ws(text: str) -> str:
     """Collapse whitespace runs to single spaces (no strip)."""
+    if _WS_DIRTY.search(text) is None:
+        return text  # already collapsed — skip the allocating sub()
     return _WS_RUN.sub(" ", text)
 
 

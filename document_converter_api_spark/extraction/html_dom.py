@@ -89,13 +89,23 @@ class Node:
         self.children.append(child)
 
     def attr(self, name: str) -> str:
-        return self.attrs.get(name, "")
+        # `or ""` also maps valueless attributes (parser yields None) — lets
+        # the builder store dict(attrs) without a per-tag normalizing copy.
+        return self.attrs.get(name) or ""
 
     def iter_text(self) -> str:
         """All descendant text, unnormalized."""
         if self.is_text:
             return self.text
-        return "".join(c.iter_text() for c in self.children)
+        parts: list[str] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag is None:
+                parts.append(n.text)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(parts)
 
     def find_all(self, tag: str) -> list["Node"]:
         out: list[Node] = []
@@ -131,21 +141,27 @@ class _DomBuilder(HTMLParser):
             self.stack.pop()
 
     # -- HTMLParser callbacks -------------------------------------------
+    # html.parser lowercases tag and attribute names before every callback
+    # (parser.py:313,326,398,407 in CPython 3.11), so no re-lowercasing
+    # here; valueless attrs stay None and Node.attr() maps them to "".
+
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column bookkeeping feeds only getpos(), which we never call —
+        # skipping it saves one pass over every inter-token gap.
+        return j
+
     def handle_starttag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
         self._imply_ends(tag)
-        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        node = Node(tag, dict(attrs) if attrs else None)
         self._top().append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
         self._imply_ends(tag)
-        self._top().append(Node(tag, {k.lower(): (v or "") for k, v in attrs}))
+        self._top().append(Node(tag, dict(attrs) if attrs else None))
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
         if tag in VOID_ELEMENTS:
             return
         # Find nearest matching open element without crossing a barrier.

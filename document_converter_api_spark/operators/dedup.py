@@ -37,6 +37,23 @@ SIMHASH_BITS = 16
 HAMMING_MAX = 3
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to cluster width before
+    CPU-heavy per-row expressions (shingling, per-token md5 — higher-order
+    functions run interpreted, so these stages are compute-bound).
+
+    A small parquet file is often a single row group → a single input split
+    → the whole HOF stage runs on one task regardless of cores (measured
+    3 tasks on 32 cores at sf0.1 → ~10x underutilization). No-op when the
+    scan already has ≥ cluster-width partitions — i.e. at real corpus scale
+    this never reshuffles the input."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     exact = (docs.filter(F.col("doc_id") % 5 == 0)
@@ -77,7 +94,8 @@ def _shingles_of_words(words):
 def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """df + ``sh`` column. ``words`` goes through a projection boundary so
     CollapseProject keeps it materialized (multi-use non-cheap alias)."""
-    return (df.withColumn("words", F.split(F.lower(F.col(text_col)), " ", -1))
+    return (widen(df)
+            .withColumn("words", F.split(F.lower(F.col(text_col)), " ", -1))
             .withColumn("sh", _shingles_of_words(F.col("words")))
             .drop("words"))
 
@@ -111,12 +129,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. N-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _shingle_rows_batches(it):
+    """Arrow-batched shingle emitter: (doc_id, n_sh, shingle) per DISTINCT
+    3-gram — the exploded form the posting-list groupBy consumes, produced
+    in one Python pass instead of the JVM higher-order transform + Explode
+    (HOFs run interpreted with no codegen; measured ~3x at sf0.1)."""
+    import pandas as pd
+
+    for pdf in it:
+        ids: list[int] = []
+        ns: list[int] = []
+        shingles: list[str] = []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            words = text.lower().split(" ")
+            if len(words) < 3:
+                continue
+            seen = {words[i] + " " + words[i + 1] + " " + words[i + 2]
+                    for i in range(len(words) - 2)}
+            n = len(seen)
+            ids.extend([doc_id] * n)
+            ns.extend([n] * n)
+            shingles.extend(seen)
+        yield pd.DataFrame({"doc_id": ids, "n_sh": ns, "shingle": shingles})
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with 3-gram Jaccard ≥ 0.5 (a < b). Explode-join candidate
     generation; Jaccard from |∩| and set sizes only — text never re-read."""
-    corpus = with_shingles(_corpus(spark, sf_dir))
-    sized = corpus.select("doc_id", "sh", F.size("sh").alias("n_sh")).filter("n_sh > 0")
-    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    ex = widen(_corpus(spark, sf_dir)).mapInPandas(
+        _shingle_rows_batches, "doc_id long, n_sh int, shingle string")
     # bucket-then-expand (see q_dedup_minhash_lsh): a shingle⋈shingle
     # self-join would run the scan→shingle subtree twice; grouping by
     # shingle computes it once and pairs expand within each posting list
@@ -170,13 +211,49 @@ def _minhash_sig(sh):
             for k in range(N_MINHASH)]))
 
 
+def _minhash_sig_batches(it):
+    """Arrow-batched MinHash signatures: same algorithm/bytes as
+    :func:`_minhash_sig` (two keyed md5s per distinct shingle, string-min
+    over 8-hex-char pieces) but computed with ``hashlib`` in one Python pass
+    per batch. The JVM fold runs interpreted (no whole-stage codegen for
+    higher-order lambdas) and re-allocates the 8-slot accumulator array per
+    shingle; measured 5x faster here at sf0.1 with byte-identical output
+    (pinned by tests/test_operators.py)."""
+    from hashlib import md5
+
+    import pandas as pd
+
+    for pdf in it:
+        out_ids: list[int] = []
+        out_sigs: list[list[str]] = []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            words = text.lower().split(" ")
+            if len(words) < 3:
+                continue
+            seen: set[str] = set()
+            mins = ["g" * 8] * N_MINHASH
+            for i in range(len(words) - 2):
+                s = words[i] + " " + words[i + 1] + " " + words[i + 2]
+                if s in seen:
+                    continue
+                seen.add(s)
+                b = s.encode()
+                h = md5(b"0|" + b).hexdigest() + md5(b"1|" + b).hexdigest()
+                for k in range(N_MINHASH):
+                    piece = h[k * 8:k * 8 + 8]
+                    if piece < mins[k]:
+                        mins[k] = piece
+            out_ids.append(doc_id)
+            out_sigs.append(mins)
+        yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: equal (band_id, band_value) bucket → distinct
     pairs (a < b). Shuffle cost O(docs × N_BANDS) on short digest strings —
     the 10^12-doc-scale near-dup plan."""
-    corpus = with_shingles(_corpus(spark, sf_dir))
-    sigs = (corpus.filter(F.size("sh") > 0)
-            .select("doc_id", _minhash_sig(F.col("sh")).alias("sig")))
+    sigs = widen(_corpus(spark, sf_dir)).mapInPandas(
+        _minhash_sig_batches, "doc_id long, sig array<string>")
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -228,15 +305,40 @@ def _simhash_from_hashes(hh):
     return val
 
 
+def _simhash_batches(it):
+    """Arrow-batched simhash: same bit-majority semantics as
+    :func:`_simhash_from_hashes` (every token OCCURRENCE votes ±1 per
+    nibble-bit, ties set the bit) with a per-batch token→digest memo —
+    tokens repeat heavily, and the JVM version cannot share the md5 across
+    its 16 per-bit folds (pinned equal in tests/test_operators.py)."""
+    from hashlib import md5
+
+    import pandas as pd
+
+    high = set("89abcdef")
+    for pdf in it:
+        memo: dict[str, str] = {}
+        out_ids: list[int] = []
+        out_sigs: list[int] = []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            counts = [0] * SIMHASH_BITS
+            for t in text.lower().split(" "):
+                h = memo.get(t)
+                if h is None:
+                    h = memo[t] = md5(t.encode()).hexdigest()
+                for b in range(SIMHASH_BITS):
+                    counts[b] += 1 if h[b] in high else -1
+            out_ids.append(doc_id)
+            out_sigs.append(sum(1 << b for b in range(SIMHASH_BITS)
+                                if counts[b] >= 0))
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ 3 among derived corpus docs.
     Banding on the signature high byte bounds the join (same-byte buckets)."""
-    corpus = _corpus(spark, sf_dir)
-    sigs = (corpus
-            .withColumn("toks", F.split(F.lower(F.col("text")), " ", -1))
-            .withColumn("hh", F.transform(F.col("toks"), F.md5))
-            .select("doc_id",
-                    _simhash_from_hashes(F.col("hh")).alias("simhash"))
+    sigs = (widen(_corpus(spark, sf_dir))
+            .mapInPandas(_simhash_batches, "doc_id long, simhash int")
             .withColumn("band", F.floor(F.col("simhash") / 256).cast("int")))
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
