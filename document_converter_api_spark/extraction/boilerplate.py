@@ -73,9 +73,9 @@ def is_denied(node: Node) -> bool:
 
 def prune(node: Node) -> None:
     """Remove hard-boilerplate subtrees in place (pre-order)."""
-    node.children = [c for c in node.children if c.is_text or not is_denied(c)]
+    node.children = [c for c in node.children if c.tag is None or not is_denied(c)]
     for c in node.children:
-        if not c.is_text:
+        if c.tag is not None:
             prune(c)
 
 
@@ -85,7 +85,7 @@ def anchor_chars(node: Node) -> int:
     stack = [(node, node.tag == "a")]
     while stack:
         n, in_a = stack.pop()
-        if n.is_text:
+        if n.tag is None:
             if in_a:
                 total += len(collapse_ws(n.text))
             continue

@@ -18,7 +18,14 @@ golden fixtures and inside the Arrow-batched extraction UDF.
 
 from __future__ import annotations
 
+import html.parser as _hp
+from html import unescape
 from html.parser import HTMLParser
+
+_starttagopen = _hp.starttagopen
+_locatestarttagend = _hp.locatestarttagend_tolerant
+_tagfind = _hp.tagfind_tolerant
+_attrfind = _hp.attrfind_tolerant
 
 # Elements that never have content (HTML5 void elements).
 VOID_ELEMENTS = frozenset(
@@ -67,6 +74,9 @@ _IMPLIED_END: dict[str, frozenset[str]] = {
 _CLOSE_BARRIERS = frozenset({"body", "html", "table", "ul", "ol"})
 
 
+_EMPTY_ATTRS: dict = {}  # shared read-only default — attrs are never mutated
+
+
 class Node:
     """DOM node: element (``tag`` set) or text (``tag is None``)."""
 
@@ -75,7 +85,7 @@ class Node:
     def __init__(self, tag: str | None, attrs: dict[str, str] | None = None,
                  text: str = "") -> None:
         self.tag = tag
-        self.attrs = attrs or {}
+        self.attrs = attrs if attrs is not None else _EMPTY_ATTRS
         self.children: list[Node] = []
         self.text = text
         self.parent: Node | None = None
@@ -151,9 +161,15 @@ class _DomBuilder(HTMLParser):
         return j
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        self._imply_ends(tag)
+        implied = _IMPLIED_END.get(tag)
+        if implied:
+            stack = self.stack
+            while len(stack) > 1 and stack[-1].tag in implied:
+                stack.pop()
         node = Node(tag, dict(attrs) if attrs else None)
-        self._top().append(node)
+        top = self.stack[-1]
+        node.parent = top
+        top.children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
@@ -177,12 +193,136 @@ class _DomBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        top = self._top()
+        children = self.stack[-1].children
         # Merge adjacent text nodes to keep the tree small.
-        if top.children and top.children[-1].is_text:
-            top.children[-1].text += data
+        if children and children[-1].tag is None:
+            children[-1].text += data
         else:
-            top.append(Node(None, text=data))
+            node = Node(None, text=data)
+            node.parent = self.stack[-1]
+            children.append(node)
+
+    # -- specialized single-feed tokenizer -----------------------------
+    # Semantics-preserving specialization of HTMLParser.goahead /
+    # parse_starttag (CPython 3.11 html/parser.py:133,300) for our usage:
+    # the whole document arrives in ONE call and convert_charrefs is always
+    # True, so the incremental-feed machinery (updatepos line counting, the
+    # trailing-& buffer guard, check_for_whole_start_tag's buffer-boundary
+    # returns, __starttag_text bookkeeping) is dead weight — ~35% of parse
+    # time under profile. Branch order, EOF recovery, cdata (script/style)
+    # handling, and every callback payload match the stdlib path byte for
+    # byte; tests/test_extraction_core.py pins equality on the corpus and
+    # the fuzz suite compares both paths on pathological inputs.
+
+    def parse(self, data: str) -> None:
+        """One-shot tokenize with end-of-input semantics (== feed+close)."""
+        self.rawdata = data
+        rawdata = data
+        i, n = 0, len(data)
+        handle_data = self.handle_data
+        while i < n:
+            if not self.cdata_elem:
+                j = rawdata.find("<", i)
+                if j < 0:
+                    j = n
+                if i < j:
+                    handle_data(unescape(rawdata[i:j]))
+            else:
+                match = self.interesting.search(rawdata, i)
+                if match is None:
+                    # unterminated <script>/<style>: stdlib drops the tail
+                    i = n
+                    break
+                j = match.start()
+                if i < j:
+                    handle_data(rawdata[i:j])
+            i = j
+            if i == n:
+                break
+            startswith = rawdata.startswith
+            if _starttagopen.match(rawdata, i):
+                k = self._parse_starttag_whole(i)
+            elif startswith("</", i):
+                k = self.parse_endtag(i)
+            elif startswith("<!--", i):
+                k = self.parse_comment(i)
+            elif startswith("<?", i):
+                k = self.parse_pi(i)
+            elif startswith("<!", i):
+                k = self.parse_html_declaration(i)
+            elif i + 1 < n:
+                handle_data("<")
+                k = i + 1
+            else:
+                break
+            if k < 0:
+                # construct unterminated at EOF — goahead(end=1) recovery
+                k = rawdata.find(">", i + 1)
+                if k < 0:
+                    k = rawdata.find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                if self.cdata_elem:
+                    handle_data(rawdata[i:k])
+                else:
+                    handle_data(unescape(rawdata[i:k]))
+            i = k
+        if i < n and not self.cdata_elem:
+            handle_data(unescape(rawdata[i:n]))
+        self.rawdata = ""
+
+    def _parse_starttag_whole(self, i: int) -> int:
+        """parse_starttag minus buffer-boundary returns: with the full
+        document in hand, ``-1`` means unterminated-at-EOF only."""
+        rawdata = self.rawdata
+        m = _locatestarttagend.match(rawdata, i)
+        j = m.end()
+        nxt = rawdata[j:j + 1]
+        if nxt == ">":
+            endpos = j + 1
+        elif nxt == "/":
+            if rawdata.startswith("/>", j):
+                endpos = j + 2
+            else:
+                return -1  # '/' then EOF/garbage — stdlib waits, recovery fires
+        elif nxt == "":
+            return -1  # EOF inside the tag
+        elif nxt in ("abcdefghijklmnopqrstuvwxyz="
+                     "ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+            return -1  # EOF in/before an attribute value
+        else:
+            endpos = j if j > i else i + 1
+        attrs = []
+        match = _tagfind.match(rawdata, i + 1)
+        k = match.end()
+        self.lasttag = tag = match.group(1).lower()
+        while k < endpos:
+            am = _attrfind.match(rawdata, k)
+            if not am:
+                break
+            attrname, rest, attrvalue = am.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                    attrvalue[:1] == '"' == attrvalue[-1:]:
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+            k = am.end()
+        end = rawdata[k:endpos].strip()
+        if end not in (">", "/>"):
+            self.handle_data(rawdata[i:endpos])
+            return endpos
+        if end.endswith("/>"):
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return endpos
 
     # Comments, PIs, declarations: dropped.
     def handle_comment(self, data: str) -> None:  # noqa: D102
@@ -196,7 +336,22 @@ class _DomBuilder(HTMLParser):
 
 
 def parse_html(html: str) -> Node:
-    """Parse HTML text into a tolerant DOM tree; never raises on bad markup."""
+    """Parse HTML text into a tolerant DOM tree; never raises on bad markup.
+
+    Uses the specialized one-shot tokenizer; any unexpected error falls back
+    to the stock ``HTMLParser`` drive (same callbacks, same DOM) so the fast
+    path can never lose a document the stdlib path would have parsed."""
+    builder = _DomBuilder()
+    try:
+        builder.parse(html)
+    except Exception:
+        return parse_html_stdlib(html)
+    return builder.root
+
+
+def parse_html_stdlib(html: str) -> Node:
+    """Reference tokenizer drive (stdlib feed/close) — the executable spec
+    the fast path is tested against; also the fallback."""
     builder = _DomBuilder()
     try:
         builder.feed(html)

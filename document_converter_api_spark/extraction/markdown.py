@@ -58,7 +58,7 @@ def inline_md(node: Node) -> str:
 
 
 def _inline_one(node: Node) -> str:
-    if node.is_text:
+    if node.tag is None:
         return collapse_ws(node.text)
     tag = node.tag
     if tag == "br":
@@ -115,7 +115,7 @@ def _serialize_list(node: Node, depth: int) -> str:
         inline_parts: list[str] = []
         sublists: list[str] = []
         for c in li.children:
-            if not c.is_text and c.tag in ("ul", "ol"):
+            if c.tag is not None and c.tag in ("ul", "ol"):
                 sub = _serialize_list(c, depth + 1)
                 if sub:
                     sublists.append(sub)
@@ -136,7 +136,7 @@ def _cell_md(cell: Node) -> str:
 def _serialize_table(node: Node) -> str:
     rows: list[list[str]] = []
     for tr in node.find_all("tr"):
-        cells = [c for c in tr.children if not c.is_text and c.tag in ("td", "th")]
+        cells = [c for c in tr.children if c.tag is not None and c.tag in ("td", "th")]
         if cells:
             rows.append([_cell_md(c) for c in cells])
     if not rows:
@@ -190,13 +190,13 @@ def _walk_container(node: Node, in_main: bool, blocks: list[Block]) -> None:
             return
         md = collapse_ws("".join(_inline_one(n) for n in pending)).strip()
         chars = len(collapse_ws("".join(n.iter_text() for n in pending)).strip())
-        anchors = sum(anchor_chars(n) for n in pending if not n.is_text)
+        anchors = sum(anchor_chars(n) for n in pending if n.tag is not None)
         if md:
             blocks.append(Block("text", md, chars, anchors, in_main))
         pending.clear()
 
     for c in node.children:
-        if c.is_text:
+        if c.tag is None:
             if c.text.strip():
                 pending.append(c)
             continue
@@ -251,7 +251,7 @@ def _walk_container(node: Node, in_main: bool, blocks: list[Block]) -> None:
 
 def _has_block_children(node: Node) -> bool:
     return any(
-        not c.is_text and (c.tag in BLOCK_TAGS or c.tag in HEADING_TAGS
+        c.tag is not None and (c.tag in BLOCK_TAGS or c.tag in HEADING_TAGS
                            or c.tag in _CONTAINER_TAGS)
         for c in node.children
     )

@@ -232,3 +232,65 @@ class TestDispatch:
         res = extract_document(f"<html><body><main><p>{MAIN}".encode(), "u.html")
         assert res.error is None
         assert res.markdown == MAIN
+
+
+class TestFastTokenizerEquivalence:
+    """The specialized one-shot tokenizer must build the exact same DOM as
+    the stdlib feed/close drive (its executable spec) on representative and
+    pathological inputs; corpus-wide equality was verified at build time."""
+
+    CASES = [
+        "",
+        "<",
+        "<p>plain</p>",
+        "<p>a &amp; b &#65; &unknown; &#x41;</p>",
+        "<script>if (a<b && c>d) {}</script><p>after</p>",
+        "<style>p {color: red}</style>",
+        "<script>never closed",
+        "<p unterminated",
+        "<a href='x' data-k>t</a><br/><img src=y alt=\"z\">",
+        "<!-- comment --><!doctype html><?pi data?><![CDATA[raw]]>",
+        "</><//><!bogus><p></p></notopen>",
+        "<p><b>mis<i>nest</b>ed</i></p>",
+        "<ul><li>a<li>b</ul><table><tr><td>c<td>d</table>",
+        "text &amp tail <p>x</p> trailing &",
+        "<a \"quoted\"<b>odd</b>",
+        "<p>é entity: &eacute; num: &#233;</p>",
+        "<P CLASS='A'>upper</P>",
+        "<div/>self-closing-nonvoid</div>",
+    ]
+
+    @staticmethod
+    def _tree(n, out):
+        if n.tag is None:
+            out.append(("#t", n.text))
+            return
+        out.append((n.tag, sorted((n.attrs or {}).items())))
+        for c in n.children:
+            TestFastTokenizerEquivalence._tree(c, out)
+        out.append(("end", n.tag))
+
+    def test_cases_equal_stdlib(self):
+        from document_converter_api_spark.extraction.html_dom import (
+            parse_html, parse_html_stdlib)
+        for html in self.CASES:
+            a, b = [], []
+            self._tree(parse_html(html), a)
+            self._tree(parse_html_stdlib(html), b)
+            assert a == b, f"tokenizer divergence on {html!r}"
+
+    def test_corpus_sample_equal_stdlib(self, smoke_paths):
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.extraction.html_dom import (
+            parse_html, parse_html_stdlib)
+        pages, _ = smoke_paths
+        t = pq.read_table(pages, columns=["html"])
+        for payload in t.column("html").to_pylist()[:200]:
+            try:
+                s = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                s = payload.decode("latin-1")
+            a, b = [], []
+            self._tree(parse_html(s), a)
+            self._tree(parse_html_stdlib(s), b)
+            assert a == b
