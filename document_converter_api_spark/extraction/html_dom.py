@@ -26,6 +26,9 @@ _starttagopen = _hp.starttagopen
 _locatestarttagend = _hp.locatestarttagend_tolerant
 _tagfind = _hp.tagfind_tolerant
 _attrfind = _hp.attrfind_tolerant
+_endtagfind = _hp.endtagfind
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 # Elements that never have content (HTML5 void elements).
 VOID_ELEMENTS = frozenset(
@@ -240,10 +243,10 @@ class _DomBuilder(HTMLParser):
             if i == n:
                 break
             startswith = rawdata.startswith
-            if _starttagopen.match(rawdata, i):
+            if rawdata[i + 1:i + 2] in _ASCII_ALPHA:  # == starttagopen.match
                 k = self._parse_starttag_whole(i)
             elif startswith("</", i):
-                k = self.parse_endtag(i)
+                k = self._parse_endtag_whole(i)
             elif startswith("<!--", i):
                 k = self.parse_comment(i)
             elif startswith("<?", i):
@@ -277,6 +280,22 @@ class _DomBuilder(HTMLParser):
         """parse_starttag minus buffer-boundary returns: with the full
         document in hand, ``-1`` means unterminated-at-EOF only."""
         rawdata = self.rawdata
+        match = _tagfind.match(rawdata, i + 1)
+        k = match.end()
+        nxt = rawdata[k:k + 1]
+        if nxt == ">":
+            # attribute-free tag (the common case): tagfind's trailing
+            # `(?:\s|/(?!>))*` consumed exactly what locatestarttagend
+            # would have, so the locate scan and the attr loop are no-ops
+            self.lasttag = tag = match.group(1).lower()
+            self.handle_starttag(tag, [])
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+            return k + 1
+        if nxt == "/" and rawdata.startswith("/>", k):
+            self.lasttag = tag = match.group(1).lower()
+            self.handle_startendtag(tag, [])
+            return k + 2
         m = _locatestarttagend.match(rawdata, i)
         j = m.end()
         nxt = rawdata[j:j + 1]
@@ -295,8 +314,6 @@ class _DomBuilder(HTMLParser):
         else:
             endpos = j if j > i else i + 1
         attrs = []
-        match = _tagfind.match(rawdata, i + 1)
-        k = match.end()
         self.lasttag = tag = match.group(1).lower()
         while k < endpos:
             am = _attrfind.match(rawdata, k)
@@ -323,6 +340,25 @@ class _DomBuilder(HTMLParser):
             if tag in self.CDATA_CONTENT_ELEMENTS:
                 self.set_cdata_mode(tag)
         return endpos
+
+    def _parse_endtag_whole(self, i: int) -> int:
+        """parse_endtag fast path: a well-formed ``</tag>`` needs one regex
+        (its ``>`` is necessarily the first ``>``, so the separate
+        endendtag.search is redundant); anything else — bogus closers,
+        ``</tag junk>``, unterminated at EOF — delegates to the stdlib
+        method unchanged."""
+        rawdata = self.rawdata
+        m = _endtagfind.match(rawdata, i)
+        if m is None:
+            return self.parse_endtag(i)
+        gtpos = m.end()
+        elem = m.group(1).lower()
+        if self.cdata_elem is not None and elem != self.cdata_elem:
+            self.handle_data(rawdata[i:gtpos])
+            return gtpos
+        self.handle_endtag(elem)
+        self.clear_cdata_mode()
+        return gtpos
 
     # Comments, PIs, declarations: dropped.
     def handle_comment(self, data: str) -> None:  # noqa: D102
