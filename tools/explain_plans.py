@@ -101,11 +101,43 @@ def main() -> None:
         ("rollup_stats", "Expand + single shuffle for grouping sets."),
         ("region_revenue", "5-way join: dims broadcast, single fact "
          "shuffle for lineitem-orders."),
-        ("dedup_minhash_lsh", "bucket-then-expand LSH: scan→shingle→md5→"
-         "signature subtree appears ONCE (a bands self-join would plan it "
-         "twice), one shuffle to band buckets, pairs expand JVM-side."),
+        ("dedup_minhash_lsh", "bucket-then-expand LSH: the Arrow signature "
+         "stage appears ONCE (a bands self-join would plan it twice), one "
+         "shuffle to band buckets, pairs expand JVM-side."),
+        ("shipping_priority", "TPC-H Q3 shape: filtered customer dim "
+         "broadcast, lineitem⋈orders single fact shuffle, top-10 via "
+         "TakeOrderedAndProject."),
+        ("big_orders", "TPC-H Q18 shape: lineitem pre-aggregate + HAVING "
+         "shrinks the probe side before any join touches orders."),
+        ("sessionize", "gap-based sessions: ONE Exchange on user_id serves "
+         "the lag window, the running-sum window, and the session groupBy "
+         "(same partitioning reused across all three)."),
+        ("ann_ivf", "IVF: codebook baked as literals → inverted-list "
+         "assignment is a shuffle-free projection; probe/query sets "
+         "broadcast."),
     ):
         add(name, note, queries[name](spark, SF))
+
+    # 5) bucketed co-located join: zero Exchange with broadcast disabled
+    from document_converter_api_spark.sources.bucketed import bucketed_pair
+    docs_b = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("string").alias("lang"))
+    embs_b = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 3).cast("int").alias("label"))
+    import tempfile
+    bdocs, bembs = bucketed_pair(spark, docs_b, embs_b, "doc_id", "vec_id",
+                                 base_dir=tempfile.mkdtemp(),
+                                 names=("ep_bdocs", "ep_bembs"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    add("bucketed_join",
+        "both sides written bucketed on the join key (write-once shuffle): "
+        "SortMergeJoin with ZERO Exchange — at 100 TB every later join/agg "
+        "on the key rides the bucket layout for free (broadcast disabled "
+        "here to surface the shape; Iceberg bucket(N, key) on a real "
+        "cluster).",
+        bdocs.join(bembs, bdocs.doc_id == bembs.vec_id)
+             .select("doc_id", "lang", "label"))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     out = [
         "# PLANS.md — physical-plan evidence (generated by tools/explain_plans.py)",
