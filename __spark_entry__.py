@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_share": Q.q_part_type_share,
         "shipping_priority": Q.q_shipping_priority,
         "big_orders": Q.q_big_orders,
+        "value_percentiles": Q.q_value_percentiles,
         # deduplication suite
         "dedup_exact": D.q_dedup_exact,
         "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -395,6 +396,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
     sql.update(DEDUP_ORACLES)

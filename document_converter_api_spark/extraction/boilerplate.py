@@ -67,7 +67,10 @@ def is_denied(node: Node) -> bool:
     """True if this element subtree is hard boilerplate (tag or class/id)."""
     if node.tag in PRUNE_TAGS:
         return True
-    blob = (node.attr("class") + " " + node.attr("id")).lower()
+    attrs = node.attrs
+    if not attrs or ("class" not in attrs and "id" not in attrs):
+        return False
+    blob = ((attrs.get("class") or "") + " " + (attrs.get("id") or "")).lower()
     return bool(blob.strip()) and bool(_DENY_CLASS.search(blob))
 
 
@@ -92,6 +95,25 @@ def anchor_chars(node: Node) -> int:
         for c in n.children:
             stack.append((c, in_a or c.tag == "a"))
     return total
+
+
+def text_and_anchor_stats(node: Node) -> tuple[str, int]:
+    """(unnormalized concatenated text, collapsed anchor chars) in ONE
+    subtree traversal — the block builder needs both, and separate
+    iter_text + anchor_chars walks would visit every node twice."""
+    parts: list[str] = []
+    anchors = 0
+    stack = [(node, node.tag == "a")]
+    while stack:
+        n, in_a = stack.pop()
+        if n.tag is None:
+            parts.append(n.text)
+            if in_a:
+                anchors += len(collapse_ws(n.text))
+            continue
+        for c in reversed(n.children):
+            stack.append((c, in_a or c.tag == "a"))
+    return "".join(parts), anchors
 
 
 _WS_RUN = re.compile(r"\s+")

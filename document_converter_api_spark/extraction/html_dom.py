@@ -120,6 +120,17 @@ class Node:
                 stack.extend(reversed(n.children))
         return "".join(parts)
 
+    def find_first(self, tag: str) -> "Node | None":
+        """Pre-order first match with early exit (find_all without building
+        the full result for single-element lookups like <body>)."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag == tag:
+                return n
+            stack.extend(reversed(n.children))
+        return None
+
     def find_all(self, tag: str) -> list["Node"]:
         out: list[Node] = []
         stack = [self]

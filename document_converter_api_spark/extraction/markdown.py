@@ -27,6 +27,7 @@ from .boilerplate import (
     collapse_ws,
     keep_block,
     prune,
+    text_and_anchor_stats,
 )
 from .html_dom import Node, parse_html
 
@@ -99,7 +100,8 @@ def _plain_len(node: Node) -> int:
 
 
 def _mk_block(kind: str, md: str, node: Node, in_main: bool, level: int = 0) -> Block:
-    return Block(kind, md, _plain_len(node), anchor_chars(node), in_main, level)
+    text, anchors = text_and_anchor_stats(node)
+    return Block(kind, md, len(collapse_ws(text).strip()), anchors, in_main, level)
 
 
 def _serialize_list(node: Node, depth: int) -> str:
@@ -206,8 +208,8 @@ def _walk_container(node: Node, in_main: bool, blocks: list[Block]) -> None:
             text = inline_md(c).strip()
             if text:
                 level = int(tag[1])
-                blocks.append(Block("heading", "#" * level + " " + text,
-                                    _plain_len(c), anchor_chars(c), in_main, level))
+                blocks.append(_mk_block("heading", "#" * level + " " + text,
+                                        c, in_main, level))
         elif tag == "p" or tag in ("figcaption", "summary", "dt", "dd"):
             flush()
             md = inline_md(c).strip()
@@ -291,8 +293,7 @@ def html_to_markdown(html: str) -> str:
     """Full U4+U5 pipeline: parse → prune → block-classify → serialize."""
     root = parse_html(html)
     prune(root)
-    bodies = root.find_all("body")
-    top = bodies[0] if bodies else root
+    top = root.find_first("body") or root
     blocks: list[Block] = []
     _walk_container(top, False, blocks)
     kept = _classify(blocks)

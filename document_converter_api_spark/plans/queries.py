@@ -436,3 +436,20 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_totalprice", "sum_qty")
             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .limit(10))
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per event_type (the
+    latency-quantile shape every pipeline dashboard needs). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the exact
+    linear-interpolation definition, so this is value-hash comparable —
+    unlike ``percentile_approx`` (GK sketch) whose estimates are
+    engine-specific. At 100 TB the exact form needs a per-group sort;
+    switch to percentile_approx when estimates suffice."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+                 F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+                 F.count("*").alias("n"))
+            .orderBy("event_type"))
