@@ -137,6 +137,11 @@ def _session_fold(state_row: tuple | None, events: pd.DataFrame,
         elif t - cur[1] > gap_ms:
             closed.append(tuple(cur))
             cur = [t, t, 0, 0.0]
+        elif t < cur[0]:
+            # out-of-order within the watermark: an event may precede the
+            # open session's first event — extend the start backwards so
+            # the emitted session matches the batch twin's MIN(ts)
+            cur[0] = t
         cur[1] = max(cur[1], t)
         cur[2] += 1
         cur[3] += float(v)

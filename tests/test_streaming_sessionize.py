@@ -55,6 +55,12 @@ def test_session_fold_closes_at_gap():
                         "value": [0.5]})
     closed2, cur2 = _session_fold(cur, ev2, gap_ms=1_800_000)
     assert closed2 == [] and cur2 == (2_000_000, 2_100_000, 2, 4.5)
+    # out-of-order within the watermark: an earlier event extends the open
+    # session's START backwards (matches the batch twin's MIN(ts))
+    ev3 = pd.DataFrame({"ts": pd.to_datetime([1_900_000], unit="ms"),
+                        "value": [1.0]})
+    closed3, cur3 = _session_fold(cur2, ev3, gap_ms=1_800_000)
+    assert closed3 == [] and cur3 == (1_900_000, 2_100_000, 3, 5.5)
 
 
 def test_stream_sessions_match_batch_twin(spark, tmp_path):
