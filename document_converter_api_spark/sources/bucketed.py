@@ -75,7 +75,11 @@ def bucketed_pair(spark: SparkSession, left: DataFrame, right: DataFrame,
 def q_bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings on doc_id==vec_id through bucketed tables —
     results are identical to the plain join (the DuckDB oracle); the plan
-    property (no Exchange) is pinned in tests/test_plans.py."""
+    property (no Exchange) is pinned in tests/test_plans.py.
+
+    The bucketed copies land in one FIXED temp dir (overwritten per call,
+    never accumulated): a fresh mkdtemp per invocation would leak a full
+    dataset copy every time the registered query runs."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     bdocs, bembs = bucketed_pair(
@@ -83,6 +87,7 @@ def q_bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars"),
         embs.select("vec_id", "label"),
         "doc_id", "vec_id",
+        base_dir=os.path.join(tempfile.gettempdir(), "dcas_bucketed_join"),
         names=("b_documents", "b_embeddings"))
     return (bdocs.join(bembs, bdocs.doc_id == bembs.vec_id)
             .select("doc_id", "lang", "n_chars", "label"))

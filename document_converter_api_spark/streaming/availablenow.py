@@ -59,5 +59,9 @@ def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,
               .option("checkpointLocation", checkpoint)
               .trigger(availableNow=True)
               .start())
-    stream.awaitTermination(timeout_sec)
+    if not stream.awaitTermination(timeout_sec):
+        stream.stop()
+        raise TimeoutError(
+            f"incremental drain exceeded {timeout_sec}s; query stopped — "
+            "rerun to resume from the checkpoint")
     return batches["n"]

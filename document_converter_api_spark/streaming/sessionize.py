@@ -137,15 +137,31 @@ def _session_fold(state_row: tuple | None, events: pd.DataFrame,
         elif t - cur[1] > gap_ms:
             closed.append(tuple(cur))
             cur = [t, t, 0, 0.0]
+        elif t < cur[0] - gap_ms:
+            # out-of-order within the watermark but more than gap BEFORE the
+            # open session: the batch twin puts it in an earlier session —
+            # emit it as its own closed session (residual divergence: a
+            # still-later event bridging the two cannot retro-merge them;
+            # bounded by watermark ≤ gap, the recommended configuration)
+            closed.append((t, t, 1, float(v)))
+            continue
         elif t < cur[0]:
-            # out-of-order within the watermark: an event may precede the
-            # open session's first event — extend the start backwards so
-            # the emitted session matches the batch twin's MIN(ts)
+            # within gap of the open session's first event: extend the
+            # start backwards so the session matches the twin's MIN(ts)
             cur[0] = t
         cur[1] = max(cur[1], t)
         cur[2] += 1
         cur[3] += float(v)
     return closed, tuple(cur)
+
+
+def _round_half_up(x: float, digits: int = 2) -> float:
+    """Spark-compatible rounding: F.round is HALF_UP on the shortest decimal
+    representation of the double (BigDecimal.valueOf), while Python's
+    round() is banker's rounding — they differ on exact .xx5 values."""
+    from decimal import ROUND_HALF_UP, Decimal
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _emit(user_id: int, sessions: list[tuple]) -> pd.DataFrame:
@@ -154,7 +170,7 @@ def _emit(user_id: int, sessions: list[tuple]) -> pd.DataFrame:
         "session_start": pd.to_datetime([s[0] for s in sessions], unit="ms"),
         "session_end": pd.to_datetime([s[1] for s in sessions], unit="ms"),
         "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
-        "total_value": pd.Series([round(s[3], 2) for s in sessions],
+        "total_value": pd.Series([_round_half_up(s[3]) for s in sessions],
                                  dtype="float64"),
     })
 
@@ -175,7 +191,11 @@ def sessionize_stream(events: DataFrame, gap_ms: int = GAP_MS,
             state.remove()
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        # contract requires only (ts, user_id, value); event_id joins the
+        # sort key when present for a deterministic same-timestamp order
+        sort_keys = (["ts", "event_id"] if "event_id" in batch.columns
+                     else ["ts"])
+        batch = batch.sort_values(sort_keys, kind="mergesort")
         prev = tuple(state.get) if state.exists else None
         closed, cur = _session_fold(prev, batch, gap_ms)
         state.update(cur)
@@ -219,5 +239,9 @@ def run_sessionize_available_now(spark: SparkSession, input_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"sessionize drain exceeded {timeout_sec}s; query stopped — "
+            "rerun to resume from the checkpoint")
     return batches["n"]

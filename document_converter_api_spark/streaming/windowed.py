@@ -65,5 +65,9 @@ def run_crawl_rate_available_now(spark: SparkSession, input_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"crawl-rate drain exceeded {timeout_sec}s; query stopped — "
+            "rerun to resume from the checkpoint")
     return batches["n"]

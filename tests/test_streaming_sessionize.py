@@ -61,6 +61,24 @@ def test_session_fold_closes_at_gap():
                         "value": [1.0]})
     closed3, cur3 = _session_fold(cur2, ev3, gap_ms=1_800_000)
     assert closed3 == [] and cur3 == (1_900_000, 2_100_000, 3, 5.5)
+    # more than gap BEFORE the open session: its own closed session, the
+    # open session untouched (matches the twin's split)
+    ev4 = pd.DataFrame({"ts": pd.to_datetime([50_000], unit="ms"),
+                        "value": [9.0]})
+    closed4, cur4 = _session_fold(cur3, ev4, gap_ms=1_800_000)
+    assert closed4 == [(50_000, 50_000, 1, 9.0)] and cur4 == cur3
+
+
+def test_round_half_up_matches_spark_semantics():
+    from document_converter_api_spark.streaming.sessionize import (
+        _round_half_up,
+    )
+    # Python round() gives 0.12 / 2.67 here (banker's on binary doubles);
+    # Spark F.round (BigDecimal.valueOf + HALF_UP) gives 0.13 / 2.68
+    assert _round_half_up(0.125) == 0.13
+    assert _round_half_up(2.675) == 2.68
+    assert _round_half_up(1.994999) == 1.99
+    assert _round_half_up(-0.125) == -0.13
 
 
 def test_stream_sessions_match_batch_twin(spark, tmp_path):
