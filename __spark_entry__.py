@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.q_quality_score,
         "token_count": T.q_token_count,
         "fingerprint": T.q_fingerprint,
+        "gopher_rules": T.q_gopher_rules,
         # multimodal binary columns (decode oracle-checked vs planted meta;
         # frame-sample/audio-features are rows-only — byte math not in SQL)
         "multimodal_decode": M.q_multimodal_decode,

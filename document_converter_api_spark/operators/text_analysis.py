@@ -193,3 +193,87 @@ TEXT_ORACLES = {
         FROM n ORDER BY doc_id
     """,
 }
+
+
+# Gopher-style quality rule thresholds (Rae et al. 2021, public heuristics).
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2
+GOPHER_MAX_MEAN_WORD_LEN = 12
+GOPHER_MIN_ALPHA_FRAC = 0.8   # fraction of words containing a letter
+GOPHER_MAX_DUP_2GRAM = 0.35   # duplicated-2-gram character-free fraction
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules, pure Catalyst (no Python):
+    word-count bounds, mean word length bounds, alphabetic-word fraction,
+    duplicate-2-gram fraction, and the combined keep flag. The words array
+    is materialized once — every signal reads the column instead of
+    re-splitting (HOF subtrees get no codegen/CSE)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("words", F.split(F.col("text"), " ", -1))
+            .withColumn("n_words", F.size("words"))
+            .withColumn("alpha_words", F.size(
+                F.filter(F.col("words"), lambda w: w.rlike("[A-Za-z]"))))
+            .withColumn("grams", F.when(
+                F.col("n_words") >= 2,
+                F.transform(F.sequence(F.lit(1), F.col("n_words") - 1),
+                            lambda i: F.concat_ws(
+                                " ", F.element_at("words", i),
+                                F.element_at("words", i + 1))))
+                .otherwise(F.array())))
+    n = F.col("n_words")
+    mean_wl = F.round((F.length("text") - (n - 1)) / n, 4)
+    alpha_frac = F.round(F.col("alpha_words") / n, 4)
+    n_grams = F.size("grams")
+    dup_frac = F.round(
+        F.when(n_grams > 0,
+               (n_grams - F.size(F.array_distinct("grams"))) / n_grams)
+        .otherwise(F.lit(0.0)), 4)
+    keep = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+            & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+            & (dup_frac <= GOPHER_MAX_DUP_2GRAM))
+    return (docs.select(
+        "doc_id", n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        keep.cast("int").alias("keep"))
+        .orderBy("doc_id"))
+
+
+TEXT_ORACLES["gopher_rules"] = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             str_split(text, ' ') AS words,
+             len(str_split(text, ' ')) AS n_words
+      FROM documents),
+    g AS (
+      SELECT doc_id, text, n_words,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                 AS alpha_words,
+             CASE WHEN n_words >= 2 THEN
+               list_transform(range(1, n_words),
+                              i -> words[i] || ' ' || words[i+1])
+             ELSE [] END AS grams
+      FROM t),
+    s AS (
+      SELECT doc_id, n_words,
+             round((length(text) - (n_words - 1)) / n_words, 4) AS mean_word_len,
+             round(alpha_words / n_words, 4) AS alpha_frac,
+             round(CASE WHEN len(grams) > 0 THEN
+                     (len(grams) - len(list_distinct(grams))) / len(grams)
+                   ELSE 0.0 END, 4) AS dup_2gram_frac
+      FROM g)
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, dup_2gram_frac,
+           CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                      AND n_words <= {GOPHER_MAX_WORDS}
+                      AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                      AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                      AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                      AND dup_2gram_frac <= {GOPHER_MAX_DUP_2GRAM}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s ORDER BY doc_id
+"""

@@ -22,7 +22,7 @@ SUBSET = (
     "rollup_stats", "distinct_users", "except_users", "top_revenue_orders",
     "download_names", "result_json", "region_revenue", "part_type_share",
     "shipping_priority", "big_orders", "sessionize", "bucketed_join",
-    "ann_ivf", "value_percentiles",
+    "ann_ivf", "value_percentiles", "gopher_rules",
 )
 
 
