@@ -83,7 +83,7 @@ _EMPTY_ATTRS: dict = {}  # shared read-only default — attrs are never mutated
 class Node:
     """DOM node: element (``tag`` set) or text (``tag is None``)."""
 
-    __slots__ = ("tag", "attrs", "children", "text", "parent")
+    __slots__ = ("tag", "attrs", "children", "text", "parent", "sup")
 
     def __init__(self, tag: str | None, attrs: dict[str, str] | None = None,
                  text: str = "") -> None:
@@ -92,6 +92,7 @@ class Node:
         self.children: list[Node] = []
         self.text = text
         self.parent: Node | None = None
+        self.sup = False  # builder-only: inside a suppressed subtree
 
     @property
     def is_text(self) -> bool:
@@ -148,10 +149,18 @@ class Node:
 
 
 class _DomBuilder(HTMLParser):
-    def __init__(self) -> None:
+    """``suppress_tags``: subtrees rooted at these tags are dropped AT BUILD
+    TIME — stack behavior (implied ends, close matching) is identical, but
+    their nodes are never attached and their text is never materialized.
+    Byte-equivalent to building the full tree and pruning those tags
+    afterwards; used by the extraction path (boilerplate PRUNE_TAGS), while
+    ``parse_html`` keeps the full-tree contract."""
+
+    def __init__(self, suppress_tags: frozenset[str] | None = None) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack: list[Node] = [self.root]
+        self._suppress_tags = suppress_tags or frozenset()
 
     # -- helpers -------------------------------------------------------
     def _top(self) -> Node:
@@ -182,14 +191,21 @@ class _DomBuilder(HTMLParser):
                 stack.pop()
         node = Node(tag, dict(attrs) if attrs else None)
         top = self.stack[-1]
-        node.parent = top
-        top.children.append(node)
+        if top.sup or tag in self._suppress_tags:
+            # suppressed subtree: keep stack discipline, never attach
+            node.sup = True
+        else:
+            node.parent = top
+            top.children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self._imply_ends(tag)
-        self._top().append(Node(tag, dict(attrs) if attrs else None))
+        top = self.stack[-1]
+        if top.sup or tag in self._suppress_tags:
+            return
+        top.append(Node(tag, dict(attrs) if attrs else None))
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
@@ -207,13 +223,16 @@ class _DomBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        children = self.stack[-1].children
+        top = self.stack[-1]
+        if top.sup:
+            return  # text inside a suppressed subtree is never materialized
+        children = top.children
         # Merge adjacent text nodes to keep the tree small.
         if children and children[-1].tag is None:
             children[-1].text += data
         else:
             node = Node(None, text=data)
-            node.parent = self.stack[-1]
+            node.parent = top
             children.append(node)
 
     # -- specialized single-feed tokenizer -----------------------------
@@ -239,7 +258,7 @@ class _DomBuilder(HTMLParser):
                 j = rawdata.find("<", i)
                 if j < 0:
                     j = n
-                if i < j:
+                if i < j and not self.stack[-1].sup:
                     handle_data(unescape(rawdata[i:j]))
             else:
                 match = self.interesting.search(rawdata, i)
@@ -382,24 +401,28 @@ class _DomBuilder(HTMLParser):
         pass
 
 
-def parse_html(html: str) -> Node:
+def parse_html(html: str, suppress_tags: frozenset[str] | None = None) -> Node:
     """Parse HTML text into a tolerant DOM tree; never raises on bad markup.
 
     Uses the specialized one-shot tokenizer; any unexpected error falls back
     to the stock ``HTMLParser`` drive (same callbacks, same DOM) so the fast
-    path can never lose a document the stdlib path would have parsed."""
-    builder = _DomBuilder()
+    path can never lose a document the stdlib path would have parsed.
+    ``suppress_tags`` drops those subtrees at build time (== building the
+    full tree then pruning them — the extraction path passes PRUNE_TAGS so
+    nav/script/footer text is never even materialized)."""
+    builder = _DomBuilder(suppress_tags)
     try:
         builder.parse(html)
     except Exception:
-        return parse_html_stdlib(html)
+        return parse_html_stdlib(html, suppress_tags)
     return builder.root
 
 
-def parse_html_stdlib(html: str) -> Node:
+def parse_html_stdlib(html: str,
+                      suppress_tags: frozenset[str] | None = None) -> Node:
     """Reference tokenizer drive (stdlib feed/close) — the executable spec
     the fast path is tested against; also the fallback."""
-    builder = _DomBuilder()
+    builder = _DomBuilder(suppress_tags)
     try:
         builder.feed(html)
         builder.close()

@@ -23,6 +23,7 @@ from .boilerplate import (
     BLOCK_TAGS,
     HEADING_TAGS,
     MAIN_TAGS,
+    PRUNE_TAGS,
     anchor_chars,
     collapse_ws,
     keep_block,
@@ -291,7 +292,9 @@ def _classify(blocks: list[Block]) -> list[Block]:
 
 def html_to_markdown(html: str) -> str:
     """Full U4+U5 pipeline: parse → prune → block-classify → serialize."""
-    root = parse_html(html)
+    # PRUNE_TAGS subtrees are suppressed during the parse itself (their text
+    # is never materialized); prune() still handles the class/id deny-list.
+    root = parse_html(html, PRUNE_TAGS)
     prune(root)
     top = root.find_first("body") or root
     blocks: list[Block] = []
