@@ -30,6 +30,19 @@ _endtagfind = _hp.endtagfind
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
+import re as _re
+
+_CDATA_CLOSE_RES: dict = {}
+
+
+def _cdata_close_re(elem: str):
+    """Anchored twin of HTMLParser.set_cdata_mode's r'</\\s*elem' pattern."""
+    pat = _CDATA_CLOSE_RES.get(elem)
+    if pat is None:
+        pat = _CDATA_CLOSE_RES[elem] = _re.compile(
+            r"</\s*%s" % elem, _re.IGNORECASE)
+    return pat
+
 # Elements that never have content (HTML5 void elements).
 VOID_ELEMENTS = frozenset(
     {
@@ -261,12 +274,23 @@ class _DomBuilder(HTMLParser):
                 if i < j and not self.stack[-1].sup:
                     handle_data(unescape(rawdata[i:j]))
             else:
-                match = self.interesting.search(rawdata, i)
-                if match is None:
+                # cdata (<script>/<style>): stdlib scans with the
+                # case-insensitive r'</\s*elem' regex over the whole body;
+                # '</' almost never occurs inside, so hop between literal
+                # '</' hits with str.find (C speed) and apply the SAME
+                # anchored regex only there — identical match semantics
+                # (including unicode \s) at a fraction of the scan cost.
+                close_re = _cdata_close_re(self.cdata_elem)
+                j = i
+                while True:
+                    j = rawdata.find("</", j)
+                    if j < 0 or close_re.match(rawdata, j):
+                        break
+                    j += 2
+                if j < 0:
                     # unterminated <script>/<style>: stdlib drops the tail
                     i = n
                     break
-                j = match.start()
                 if i < j:
                     handle_data(rawdata[i:j])
             i = j
