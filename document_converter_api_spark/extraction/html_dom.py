@@ -174,6 +174,40 @@ class _DomBuilder(HTMLParser):
         self.root = Node("#document")
         self.stack: list[Node] = [self.root]
         self._suppress_tags = suppress_tags or frozenset()
+        # Text accumulates in a list and text nodes hold part-LISTS until
+        # finalize: per-chunk `node.text += data` is O(total²) on pages that
+        # interleave text with comments/ignored tags (attribute stores defeat
+        # CPython's in-place str-concat optimization — measured 7.75s for a
+        # 4MB such page, quadratic).
+        self._tbuf: list[str] = []
+        self._listy: list[Node] = []
+
+    def _flush_text(self) -> None:
+        buf = self._tbuf
+        if not buf:
+            return
+        children = self.stack[-1].children
+        if children and children[-1].tag is None:
+            last = children[-1]
+            if isinstance(last.text, list):
+                last.text.extend(buf)
+            else:
+                last.text = [last.text, *buf]
+                self._listy.append(last)
+        else:
+            node = Node(None)
+            node.text = list(buf)  # type: ignore[assignment]
+            node.parent = self.stack[-1]
+            children.append(node)
+            self._listy.append(node)
+        buf.clear()
+
+    def _finalize_text(self) -> None:
+        self._flush_text()
+        for node in self._listy:
+            if isinstance(node.text, list):
+                node.text = "".join(node.text)
+        self._listy.clear()
 
     # -- helpers -------------------------------------------------------
     def _top(self) -> Node:
@@ -197,6 +231,7 @@ class _DomBuilder(HTMLParser):
         return j
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush_text()
         implied = _IMPLIED_END.get(tag)
         if implied:
             stack = self.stack
@@ -214,6 +249,7 @@ class _DomBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        self._flush_text()
         self._imply_ends(tag)
         top = self.stack[-1]
         if top.sup or tag in self._suppress_tags:
@@ -221,6 +257,7 @@ class _DomBuilder(HTMLParser):
         top.append(Node(tag, dict(attrs) if attrs else None))
 
     def handle_endtag(self, tag: str) -> None:
+        self._flush_text()
         if tag in VOID_ELEMENTS:
             return
         # Find nearest matching open element without crossing a barrier.
@@ -236,17 +273,11 @@ class _DomBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        top = self.stack[-1]
-        if top.sup:
+        if self.stack[-1].sup:
             return  # text inside a suppressed subtree is never materialized
-        children = top.children
-        # Merge adjacent text nodes to keep the tree small.
-        if children and children[-1].tag is None:
-            children[-1].text += data
-        else:
-            node = Node(None, text=data)
-            node.parent = top
-            children.append(node)
+        # Buffered: adjacent chunks (around comments/ignored closes) merge
+        # into one text node at the next flush, O(1) amortized per chunk.
+        self._tbuf.append(data)
 
     # -- specialized single-feed tokenizer -----------------------------
     # Semantics-preserving specialization of HTMLParser.goahead /
@@ -328,6 +359,7 @@ class _DomBuilder(HTMLParser):
             i = k
         if i < n and not self.cdata_elem:
             handle_data(unescape(rawdata[i:n]))
+        self._finalize_text()
         self.rawdata = ""
 
     def _parse_starttag_whole(self, i: int) -> int:
@@ -414,6 +446,10 @@ class _DomBuilder(HTMLParser):
         self.clear_cdata_mode()
         return gtpos
 
+    def close(self) -> None:  # stdlib drive: finalize after the last feed
+        super().close()
+        self._finalize_text()
+
     # Comments, PIs, declarations: dropped.
     def handle_comment(self, data: str) -> None:  # noqa: D102
         pass
@@ -454,5 +490,8 @@ def parse_html_stdlib(html: str,
         # html.parser is highly tolerant already; any residual error keeps
         # whatever tree was built so far (extraction failures must never kill
         # the job — mirrors /root/reference/app/main.py:438-441 semantics).
-        pass
+        try:
+            builder._finalize_text()
+        except Exception:
+            pass
     return builder.root

@@ -294,3 +294,19 @@ class TestFastTokenizerEquivalence:
             self._tree(parse_html(s), a)
             self._tree(parse_html_stdlib(s), b)
             assert a == b
+
+
+def test_comment_interleaved_text_is_linear_not_quadratic():
+    """Pages that interleave tiny text chunks with comments used to trigger
+    O(n²) text-node merging (`node.text += chunk` — attribute stores defeat
+    CPython's in-place concat optimization; 7.75s for the 4MB case). The
+    buffered builder must stay linear: generous wall bound, plus output
+    correctness."""
+    import time
+    from document_converter_api_spark.extraction.core import extract_document
+    n = 200_000
+    doc = ("<html><body><p>" + "xy<!--c-->" * n + "</p></body></html>").encode()
+    t0 = time.time()
+    res = extract_document(doc, "u")
+    assert time.time() - t0 < 5.0, "comment-interleaved merge went quadratic"
+    assert res.error is None and res.markdown == "xy" * n
