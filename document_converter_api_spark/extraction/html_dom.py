@@ -89,6 +89,14 @@ _IMPLIED_END: dict[str, frozenset[str]] = {
 # Elements a stray </x> will never pop past (structural boundaries).
 _CLOSE_BARRIERS = frozenset({"body", "html", "table", "ul", "ol"})
 
+# Maximum element nesting depth (browser-style flattening; Chromium caps
+# around 512). Elements opening beyond this attach as siblings at the cap
+# instead of nesting — bounds both tree depth and the serializer's
+# recursion (~2 frames per level) far below Python's limit, so a 50k-deep
+# auto-generated page extracts its text instead of dying with a captured
+# RecursionError and contributing nothing.
+MAX_DEPTH = 256
+
 
 _EMPTY_ATTRS: dict = {}  # shared read-only default — attrs are never mutated
 
@@ -245,7 +253,11 @@ class _DomBuilder(HTMLParser):
         else:
             node.parent = top
             top.children.append(node)
-        if tag not in VOID_ELEMENTS:
+        # Suppressed nodes always push (their subtree is detached, so the
+        # serializer never recurses into it; the sup flag must stay on the
+        # stack to keep dropping text) — attached nodes stop nesting at cap.
+        if tag not in VOID_ELEMENTS and (node.sup
+                                         or len(self.stack) < MAX_DEPTH):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:

@@ -310,3 +310,25 @@ def test_comment_interleaved_text_is_linear_not_quadratic():
     res = extract_document(doc, "u")
     assert time.time() - t0 < 5.0, "comment-interleaved merge went quadratic"
     assert res.error is None and res.markdown == "xy" * n
+
+
+def test_depth_cap_extracts_deep_pages_without_leaking_suppressed():
+    """Elements beyond MAX_DEPTH flatten instead of nesting: a 50k-deep
+    auto-generated page extracts its content (previously a captured
+    RecursionError lost the document), and script/style suppression holds
+    even when the suppressed tag opens beyond the cap."""
+    from document_converter_api_spark.extraction.core import extract_document
+    deep = ("<html><body>" + "<div>" * 50_000
+            + "<p>hello world this is content</p>"
+            + "</div>" * 50_000 + "</body></html>").encode()
+    r = extract_document(deep, "u")
+    assert r.error is None and r.markdown == "hello world this is content"
+
+    beyond = ("<html><body>" + "<div>" * 300
+              + "<script>var leak=1;</script>"
+              + "<p>keep this long enough paragraph of content words</p>"
+              + "</div>" * 300 + "</body></html>").encode()
+    r2 = extract_document(beyond, "u")
+    assert r2.error is None
+    assert "leak" not in r2.markdown
+    assert "keep this long enough" in r2.markdown
