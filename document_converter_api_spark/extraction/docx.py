@@ -108,8 +108,16 @@ def _table_block(tbl: ET.Element, rels: dict[str, str]) -> str | None:
     return "\n".join(out)
 
 
+# Decompressed-member cap: a crafted DOCX can deflate 1000:1; CPython's
+# ZipExtFile truncates at the declared file_size, so gating on it bounds
+# worker memory (oversize → error row via the extract_document wrapper).
+MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+
 def docx_to_markdown(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        if zf.getinfo("word/document.xml").file_size > MAX_MEMBER_BYTES:
+            raise ValueError("docx member exceeds decompression cap")
         xml_bytes = zf.read("word/document.xml")
         rels = _load_rels(zf)
     root = ET.fromstring(xml_bytes)

@@ -26,6 +26,10 @@ import zlib
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 
+# Per-stream inflate cap: page content streams are normally well under a
+# few MB; anything larger is a decompression bomb for this pipeline.
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
 
 def _iter_streams(data: bytes):
     """Yield (dict_params, stream_body) for each content stream.
@@ -222,7 +226,13 @@ def pdf_to_text(data: bytes) -> str:
     for params, body in _iter_streams(data):
         if b"/FlateDecode" in params:
             try:
-                body = zlib.decompress(body)
+                # bounded inflate: a crafted stream can expand 1000:1, and an
+                # unbounded decompress of a 50 MB payload could OOM the
+                # Python worker — skip bomb streams like corrupt ones
+                d = zlib.decompressobj()
+                body = d.decompress(body, MAX_STREAM_BYTES)
+                if d.unconsumed_tail:
+                    continue
             except zlib.error:
                 continue
         if b"/Image" in params or b"/XObject" in params:

@@ -332,3 +332,27 @@ def test_depth_cap_extracts_deep_pages_without_leaking_suppressed():
     assert r2.error is None
     assert "leak" not in r2.markdown
     assert "keep this long enough" in r2.markdown
+
+
+def test_decompression_bombs_are_bounded():
+    """A 100 MB-inflating DOCX member or PDF Flate stream must not be
+    decompressed unbounded into worker memory: DOCX errors (captured as an
+    error row), PDF skips the bomb stream like a corrupt one."""
+    import io
+    import zipfile
+    import zlib
+
+    from document_converter_api_spark.extraction.core import extract_document
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", b"\x00" * (100 * 1024 * 1024))
+    r = extract_document(buf.getvalue(), "u.docx", "docx")
+    assert r.error is not None and "cap" in r.error
+
+    body = zlib.compress(b"BT (x) Tj ET " * 8_000_000)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + body
+           + b"\nendstream\nendobj\n%%EOF")
+    r2 = extract_document(pdf, "u.pdf", "pdf")
+    assert r2.error is None and (r2.markdown or "") == ""
