@@ -38,28 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .scan import widen
+
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
 HAMMING_MAX = 3
-
-
-def widen(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a NARROW scan up to cluster width before
-    CPU-heavy per-row expressions (shingling, per-token md5 — higher-order
-    functions run interpreted, so these stages are compute-bound).
-
-    A small parquet file is often a single row group → a single input split
-    → the whole HOF stage runs on one task regardless of cores (measured
-    3 tasks on 32 cores at sf0.1 → ~10x underutilization). No-op when the
-    scan already has ≥ cluster-width partitions — i.e. at real corpus scale
-    this never reshuffles the input."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

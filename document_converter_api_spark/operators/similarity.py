@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .scan import widen
+
 N_PLANES = 8
 DIM = 64
 TOP_K = 5
@@ -72,7 +74,7 @@ def _queries_df(emb: DataFrame) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 3 query vectors (self excluded)."""
-    emb = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _with_norm(widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
     q = _queries_df(emb)
     scored = (emb.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
@@ -105,7 +107,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH tier: same-bucket candidates, exact cosine re-rank, top-3.
     Scale path: bucket is a cheap JVM-side expression; the candidate join is
     an equi-join on an 8-bit key instead of a full cross product."""
-    emb = (_with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = (_with_norm(widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
            .withColumn("bucket", _bucket_expr(F.col("embedding"))))
     q = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
          .select(F.col("vec_id").alias("query_id"),
@@ -241,7 +243,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest lists per query, exact cosine re-rank inside the probed lists.
     Scale path vs brute force: candidates shrink by ~K/NPROBE; the only
     joins are broadcasts of the tiny probe/query sets."""
-    emb = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _with_norm(widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
     cents = _centroid_rows(emb)
 
     assigned = emb.withColumn(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .scan import widen
+
 STOPWORDS = {
     "en": ("the", "of", "and", "a", "to", "in", "is", "it", "that", "for"),
     "es": ("el", "la", "de", "que", "y", "a", "en", "un", "ser", "se"),
@@ -45,7 +47,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline split/filter subtree would be re-evaluated at every reference
     (higher-order functions get no codegen/CSE): 3 hit filters + the argmax
     reusing them = ~7 full re-tokenizations per row."""
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .withColumn("toks", _tokens(F.col("text"))))
     for lang in LANG_ORDER:
         docs = docs.withColumn(f"hits_{lang}", _stop_hits(F.col("toks"), lang))
@@ -65,7 +67,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation density, and a blended 0-1 score."""
     # tokens + counts as materialized columns (see q_lang_id: inline HOF
     # subtrees re-tokenize once per reference — n_tok alone is read 5x here)
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .withColumn("toks", _tokens(F.col("text")))
             .withColumn("n_tok", F.size("toks"))
             .withColumn("stop_all", F.size(F.filter(
@@ -98,7 +100,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex segment count + chars/token."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     ws_tokens = F.size(F.split(F.col("text"), r"\s+", -1))
     bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     return (docs.select(
@@ -114,7 +116,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of lowercased, punctuation-stripped,
     whitespace-collapsed text — plus a 16-hex-prefix shard key (how a
     10^12-doc dedup pre-pass buckets the corpus)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
         r"\s+", " "))
@@ -210,7 +212,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram fraction, and the combined keep flag. The words array
     is materialized once — every signal reads the column instead of
     re-splitting (HOF subtrees get no codegen/CSE)."""
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .withColumn("words", F.split(F.col("text"), " ", -1))
             .withColumn("n_words", F.size("words"))
             .withColumn("alpha_words", F.size(
