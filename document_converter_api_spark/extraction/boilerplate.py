@@ -74,6 +74,16 @@ def is_denied(node: Node) -> bool:
     return bool(blob.strip()) and bool(_DENY_CLASS.search(blob))
 
 
+def deny_attrs(tag: str, attrs: dict) -> bool:
+    """Build-time twin of :func:`is_denied`'s class/id check (the tag check
+    is handled by the builder's ``suppress_tags``). Same blob + regex, so
+    suppressing at parse time == building fully then pruning."""
+    if "class" not in attrs and "id" not in attrs:
+        return False
+    blob = ((attrs.get("class") or "") + " " + (attrs.get("id") or "")).lower()
+    return bool(blob.strip()) and bool(_DENY_CLASS.search(blob))
+
+
 def prune(node: Node) -> None:
     """Remove hard-boilerplate subtrees in place (pre-order)."""
     node.children = [c for c in node.children if c.tag is None or not is_denied(c)]

@@ -177,11 +177,15 @@ class _DomBuilder(HTMLParser):
     afterwards; used by the extraction path (boilerplate PRUNE_TAGS), while
     ``parse_html`` keeps the full-tree contract."""
 
-    def __init__(self, suppress_tags: frozenset[str] | None = None) -> None:
+    def __init__(self, suppress_tags: frozenset[str] | None = None,
+                 deny_attrs=None) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack: list[Node] = [self.root]
         self._suppress_tags = suppress_tags or frozenset()
+        # optional (tag, attrs_dict) -> bool predicate extending suppression
+        # to attribute-based boilerplate (class/id deny-list) at build time
+        self._deny_attrs = deny_attrs
         # Text accumulates in a list and text nodes hold part-LISTS until
         # finalize: per-chunk `node.text += data` is O(total²) on pages that
         # interleave text with comments/ignored tags (attribute stores defeat
@@ -247,7 +251,9 @@ class _DomBuilder(HTMLParser):
                 stack.pop()
         node = Node(tag, dict(attrs) if attrs else None)
         top = self.stack[-1]
-        if top.sup or tag in self._suppress_tags:
+        if top.sup or tag in self._suppress_tags or (
+                self._deny_attrs is not None and attrs
+                and self._deny_attrs(tag, node.attrs)):
             # suppressed subtree: keep stack discipline, never attach
             node.sup = True
         else:
@@ -473,7 +479,8 @@ class _DomBuilder(HTMLParser):
         pass
 
 
-def parse_html(html: str, suppress_tags: frozenset[str] | None = None) -> Node:
+def parse_html(html: str, suppress_tags: frozenset[str] | None = None,
+               deny_attrs=None) -> Node:
     """Parse HTML text into a tolerant DOM tree; never raises on bad markup.
 
     Uses the specialized one-shot tokenizer; any unexpected error falls back
@@ -482,19 +489,20 @@ def parse_html(html: str, suppress_tags: frozenset[str] | None = None) -> Node:
     ``suppress_tags`` drops those subtrees at build time (== building the
     full tree then pruning them — the extraction path passes PRUNE_TAGS so
     nav/script/footer text is never even materialized)."""
-    builder = _DomBuilder(suppress_tags)
+    builder = _DomBuilder(suppress_tags, deny_attrs)
     try:
         builder.parse(html)
     except Exception:
-        return parse_html_stdlib(html, suppress_tags)
+        return parse_html_stdlib(html, suppress_tags, deny_attrs)
     return builder.root
 
 
 def parse_html_stdlib(html: str,
-                      suppress_tags: frozenset[str] | None = None) -> Node:
+                      suppress_tags: frozenset[str] | None = None,
+                      deny_attrs=None) -> Node:
     """Reference tokenizer drive (stdlib feed/close) — the executable spec
     the fast path is tested against; also the fallback."""
-    builder = _DomBuilder(suppress_tags)
+    builder = _DomBuilder(suppress_tags, deny_attrs)
     try:
         builder.feed(html)
         builder.close()

@@ -26,8 +26,8 @@ from .boilerplate import (
     PRUNE_TAGS,
     anchor_chars,
     collapse_ws,
+    deny_attrs,
     keep_block,
-    prune,
     text_and_anchor_stats,
 )
 from .html_dom import Node, parse_html
@@ -291,11 +291,13 @@ def _classify(blocks: list[Block]) -> list[Block]:
 
 
 def html_to_markdown(html: str) -> str:
-    """Full U4+U5 pipeline: parse → prune → block-classify → serialize."""
-    # PRUNE_TAGS subtrees are suppressed during the parse itself (their text
-    # is never materialized); prune() still handles the class/id deny-list.
-    root = parse_html(html, PRUNE_TAGS)
-    prune(root)
+    """Full U4+U5 pipeline: parse (boilerplate suppressed at build) →
+    block-classify → serialize."""
+    # Both boilerplate deny rules — PRUNE_TAGS and the class/id deny-list —
+    # are applied during the parse itself: suppressed subtrees keep stack
+    # discipline but are never attached and their text never materialized
+    # (byte-equivalent to building the full tree and running prune()).
+    root = parse_html(html, PRUNE_TAGS, deny_attrs)
     top = root.find_first("body") or root
     blocks: list[Block] = []
     _walk_container(top, False, blocks)
