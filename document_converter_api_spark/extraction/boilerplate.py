@@ -64,14 +64,12 @@ MIN_DENSITY = 10
 
 
 def is_denied(node: Node) -> bool:
-    """True if this element subtree is hard boilerplate (tag or class/id)."""
+    """True if this element subtree is hard boilerplate (tag or class/id).
+    Delegates to :func:`deny_attrs` so the prune() reference spec and the
+    builder's parse-time suppression can never desynchronize."""
     if node.tag in PRUNE_TAGS:
         return True
-    attrs = node.attrs
-    if not attrs or ("class" not in attrs and "id" not in attrs):
-        return False
-    blob = ((attrs.get("class") or "") + " " + (attrs.get("id") or "")).lower()
-    return bool(blob.strip()) and bool(_DENY_CLASS.search(blob))
+    return bool(node.attrs) and deny_attrs(node.tag, node.attrs)
 
 
 def deny_attrs(tag: str, attrs: dict) -> bool:

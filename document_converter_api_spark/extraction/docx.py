@@ -28,9 +28,12 @@ def _load_rels(zf: zipfile.ZipFile) -> dict[str, str]:
     """rId → target url from word/_rels/document.xml.rels (absent in
     link-free documents)."""
     try:
-        data = zf.read("word/_rels/document.xml.rels")
+        info = zf.getinfo("word/_rels/document.xml.rels")
     except KeyError:
         return {}
+    if info.file_size > MAX_MEMBER_BYTES:
+        return {}  # rels bomb: extract without link targets rather than OOM
+    data = zf.read(info)
     rels = {}
     for rel in ET.fromstring(data).findall(f"{_RELS}Relationship"):
         rid, target = rel.get("Id"), rel.get("Target")

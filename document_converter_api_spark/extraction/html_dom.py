@@ -36,11 +36,14 @@ _CDATA_CLOSE_RES: dict = {}
 
 
 def _cdata_close_re(elem: str):
-    """Anchored twin of HTMLParser.set_cdata_mode's r'</\\s*elem' pattern."""
+    """Anchored twin of HTMLParser.set_cdata_mode's r'</\\s*elem\\s*>'
+    pattern (parser.py:124 — the trailing '>' matters: '</script' at EOF
+    must NOT match, so the unterminated-cdata tail is dropped exactly like
+    the stdlib drive drops it)."""
     pat = _CDATA_CLOSE_RES.get(elem)
     if pat is None:
         pat = _CDATA_CLOSE_RES[elem] = _re.compile(
-            r"</\s*%s" % elem, _re.IGNORECASE)
+            r"</\s*%s\s*>" % elem, _re.IGNORECASE)
     return pat
 
 # Elements that never have content (HTML5 void elements).
@@ -261,18 +264,26 @@ class _DomBuilder(HTMLParser):
             top.children.append(node)
         # Suppressed nodes always push (their subtree is detached, so the
         # serializer never recurses into it; the sup flag must stay on the
-        # stack to keep dropping text) — attached nodes stop nesting at cap.
-        if tag not in VOID_ELEMENTS and (node.sup
-                                         or len(self.stack) < MAX_DEPTH):
+        # stack to keep dropping text). Cdata elements (script/style) also
+        # always push — cdata mode engages regardless of depth, and without
+        # the push their body text would reparent OUTSIDE the element in
+        # full-tree mode (leaking script source past a later prune). Other
+        # attached nodes stop nesting at cap.
+        if tag not in VOID_ELEMENTS and (
+                node.sup or tag in self.CDATA_CONTENT_ELEMENTS
+                or len(self.stack) < MAX_DEPTH):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self._flush_text()
         self._imply_ends(tag)
         top = self.stack[-1]
-        if top.sup or tag in self._suppress_tags:
+        attrs_dict = dict(attrs) if attrs else None
+        if top.sup or tag in self._suppress_tags or (
+                self._deny_attrs is not None and attrs_dict
+                and self._deny_attrs(tag, attrs_dict)):
             return
-        top.append(Node(tag, dict(attrs) if attrs else None))
+        top.append(Node(tag, attrs_dict))
 
     def handle_endtag(self, tag: str) -> None:
         self._flush_text()

@@ -231,7 +231,11 @@ def pdf_to_text(data: bytes) -> str:
                 # Python worker — skip bomb streams like corrupt ones
                 d = zlib.decompressobj()
                 body = d.decompress(body, MAX_STREAM_BYTES)
-                if d.unconsumed_tail:
+                if d.unconsumed_tail or not d.eof:
+                    # bomb (output cap hit) OR truncated stream — plain
+                    # zlib.decompress raised on truncation and the old code
+                    # skipped; keep skipping rather than emitting partial
+                    # garbage text
                     continue
             except zlib.error:
                 continue

@@ -356,3 +356,78 @@ def test_decompression_bombs_are_bounded():
            + b"\nendstream\nendobj\n%%EOF")
     r2 = extract_document(pdf, "u.pdf", "pdf")
     assert r2.error is None and (r2.markdown or "") == ""
+
+
+class TestReviewHardening:
+    """Regression pins for review findings on the build-time-suppression and
+    bounded-decompression work."""
+
+    def test_truncated_cdata_matches_stdlib(self):
+        from document_converter_api_spark.extraction.html_dom import (
+            parse_html, parse_html_stdlib)
+
+        def tree(n, out):
+            if n.tag is None:
+                out.append(("#t", n.text))
+                return
+            out.append((n.tag, sorted((n.attrs or {}).items())))
+            for c in n.children:
+                tree(c, out)
+            out.append(("/", n.tag))
+
+        for case in ("<html><body><script>x</script",
+                     "<style>s{}</style ",
+                     "<script>a</scrip",
+                     "<script>a</script >b"):
+            a, b = [], []
+            tree(parse_html(case), a)
+            tree(parse_html_stdlib(case), b)
+            assert a == b, case
+
+    def test_self_closing_denied_is_suppressed(self):
+        from document_converter_api_spark.extraction.markdown import (
+            html_to_markdown)
+        md = html_to_markdown(
+            '<html><body><main><p>real content paragraph long enough to '
+            'keep</p><p><img class="advert" src="ad.png"/></p>'
+            "</main></body></html>")
+        assert "ad.png" not in md
+
+    def test_deep_script_does_not_leak_in_full_tree_mode(self):
+        from document_converter_api_spark.extraction.boilerplate import prune
+        from document_converter_api_spark.extraction.html_dom import parse_html
+        root = parse_html("<html><body>" + "<div>" * 300
+                          + "<script>var secret=1;</script><p>hi</p>"
+                          + "</div>" * 300 + "</body></html>")
+        prune(root)
+        assert "secret" not in root.iter_text()
+
+    def test_truncated_flate_stream_is_skipped(self):
+        import zlib
+        from document_converter_api_spark.extraction.core import (
+            extract_document)
+        good = zlib.compress(b"BT (ok) Tj ET")
+        trunc = good[:len(good) // 2]
+        pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(trunc)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + trunc
+               + b"\nendstream\nendobj\n%%EOF")
+        r = extract_document(pdf, "u.pdf", "pdf")
+        assert r.error is None and (r.markdown or "") == ""
+
+    def test_rels_bomb_is_bounded_and_text_still_extracts(self):
+        import io
+        import zipfile
+        from document_converter_api_spark.extraction.core import (
+            extract_document)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr(
+                "word/document.xml",
+                '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+                'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+                "<w:p><w:r><w:t>hello docx</w:t></w:r></w:p></w:body>"
+                "</w:document>")
+            zf.writestr("word/_rels/document.xml.rels",
+                        b"\x00" * (100 * 1024 * 1024))
+        r = extract_document(buf.getvalue(), "u.docx", "docx")
+        assert r.error is None and "hello docx" in r.markdown
