@@ -53,8 +53,12 @@ _EMPHASIS = {"strong": "**", "b": "**", "em": "*", "i": "*"}
 def inline_md(node: Node) -> str:
     """Serialize an element's content to inline markdown (whitespace
     collapsed, not stripped)."""
+    ch = node.children
+    if len(ch) == 1 and ch[0].tag is None:
+        # single-text-node element (most paragraphs): skip the list+join
+        return collapse_ws(ch[0].text)
     parts: list[str] = []
-    for c in node.children:
+    for c in ch:
         parts.append(_inline_one(c))
     return "".join(parts)
 

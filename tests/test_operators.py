@@ -194,3 +194,21 @@ class TestDedupArrowJvmParity:
                        D._simhash_from_hashes(F.col("hh")).alias("simhash")))
         assert py.exceptAll(hof).count() == 0
         assert hof.exceptAll(py).count() == 0
+
+
+class TestScanWiden:
+    def test_widen_noops_on_wide_input(self, spark):
+        """At real corpus scale the scan already has >= cluster-width
+        splits — widen must return the SAME plan (no extra shuffle)."""
+        from document_converter_api_spark.operators.scan import widen
+        wide = spark.range(0, 1000, 1, 16)  # 16 partitions == local[4]*4
+        assert widen(wide) is wide
+
+    def test_widen_spreads_narrow_input(self, spark):
+        from document_converter_api_spark.operators.scan import widen
+        narrow = spark.range(0, 1000, 1, 1)
+        out = widen(narrow)
+        assert out is not narrow
+        assert out.rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+        assert out.count() == 1000
