@@ -1,0 +1,55 @@
+"""Streaming url dedup: first occurrence per url within the watermark
+horizon survives; re-fetches inside the horizon are dropped, including
+across files/micro-batches through the checkpointed state."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from document_converter_api_spark.streaming.dedup_stream import (
+    run_dedup_available_now,
+)
+
+BASE = datetime.datetime(2025, 7, 1, 10, 0, 0)
+MIN = datetime.timedelta(minutes=1)
+
+
+def _pages_file(path: str, rows: list[tuple[str, datetime.datetime]]) -> None:
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * len(rows), pa.binary()),
+        "text": pa.array([""] * len(rows), pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    }), path)
+
+
+def test_first_wins_within_horizon_across_batches(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    os.makedirs(indir)
+
+    _pages_file(os.path.join(indir, "part-000.parquet"), [
+        ("https://a.example/1", BASE),
+        ("https://a.example/1", BASE + 5 * MIN),   # in-file refetch: dropped
+        ("https://a.example/2", BASE + 1 * MIN),
+    ])
+    n = run_dedup_available_now(spark, indir, outdir)
+    assert n >= 1
+
+    # cross-file refetch within the horizon: dropped via checkpointed state
+    _pages_file(os.path.join(indir, "part-001.parquet"), [
+        ("https://a.example/1", BASE + 10 * MIN),
+        ("https://a.example/3", BASE + 11 * MIN),
+    ])
+    run_dedup_available_now(spark, indir, outdir)
+
+    rows = (spark.read.parquet(os.path.join(outdir, "deduped"))
+            .select("url").collect())
+    urls = sorted(r.url for r in rows)
+    assert urls == ["https://a.example/1", "https://a.example/2",
+                    "https://a.example/3"], urls
