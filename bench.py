@@ -76,7 +76,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(CPUS * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # 2048-row Arrow batches + one partition per core measured +34%
+        # over 512/2-per-core on the bench corpus (~5 KB docs: parse is
+        # only ~13 of the stage's ~100 cpu-s — per-batch and per-task
+        # overheads dominate, so fewer/larger units win)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -95,8 +99,8 @@ def main() -> None:
     for _ in range(2):  # best-of-2: neighbor VMs swing throughput ~3x
         m = ExtractionMetrics(spark)
         t0 = time.time()
-        results, _rejects = extract_pipeline(pages, num_partitions=CPUS * 2,
-                                             shuffle_partitions=CPUS * 2,
+        results, _rejects = extract_pipeline(pages, num_partitions=CPUS,
+                                             shuffle_partitions=CPUS,
                                              metrics=m)
         n_docs = results.count()
         dt = time.time() - t0
@@ -140,8 +144,8 @@ def main() -> None:
                 [sys.executable,
                  os.path.join(REPO, "tools", "bench_extract.py"),
                  "--cores", str(cores), "--input", pages_path,
-                 "--shuffle-partitions", str(cores * 4),
-                 "--arrow-batch", "512", "--replicate", "2"],
+                 "--shuffle-partitions", str(cores),
+                 "--arrow-batch", "2048", "--replicate", "2"],
                 capture_output=True, text=True, timeout=1800, check=False)
             line = (proc.stdout.strip().splitlines()[-1]
                     if proc.stdout.strip() else "{}")

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
-    ap.add_argument("--arrow-batch", type=int, default=512)
+    ap.add_argument("--arrow-batch", type=int, default=2048)
     ap.add_argument("--replicate", type=int, default=1,
                     help="union R url-suffixed copies so the measured window "
                          "is compute-dominated, not startup-dominated")
@@ -43,7 +43,7 @@ def main() -> None:
 
     from document_converter_api_spark.operators.extract import extract_pipeline
 
-    n_shuffle = args.shuffle_partitions or args.cores * 4
+    n_shuffle = args.shuffle_partitions or args.cores
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
         .appName(f"bench-extract-{args.cores}")

@@ -46,7 +46,7 @@ def main() -> None:
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.shuffle.partitions", str(args.cores * 2))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
