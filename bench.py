@@ -96,7 +96,7 @@ def main() -> None:
     from document_converter_api_spark.operators.metrics import ExtractionMetrics
 
     t_extract, n_docs, acc_snapshot = None, 0, {}
-    for _ in range(2):  # best-of-2: neighbor VMs swing throughput ~3x
+    for _ in range(3):  # best-of-3: neighbor VMs swing throughput ~3x
         m = ExtractionMetrics(spark)
         t0 = time.time()
         results, _rejects = extract_pipeline(pages, num_partitions=CPUS,

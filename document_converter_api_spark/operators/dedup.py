@@ -343,12 +343,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (widen(_corpus(spark, sf_dir))
             .mapInPandas(_simhash_batches, "doc_id long, simhash int")
             .withColumn("band", F.floor(F.col("simhash") / 256).cast("int")))
+    # Deliberately a self-join, NOT minhash's bucket-then-expand: simhash
+    # bands have only 256 values, so collect_list would centralize a whole
+    # band in one row (single-task k² expansion, memory hazard at scale)
+    # while the sort-merge join generates pairs inside codegen — measured
+    # 2.2x faster at sf0.1 (3.98s vs 8.85s) even though the join plans the
+    # (cheap, Arrow-batched) signature stage for both children.
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"),
-                     F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                     F.bit_count(F.col("a.simhash")
+                                 .bitwiseXOR(F.col("b.simhash")))
                      .alias("hamming")))
     return (pairs.filter(F.col("hamming") <= HAMMING_MAX)
             .orderBy("id_a", "id_b"))
