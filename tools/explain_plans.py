@@ -115,6 +115,11 @@ def main() -> None:
         ("ann_ivf", "IVF: codebook baked as literals → inverted-list "
          "assignment is a shuffle-free projection; probe/query sets "
          "broadcast."),
+        ("gopher_rules", "Gopher quality rules: all signals read the "
+         "materialized words/grams columns — single scan, single project, "
+         "zero Python."),
+        ("value_percentiles", "exact per-group percentiles: single "
+         "shuffle to groups, sort-based percentile within each."),
     ):
         add(name, note, queries[name](spark, SF))
 
