@@ -134,3 +134,73 @@ def test_stream_sessions_match_batch_twin(spark, tmp_path):
     for u, *_ in got:
         per_user[u] = per_user.get(u, 0) + 1
     assert per_user == {1: 2, 2: 1, 3: 1}
+
+
+def _batch_twin_sessions(ts_ms: list[int], vals: list[float], gap_ms: int):
+    """Reference semantics: sort all events, split at gaps > gap_ms."""
+    order = sorted(range(len(ts_ms)), key=lambda i: ts_ms[i])
+    out, cur = [], None
+    for i in order:
+        t, v = ts_ms[i], vals[i]
+        if cur is None or t - cur[1] > gap_ms:
+            if cur is not None:
+                out.append(tuple(cur))
+            cur = [t, t, 0, 0.0]
+        cur[1] = t
+        cur[2] += 1
+        cur[3] += v
+    if cur is not None:
+        out.append(tuple(cur))
+    return out
+
+
+def test_fold_is_batch_split_invariant():
+    """Property: for IN-ORDER event streams, folding batch-by-batch through
+    _session_fold (state carried across batches) then flushing the open
+    session yields exactly the batch twin's sessions, for EVERY way of
+    splitting the stream into micro-batches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from document_converter_api_spark.streaming.sessionize import (
+        _session_fold,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        gaps=st.lists(st.integers(min_value=0, max_value=120), min_size=1,
+                      max_size=40),
+        splits=st.lists(st.booleans(), min_size=0, max_size=39),
+        gap_minutes=st.integers(min_value=1, max_value=45),
+    )
+    def check(gaps, splits, gap_minutes):
+        import pandas as pd
+        gap_ms = gap_minutes * 60_000
+        ts, t = [], 0
+        for g in gaps:
+            t += g * 60_000
+            ts.append(t)
+        vals = [float(i) for i in range(len(ts))]
+        # split the ordered stream into batches at the chosen boundaries
+        batches, start = [], 0
+        for i, cut in enumerate(splits[:len(ts) - 1], start=1):
+            if cut:
+                batches.append((start, i))
+                start = i
+        batches.append((start, len(ts)))
+
+        state, closed = None, []
+        for lo, hi in batches:
+            if lo == hi:
+                continue
+            ev = pd.DataFrame({"ts": pd.to_datetime(ts[lo:hi], unit="ms"),
+                               "value": vals[lo:hi]})
+            newly, state = _session_fold(state, ev, gap_ms)
+            closed.extend(newly)
+        if state is not None:
+            closed.append(tuple(state))
+
+        want = _batch_twin_sessions(ts, vals, gap_ms)
+        assert closed == want, (closed, want, batches, gap_ms)
+
+    check()
