@@ -30,20 +30,21 @@ _endtagfind = _hp.endtagfind
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
-import re as _re
-
 _CDATA_CLOSE_RES: dict = {}
 
 
 def _cdata_close_re(elem: str):
-    """Anchored twin of HTMLParser.set_cdata_mode's r'</\\s*elem\\s*>'
-    pattern (parser.py:124 — the trailing '>' matters: '</script' at EOF
-    must NOT match, so the unterminated-cdata tail is dropped exactly like
-    the stdlib drive drops it)."""
+    """The EXACT compiled regex the running stdlib's set_cdata_mode would
+    install for ``elem`` — obtained by asking a throwaway HTMLParser, not
+    by re-typing the pattern, so the fast path's close-tag matching is a
+    true twin of the stdlib drive on ANY CPython patch level (the pattern
+    gained a trailing '\\s*>' in hardened releases; hardcoding either form
+    would diverge on the other)."""
     pat = _CDATA_CLOSE_RES.get(elem)
     if pat is None:
-        pat = _CDATA_CLOSE_RES[elem] = _re.compile(
-            r"</\s*%s\s*>" % elem, _re.IGNORECASE)
+        probe = HTMLParser()
+        probe.set_cdata_mode(elem)
+        pat = _CDATA_CLOSE_RES[elem] = probe.interesting
     return pat
 
 # Elements that never have content (HTML5 void elements).

@@ -299,8 +299,12 @@ def html_to_markdown(html: str) -> str:
     block-classify → serialize."""
     # Both boilerplate deny rules — PRUNE_TAGS and the class/id deny-list —
     # are applied during the parse itself: suppressed subtrees keep stack
-    # discipline but are never attached and their text never materialized
-    # (byte-equivalent to building the full tree and running prune()).
+    # discipline but are never attached and their text never materialized.
+    # Byte-equivalent to build-then-prune, with one INTENTIONAL divergence:
+    # a denied container nested beyond MAX_DEPTH suppresses its children
+    # here, while build-then-prune would flatten them out as siblings at
+    # the cap and keep them — suppression is the correct extraction
+    # behavior (they ARE the boilerplate); pinned in tests.
     root = parse_html(html, PRUNE_TAGS, deny_attrs)
     top = root.find_first("body") or root
     blocks: list[Block] = []

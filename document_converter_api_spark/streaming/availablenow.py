@@ -33,6 +33,47 @@ PAGES_SCHEMA = StructType([
 ])
 
 
+def drain_available_now(stream_df: DataFrame, output_dir: str,
+                        batch_outputs,
+                        checkpoint_dir: str | None = None,
+                        output_mode: str = "append",
+                        timeout_sec: int = 600,
+                        label: str = "drain") -> int:
+    """Shared AvailableNow drain harness (used by extraction, windowed,
+    sessionize, and url-dedup wrappers — one place for the orchestration
+    and failure semantics).
+
+    ``batch_outputs(batch_df) -> dict[subdir, DataFrame]`` maps each
+    micro-batch to its output tables. Writes are **idempotent under
+    micro-batch replay** (foreachBatch is at-least-once): every epoch owns
+    its ``subdir/batch_id=N`` partition directory and overwrites it
+    wholesale if the epoch replays after a crash — readers see the
+    ``batch_id`` partition column. On timeout the query is stopped and a
+    TimeoutError raised; rerunning resumes from the checkpoint."""
+    checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+    batches = {"n": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for subdir, df in batch_outputs(batch_df).items():
+            (df.write.mode("overwrite")
+             .parquet(os.path.join(output_dir, subdir,
+                                   f"batch_id={batch_id}")))
+        batches["n"] += 1
+
+    q = (stream_df.writeStream
+         .outputMode(output_mode)
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"{label} exceeded {timeout_sec}s; query stopped — "
+            "rerun to resume from the checkpoint")
+    return batches["n"]
+
+
 def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,
                       checkpoint_dir: str | None = None,
                       max_bytes: int | None = None,
@@ -40,28 +81,15 @@ def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,
     """Drain all currently-available page files through the extraction
     stage; returns number of micro-batches processed. Re-invoking after new
     files land processes only the new files (streaming file-source log)."""
-    checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
-    batches = {"n": 0}
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def outputs(batch_df: DataFrame) -> dict[str, DataFrame]:
         kwargs = {"max_bytes": max_bytes} if max_bytes else {}
         results, rejects = extract_pipeline(batch_df, num_partitions=16,
                                             shuffle_partitions=16, **kwargs)
-        (results.write.mode("append")
-         .parquet(os.path.join(output_dir, "results")))
-        (rejects.write.mode("append")
-         .parquet(os.path.join(output_dir, "rejects")))
-        batches["n"] += 1
+        return {"results": results, "rejects": rejects}
 
-    stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
-              .writeStream
-              .foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint)
-              .trigger(availableNow=True)
-              .start())
-    if not stream.awaitTermination(timeout_sec):
-        stream.stop()
-        raise TimeoutError(
-            f"incremental drain exceeded {timeout_sec}s; query stopped — "
-            "rerun to resume from the checkpoint")
-    return batches["n"]
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    return drain_available_now(stream, output_dir, outputs,
+                               checkpoint_dir=checkpoint_dir,
+                               timeout_sec=timeout_sec,
+                               label="incremental drain")

@@ -43,26 +43,12 @@ def run_dedup_available_now(spark: SparkSession, input_dir: str,
     """Drain available page files through the streaming url dedup, appending
     surviving rows to parquet; re-triggering resumes from the checkpoint
     (dedup state included)."""
-    checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
-    batches = {"n": 0}
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append")
-         .parquet(os.path.join(output_dir, "deduped")))
-        batches["n"] += 1
+    from .availablenow import drain_available_now
 
     stream = (spark.readStream.schema(schema or PAGES_SCHEMA)
               .parquet(input_dir))
-    q = (dedup_urls(stream, horizon)
-         .writeStream
-         .outputMode("append")
-         .foreachBatch(process_batch)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"url-dedup drain exceeded {timeout_sec}s; query stopped — "
-            "rerun to resume from the checkpoint")
-    return batches["n"]
+    return drain_available_now(
+        dedup_urls(stream, horizon), output_dir,
+        lambda batch_df: {"deduped": batch_df},
+        checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec,
+        label="url-dedup drain")

@@ -223,25 +223,11 @@ def run_sessionize_available_now(spark: SparkSession, input_dir: str,
     """Drain available event files through the stateful sessionizer,
     appending finalized sessions to parquet. Re-triggering after new files
     land resumes from the streaming checkpoint (state store included)."""
-    checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
-    batches = {"n": 0}
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append")
-         .parquet(os.path.join(output_dir, "sessions")))
-        batches["n"] += 1
+    from .availablenow import drain_available_now
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    q = (sessionize_stream(stream, gap_ms)
-         .writeStream
-         .outputMode("append")
-         .foreachBatch(process_batch)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"sessionize drain exceeded {timeout_sec}s; query stopped — "
-            "rerun to resume from the checkpoint")
-    return batches["n"]
+    return drain_available_now(
+        sessionize_stream(stream, gap_ms), output_dir,
+        lambda batch_df: {"sessions": batch_df},
+        checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec,
+        label="sessionize drain")

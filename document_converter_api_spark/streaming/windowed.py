@@ -48,26 +48,12 @@ def run_crawl_rate_available_now(spark: SparkSession, input_dir: str,
     foreachBatch. The watermark bounds both state and how late a WARC
     record may arrive and still count; re-triggering after new files land
     continues from the streaming checkpoint."""
-    checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
-    batches = {"n": 0}
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append")
-         .parquet(os.path.join(output_dir, "crawl_rate")))
-        batches["n"] += 1
+    from .availablenow import drain_available_now
 
     stream_pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
                     .withWatermark("warc_ts", watermark))
-    q = (crawl_rate(stream_pages, window)
-         .writeStream
-         .outputMode("update")
-         .foreachBatch(process_batch)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"crawl-rate drain exceeded {timeout_sec}s; query stopped — "
-            "rerun to resume from the checkpoint")
-    return batches["n"]
+    return drain_available_now(
+        crawl_rate(stream_pages, window), output_dir,
+        lambda batch_df: {"crawl_rate": batch_df},
+        checkpoint_dir=checkpoint_dir, output_mode="update",
+        timeout_sec=timeout_sec, label="crawl-rate drain")

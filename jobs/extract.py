@@ -7,7 +7,7 @@ Cluster usage (north rule — multi-executor, ``--py-files``)::
         --master yarn --deploy-mode cluster \
         --num-executors 1000 --executor-cores 4 --executor-memory 8g \
         --conf spark.sql.adaptive.enabled=true \
-        --conf spark.sql.execution.arrow.maxRecordsPerBatch=2048 \
+        --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
         --py-files dist/pipeline.zip \
         jobs/extract.py --input s3://bucket/pages --output s3://bucket/out \
         --partitions 65536 --partitions-per-commit 1024
@@ -48,10 +48,14 @@ def main() -> None:
     spark = (SparkSession.builder.appName("webtext-extract")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
-             # 2048-row batches measured +34% over 512 on ~5 KB pages (parse is a
-             # minority of stage cpu; per-batch overhead dominates) — byte-size
-             # re-slicing in the UDF still bounds worker memory for big docs
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+             # 512 rows, NOT the bench's 2048: maxRecordsPerBatch caps rows,
+             # not bytes — the JVM materializes and ships the WHOLE batch
+             # before the UDF's byte-budget re-slicing sees it (slices are
+             # zero-copy views), so with untrusted input admitting docs up
+             # to MAX_FILE_SIZE the worst-case batch is rows x 50 MB. 2048
+             # is safe (and +34%) on corpora whose p99 doc size is known
+             # small — override via --conf for such runs.
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
              .getOrCreate())
 
     from document_converter_api_spark.functions.expressions import MAX_FILE_SIZE

@@ -431,3 +431,18 @@ class TestReviewHardening:
                         b"\x00" * (100 * 1024 * 1024))
         r = extract_document(buf.getvalue(), "u.docx", "docx")
         assert r.error is None and "hello docx" in r.markdown
+
+
+def test_denied_container_beyond_depth_cap_stays_suppressed():
+    """Intentional divergence from build-then-prune (documented in
+    html_to_markdown): a class-denied container nested beyond MAX_DEPTH
+    suppresses its children — flattening would leak boilerplate content."""
+    from document_converter_api_spark.extraction.markdown import (
+        html_to_markdown)
+    md = html_to_markdown(
+        "<html><body>" + "<div>" * 300
+        + '<div class="related"><p>recommended boilerplate links here</p>'
+        + "</div><p>keep this long enough paragraph of real content</p>"
+        + "</div>" * 300 + "</body></html>")
+    assert "recommended boilerplate" not in md
+    assert "keep this long enough" in md
