@@ -139,8 +139,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_conditional": """
             SELECT count(*) AS total,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                    round(sum(value), 2) AS sum_value,
                    round(avg(value), 4) AS avg_value
             FROM events
@@ -162,7 +162,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "resume_antijoin": """
-            SELECT count(*) AS n_pending, sum(n_chars) AS chars_pending
+            SELECT count(*) AS n_pending,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_pending
             FROM documents WHERE doc_id % 3 <> 0
         """,
         "orders_join": """
@@ -320,7 +321,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id LIMIT 200
         """,
         "rollup_stats": """
-            SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY ROLLUP (source, lang)
             ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
@@ -335,7 +337,8 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'
                        EXCEPT
                        SELECT user_id FROM events WHERE event_type = 'purchase')
-            SELECT count(*) AS n_view_only, sum(user_id) AS sum_ids FROM v
+            SELECT count(*) AS n_view_only,
+                   CAST(sum(user_id) AS BIGINT) AS sum_ids FROM v
         """,
         "top_revenue_orders": """
             SELECT l_orderkey,

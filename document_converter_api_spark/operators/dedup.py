@@ -8,15 +8,20 @@ Four tiers, all shuffle-conscious and oracle-checked against DuckDB:
   in-posting-list pair expansion → pair-count → Jaccard ≥ τ. Bucket-then-
   expand rather than a shingle⋈shingle self-join: one shuffle on the shingle
   key, and the scan→shingle subtree runs once (a self-join plans it twice).
+  Posting lists are document-frequency-capped (JACCARD_DF_CAP) on the same
+  shuffle via a window count, so one ubiquitous shingle can never
+  centralize the corpus into a single collect_list row.
 * **MinHash + LSH** — K=8 signatures from 2 keyed md5s per shingle (each
   128-bit digest yields four 32-bit pieces; string-min over lowercase hex ==
   numeric min, and md5 — unlike xxhash64 — is reproducible in any engine),
   banded 4×2; candidates = band-bucket group + in-bucket pairs. At 10^12
   docs this is the only tier that avoids the quadratic shingle blowup:
   cost is O(docs × bands) with bucket-local pairs.
-* **SimHash**    — 16-bit signature from per-token digest bit-majorities;
-  near-dup = Hamming distance ≤ 3. Banding on the high byte bounds the
-  pair space.
+* **SimHash**    — 64-bit signature from per-token digest bit-majorities;
+  near-dup = Hamming distance ≤ 3. Banded into 4 disjoint 16-bit tables
+  (pigeonhole: ≤ 3 differing bits leave ≥ 1 band identical), so the band
+  key space is 4×65536 and scales with the corpus instead of collapsing
+  into 256 quadratic buckets.
 
 The fixture corpus has no natural duplicates, so every query derives a
 deterministic corpus: documents ∪ exact copies (doc_id+10000 for doc_id%5=0)
@@ -43,7 +48,16 @@ from .scan import widen
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 16
+# Document-frequency cap for Jaccard posting lists: a shingle appearing in
+# more than this many docs is corpus boilerplate ("of the and") and carries
+# no dedup signal, but its posting list would centralize every containing
+# doc into ONE collect_list row (single-task k² expansion + OOM at 10^9
+# docs). Standard LSH practice drops them; the DuckDB oracle applies the
+# same cap so the check covers the capped semantics.
+JACCARD_DF_CAP = 128
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4       # 4 × 16-bit bands: pigeonhole guarantees any pair
+SIMHASH_BAND_BITS = 16  # with Hamming ≤ 3 agrees exactly on ≥ 1 band
 HAMMING_MAX = 3
 
 
@@ -151,14 +165,26 @@ def _shingle_rows_batches(it):
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with 3-gram Jaccard ≥ 0.5 (a < b). Explode-join candidate
     generation; Jaccard from |∩| and set sizes only — text never re-read."""
+    from pyspark.sql import Window
+
     ex = widen(_corpus(spark, sf_dir)).mapInPandas(
         _shingle_rows_batches, "doc_id long, n_sh int, shingle string")
     # bucket-then-expand (see q_dedup_minhash_lsh): a shingle⋈shingle
     # self-join would run the scan→shingle subtree twice; grouping by
-    # shingle computes it once and pairs expand within each posting list
-    buckets = (ex.groupBy("shingle")
-               .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-               .filter(F.size("ds") > 1))
+    # shingle computes it once and pairs expand within each posting list.
+    #
+    # The document-frequency cap rides the SAME shuffle: count(*) OVER
+    # (PARTITION BY shingle) shuffles once on shingle, WindowExec spills
+    # hot-key groups to disk (rows, not an in-row array), the filter drops
+    # ubiquitous shingles, and the groupBy below reuses the partitioning
+    # (no second Exchange — pinned in tests/test_plans.py). collect_list
+    # therefore never sees a list longer than JACCARD_DF_CAP, which bounds
+    # both per-row memory and the k² pair expansion per bucket.
+    df_w = F.count("*").over(Window.partitionBy("shingle"))
+    buckets = (ex.withColumn("df", df_w)
+               .filter((F.col("df") > 1) & (F.col("df") <= JACCARD_DF_CAP))
+               .groupBy("shingle")
+               .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds")))
     pairs = (buckets
              .select(F.explode("ds").alias("a"), F.col("ds"))
              .select("a", F.explode("ds").alias("b"))
@@ -282,39 +308,63 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
+_LONG_MIN = -9223372036854775808  # two's-complement value of bit 63
+
+
 def _simhash_from_hashes(hh):
-    """16-bit simhash: bit b = majority over tokens of md5-nibble-b high bit.
-    Integer-only (+1/-1 sums; ties → bit set) for cross-engine determinism.
+    """64-bit simhash: bit b = majority over token OCCURRENCES of bit
+    ``b % 4`` of md5-hex-nibble ``b // 4``. Integer-only (+1/-1 sums; ties
+    → bit set) for cross-engine determinism. Bit 63 contributes the
+    two's-complement constant so the signature stays a signed LongType —
+    the same arithmetic the DuckDB oracle and the Arrow fast path use.
 
     ``hh`` MUST be a materialized column of per-token md5 hex strings:
-    hashing inline here would recompute md5 per token per BIT (16x), since
-    the 16 bit_sum folds each reference the array independently and
-    higher-order lambdas get no codegen/CSE."""
+    hashing inline here would recompute md5 per token per BIT (64x), since
+    the per-bit folds each reference the array independently and
+    higher-order lambdas get no codegen/CSE.
+
+    This JVM form is the executable spec pinned byte-equal to
+    :func:`_simhash_batches` in tests; the Arrow form is the fast path."""
     def bit_sum(b):
+        pos, k = b // 4 + 1, b % 4
         return F.aggregate(
             hh, F.lit(0),
             lambda acc, h: acc + F.when(
-                F.substring(h, b + 1, 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-    val = F.lit(0)
-    for b in range(SIMHASH_BITS):
-        val = val + F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                F.shiftright(F.conv(F.substring(h, pos, 1), 16, 10)
+                             .cast("int"), k).bitwiseAND(F.lit(1)) == 1,
+                1).otherwise(-1))
+    val = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS - 1):
+        val = val + F.when(bit_sum(b) >= 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    val = val + F.when(bit_sum(SIMHASH_BITS - 1) >= 0,
+                       F.lit(_LONG_MIN)).otherwise(F.lit(0))
     return val
 
 
 def _simhash_batches(it):
-    """Arrow-batched simhash: same bit-majority semantics as
+    """Arrow-batched 64-bit simhash: same bit-majority semantics as
     :func:`_simhash_from_hashes` (every token OCCURRENCE votes ±1 per
-    nibble-bit, ties set the bit) with a per-batch token→digest memo —
+    nibble-bit, ties set the bit) with a per-batch token→votes memo —
     tokens repeat heavily, and the JVM version cannot share the md5 across
-    its 16 per-bit folds (pinned equal in tests/test_operators.py)."""
+    its 64 per-bit folds (pinned equal in tests/test_operators.py). Votes
+    are memoized as ±1 int16 vectors so a document is one numpy sum."""
     from hashlib import md5
 
+    import numpy as np
     import pandas as pd
 
-    high = set("89abcdef")
+    def token_votes(t: str) -> "np.ndarray":
+        h = md5(t.encode()).hexdigest()
+        v = np.empty(SIMHASH_BITS, dtype=np.int16)
+        for b in range(SIMHASH_BITS):
+            v[b] = 1 if (int(h[b // 4], 16) >> (b % 4)) & 1 else -1
+        return v
+
+    weights = np.array([1 << b for b in range(SIMHASH_BITS - 1)]
+                       + [_LONG_MIN], dtype=np.int64)
     for pdf in it:
-        memo: dict[str, str] = {}
+        memo: dict[str, np.ndarray] = {}
         out_ids: list[int] = []
         out_sigs: list[int] = []
         for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
@@ -324,53 +374,89 @@ def _simhash_batches(it):
                 out_ids.append(doc_id)
                 out_sigs.append(0)
                 continue
-            counts = [0] * SIMHASH_BITS
+            counts = np.zeros(SIMHASH_BITS, dtype=np.int64)
             for t in text.lower().split(" "):
-                h = memo.get(t)
-                if h is None:
-                    h = memo[t] = md5(t.encode()).hexdigest()
-                for b in range(SIMHASH_BITS):
-                    counts[b] += 1 if h[b] in high else -1
+                v = memo.get(t)
+                if v is None:
+                    v = memo[t] = token_votes(t)
+                counts += v
             out_ids.append(doc_id)
-            out_sigs.append(sum(1 << b for b in range(SIMHASH_BITS)
-                                if counts[b] >= 0))
-        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+            out_sigs.append(int(weights[counts >= 0].sum()))
+        yield pd.DataFrame({"doc_id": out_ids,
+                            "simhash": pd.array(out_sigs, dtype="int64")})
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ 3 among derived corpus docs.
-    Banding on the signature high byte bounds the join (same-byte buckets)."""
-    sigs = (widen(_corpus(spark, sf_dir))
-            .mapInPandas(_simhash_batches, "doc_id long, simhash int")
-            .withColumn("band", F.floor(F.col("simhash") / 256).cast("int")))
-    # Deliberately a self-join, NOT minhash's bucket-then-expand: simhash
-    # bands have only 256 values, so collect_list would centralize a whole
-    # band in one row (single-task k² expansion, memory hazard at scale)
-    # while the sort-merge join generates pairs inside codegen — measured
-    # 2.2x faster at sf0.1 (3.98s vs 8.85s) even though the join plans the
-    # (cheap, Arrow-batched) signature stage for both children.
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+    """Near-dup pairs with Hamming(simhash64) ≤ 3 among derived corpus docs.
+
+    Banding (pigeonhole): split the 64-bit signature into 4 disjoint 16-bit
+    bands — any pair within Hamming ≤ 3 differs in at most 3 bands, so it
+    agrees EXACTLY on at least one band and surfaces as a bucket candidate.
+    Band keys are (band_id, 16-bit value): up to 4×65536 buckets whose
+    occupancy scales with corpus cardinality (unlike the previous 16-bit
+    signature's 256-value high-byte banding, which degenerated to a
+    ~quadratic 256-way self-join at corpus scale). Bucket-then-expand as in
+    minhash: signatures computed once, one shuffle on the band key, exact
+    Hamming re-check inside buckets only."""
+    sigs = widen(_corpus(spark, sf_dir)).mapInPandas(
+        _simhash_batches, "doc_id long, simhash long")
+    mask = F.lit((1 << SIMHASH_BAND_BITS) - 1)
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.shiftright("simhash", j * SIMHASH_BAND_BITS)
+                     .bitwiseAND(mask).alias("bval"))
+            for j in range(SIMHASH_BANDS)
+        ])).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    buckets = (bands.groupBy("band", "bval")
+               .agg(F.collect_set(F.struct("doc_id", "simhash")).alias("ds"))
+               .filter(F.size("ds") > 1))
+    pairs = (buckets
+             .select(F.explode("ds").alias("a"), F.col("ds"))
+             .select("a", F.explode("ds").alias("b"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"),
                      F.bit_count(F.col("a.simhash")
                                  .bitwiseXOR(F.col("b.simhash")))
                      .alias("hamming")))
     return (pairs.filter(F.col("hamming") <= HAMMING_MAX)
+            .distinct()  # a pair can agree on several bands
             .orderBy("id_a", "id_b"))
 
 
+# 64-bit simhash twin: md5 evaluated ONCE per token occurrence (unnest +
+# group-by-doc), per-bit votes from the 16 leading hex nibbles, bit 63 as
+# the two's-complement constant so the BIGINT arithmetic matches Spark's
+# signed LongType exactly. NULL-text docs re-enter via LEFT JOIN at 0.
 _SIMHASH_SQL = """
-    (SELECT doc_id,
-       {bits} AS simhash
-     FROM corpus)
-""".format(bits=" + ".join(
-    f"""(CASE WHEN list_sum(list_transform(str_split(lower(text), ' '),
-            t -> CASE WHEN substring(md5(t), {b + 1}, 1)
-                 IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
-          THEN {1 << b} ELSE 0 END)"""
-    for b in range(SIMHASH_BITS)))
+    (WITH toks AS (
+       SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t FROM corpus),
+     tn AS (
+       SELECT doc_id,
+              list_transform(range(1, 17),
+                i -> strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1)
+              AS nib
+       FROM toks),
+     votes AS (
+       SELECT doc_id, {votes}
+       FROM tn GROUP BY doc_id),
+     s0 AS (
+       SELECT doc_id, {bits} AS simhash FROM votes)
+     SELECT c.doc_id, COALESCE(s0.simhash, 0) AS simhash
+     FROM corpus c LEFT JOIN s0 ON c.doc_id = s0.doc_id)
+""".format(
+    votes=", ".join(
+        f"CAST(sum(CASE WHEN (nib[{b // 4 + 1}] >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS BIGINT) AS c{b}"
+        for b in range(SIMHASH_BITS)),
+    bits=" + ".join(
+        [f"(CASE WHEN c{b} >= 0 THEN CAST({1 << b} AS BIGINT) "
+         f"ELSE 0 END)" for b in range(SIMHASH_BITS - 1)]
+        + [f"(CASE WHEN c{SIMHASH_BITS - 1} >= 0 "
+           f"THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END)"]))
 
 
 # ---------------------------------------------------------------------------
@@ -453,10 +539,15 @@ DEDUP_ORACLES = {
         sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh
                   FROM sh WHERE len(shingles) > 0),
         ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+        exf AS (SELECT doc_id, n_sh, shingle FROM (
+                  SELECT doc_id, n_sh, shingle,
+                         count(*) OVER (PARTITION BY shingle) AS df
+                  FROM ex)
+                WHERE df > 1 AND df <= {JACCARD_DF_CAP}),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
-          FROM ex a JOIN ex b
+          FROM exf a JOIN exf b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4)
         SELECT id_a, id_b,
@@ -490,13 +581,19 @@ DEDUP_ORACLES = {
     """,
     "dedup_simhash": f"""
         WITH corpus AS ({_CORPUS_SQL}),
-        sigs AS (SELECT doc_id, simhash, CAST(floor(simhash / 256.0) AS INT) AS band
-                 FROM {_SIMHASH_SQL} s),
+        sigs AS (SELECT doc_id, simhash FROM {_SIMHASH_SQL} s),
+        bands AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, simhash, {j} AS band, "
+              f"(simhash >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS bval "
+              f"FROM sigs"
+              for j in range(SIMHASH_BANDS))}
+        ),
         pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
-          FROM sigs a JOIN sigs b
-            ON a.band = b.band AND a.doc_id < b.doc_id)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
         SELECT id_a, id_b, hamming FROM pairs
         WHERE hamming <= {HAMMING_MAX}
         ORDER BY id_a, id_b

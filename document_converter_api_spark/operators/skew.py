@@ -86,7 +86,7 @@ def host_stats_oracle(repo_root: str) -> str:
     return f"""
         SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
                count(*) AS n_docs,
-               sum(octet_length(html)) AS total_bytes
+               CAST(sum(octet_length(html)) AS BIGINT) AS total_bytes
         FROM '{path}'
         GROUP BY host ORDER BY host
     """

@@ -150,6 +150,90 @@ class TestDedupRecall:
         assert not missing, f"LSH missed exact dup pairs: {sorted(missing)[:5]}"
 
 
+class TestJaccardDfCap:
+    def test_planted_ubiquitous_shingle_is_dropped(self, spark):
+        """A shingle present in EVERY doc must never reach collect_list:
+        the DF cap bounds the widest posting list (the 100×-scale hazard —
+        one stop-shingle would otherwise centralize the corpus in one row).
+        """
+        from document_converter_api_spark.operators import dedup as D
+        from pyspark.sql import Window, functions as F
+        n_docs = D.JACCARD_DF_CAP + 40
+        rows = [(i, f"common stop words unique{i} filler{i} tail{i}")
+                for i in range(n_docs)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ex = docs.mapInPandas(D._shingle_rows_batches,
+                              "doc_id long, n_sh int, shingle string")
+        capped = (ex.withColumn(
+                      "df", F.count("*").over(Window.partitionBy("shingle")))
+                  .filter((F.col("df") > 1)
+                          & (F.col("df") <= D.JACCARD_DF_CAP))
+                  .groupBy("shingle")
+                  .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds")))
+        widest = capped.agg(F.max(F.size("ds")).alias("m")).collect()[0].m
+        assert widest is None or widest <= D.JACCARD_DF_CAP
+        # 'common stop words' appears in all n_docs > cap rows → dropped
+        assert capped.filter(
+            F.col("shingle") == "common stop words").count() == 0
+
+    def test_query_plan_single_exchange(self, spark):
+        """The window DF count and the posting-list groupBy must share ONE
+        hash exchange on shingle — the cap may not add a second shuffle."""
+        from document_converter_api_spark.operators import dedup as D
+        plan = (D.q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        n_shingle_exchanges = sum(
+            1 for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "shingle" in line)
+        assert n_shingle_exchanges == 1, plan
+
+
+class TestSimhashBanding:
+    def test_band_key_cardinality_scales_with_corpus(self, spark):
+        """Band keys are (band, 16-bit value) — occupancy must exceed the
+        old 256-value high-byte scheme even on the tiny sf0.001 corpus,
+        i.e. cardinality tracks the corpus, not a constant."""
+        from document_converter_api_spark.operators import dedup as D
+        from pyspark.sql import functions as F
+        sigs = (D._corpus(spark, "/root/testdata/sf0.001")
+                .mapInPandas(D._simhash_batches, "doc_id long, simhash long"))
+        mask = F.lit((1 << D.SIMHASH_BAND_BITS) - 1)
+        bands = sigs.select(F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.shiftright("simhash", j * D.SIMHASH_BAND_BITS)
+                     .bitwiseAND(mask).alias("bval"))
+            for j in range(D.SIMHASH_BANDS)])).alias("bb"))
+        n_docs = sigs.count()
+        n_keys = bands.select("bb.band", "bb.bval").distinct().count()
+        assert n_keys > 256
+        # near-unique occupancy on a small corpus: most docs hash alone
+        assert n_keys > 2 * n_docs
+
+    def test_pigeonhole_recall_on_exact_dups(self, spark):
+        """Exact copies (Hamming 0) must always be candidate pairs, and
+        the appended-token near copies must be found when their signatures
+        are within HAMMING_MAX."""
+        from document_converter_api_spark.operators import dedup as D
+        from pyspark.sql import functions as F
+        sf = "/root/testdata/sf0.001"
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in D.q_dedup_simhash(spark, sf).collect()}
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        for r in docs.filter(F.col("doc_id") % 5 == 0).collect():
+            assert pairs.get((r.doc_id, r.doc_id + 10000)) == 0
+        # ground-truth completeness: every pair within HAMMING_MAX on the
+        # full signatures is surfaced by the 4x16 banding (pigeonhole)
+        sigs = {r.doc_id: r.simhash for r in
+                (D._corpus(spark, sf)
+                 .mapInPandas(D._simhash_batches,
+                              "doc_id long, simhash long")).collect()}
+        ids = sorted(sigs)
+        expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                    if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                    <= D.HAMMING_MAX}
+        assert expected == set(pairs)
+
+
 class TestDedupArrowJvmParity:
     """The Arrow-batched Python signature stages must be byte-equal to their
     pure-JVM higher-order-function twins (the HOF forms stay in the module
@@ -186,7 +270,7 @@ class TestDedupArrowJvmParity:
         from document_converter_api_spark.operators import dedup as D
         corpus = D._corpus(spark, self.SF)
         py = corpus.mapInPandas(D._simhash_batches,
-                                "doc_id long, simhash int")
+                                "doc_id long, simhash long")
         hof = (corpus
                .withColumn("toks", F.split(F.lower(F.col("text")), " ", -1))
                .withColumn("hh", F.transform(F.col("toks"), F.md5))
