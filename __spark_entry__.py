@@ -101,8 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.q_token_count,
         "fingerprint": T.q_fingerprint,
         "gopher_rules": T.q_gopher_rules,
-        # multimodal binary columns (decode oracle-checked vs planted meta;
-        # frame-sample/audio-features are rows-only — byte math not in SQL)
+        # multimodal binary columns — all three oracle-checked against
+        # ground truth the fixture generator plants in meta (dimensions for
+        # decode, frame digests for sampling, PCM stats for audio)
         "multimodal_decode": M.q_multimodal_decode,
         "multimodal_frame_sample": M.q_multimodal_frame_sample,
         "multimodal_audio_features": M.q_multimodal_audio_features,
@@ -430,7 +431,4 @@ def oracle_sql() -> dict[str, str]:
         BUCKETED_JOIN_ORACLE_SQL,
     )
     sql["bucketed_join"] = BUCKETED_JOIN_ORACLE_SQL
-    # multimodal_frame_sample / multimodal_audio_features: intentionally no
-    # oracle (rows-only check) — byte-level frame digests and PCM math are
-    # not SQL-expressible.
     return sql

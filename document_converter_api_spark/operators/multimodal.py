@@ -211,9 +211,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-4th-frame sampling over video payloads (rows-only check: frame
-    digests aren't SQL-expressible — DuckDB has no md5-over-blob-slice of
-    our container; the driver records row counts)."""
+    """Every-4th-frame sampling over video payloads; oracle = the per-frame
+    md5 digests the fixture generator plants in meta at generation time
+    (fixtures/genmedia.py FRAME_SAMPLE_K), so the byte-level slicing+digest
+    is checked against ground truth, not just row counts."""
     media = _media_df(spark).filter(F.col("kind") == "video")
     out = media.repartition(8, F.xxhash64("media_id")).mapInPandas(
         frame_sample_batches(4), FRAME_SAMPLE_SCHEMA)
@@ -221,7 +222,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCM mean/RMS features (rows-only: byte-level math not in SQL)."""
+    """PCM mean/RMS features; oracle = planted signed-i8 mean/RMS from the
+    fixture meta (exact: integer sums are error-free in float64, so the
+    generator's Python arithmetic equals the operator's numpy arithmetic)."""
     media = _media_df(spark).filter(F.col("kind") == "audio")
     out = media.repartition(8, F.xxhash64("media_id")).mapInPandas(
         audio_features_batches, AUDIO_FEAT_SCHEMA)
@@ -250,6 +253,27 @@ MULTIMODAL_ORACLES = {
                       * CAST(json_extract(meta,'$.height') AS BIGINT)
                END AS payload_bytes
         FROM '__MEDIA_PARQUET__'
+        ORDER BY media_id
+    """,
+    # planted every-4th-frame md5 digests (fixtures/genmedia.py FRAME_SAMPLE_K)
+    "multimodal_frame_sample": """
+        SELECT media_id,
+               unnest(CAST(json_extract(meta, '$.frame_idx_k4') AS INT[]))
+                   AS frame_index,
+               unnest(CAST(json_extract(meta, '$.frame_dig_k4') AS VARCHAR[]))
+                   AS frame_digest
+        FROM '__MEDIA_PARQUET__'
+        WHERE kind = 'video'
+        ORDER BY media_id, frame_index
+    """,
+    # planted signed-i8 PCM stats (exact integer-sum float64 arithmetic)
+    "multimodal_audio_features": """
+        SELECT media_id,
+               CAST(json_extract(meta, '$.duration_ms') AS DOUBLE) AS duration_ms,
+               CAST(json_extract(meta, '$.mean_amp') AS DOUBLE) AS mean_amp,
+               CAST(json_extract(meta, '$.rms_amp') AS DOUBLE) AS rms_amp
+        FROM '__MEDIA_PARQUET__'
+        WHERE kind = 'audio'
         ORDER BY media_id
     """,
 }

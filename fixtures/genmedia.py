@@ -41,21 +41,43 @@ def _image(rng: random.Random) -> tuple[bytes, dict]:
                      "format": "raw1-image"}
 
 
+# Sampling stride the frame-sample operator is oracle-checked at; the
+# generator plants the md5 of every FRAME_SAMPLE_K-th frame so the operator's
+# byte-level output has fixture-side ground truth (exactly as image meta
+# plants width/height for the decode oracle).
+FRAME_SAMPLE_K = 4
+
+
 def _audio(rng: random.Random) -> tuple[bytes, dict]:
     sr = rng.choice([8000, 16000, 44100])
     n = rng.randint(100, 2000)
     pcm = bytes((rng.getrandbits(8)) for _ in range(n))
     payload = b"AUD1" + struct.pack(">II", sr, n) + pcm
+    # Planted PCM ground truth, signed-i8 interpretation. Integer sums are
+    # exact in float64 (magnitudes << 2^53), so this Python arithmetic is
+    # bit-identical to the operator's numpy mean/RMS regardless of
+    # summation order.
+    samples = [b - 256 if b >= 128 else b for b in pcm]
+    s, sq = sum(samples), sum(v * v for v in samples)
+    import math
     return payload, {"sample_rate": sr, "n_samples": n,
                      "duration_ms": round(n * 1000 / sr, 3),
+                     "mean_amp": round(s / n, 4),
+                     "rms_amp": round(math.sqrt(sq / n), 4),
                      "format": "raw1-audio"}
 
 
 def _video(rng: random.Random) -> tuple[bytes, dict]:
+    import hashlib
     nf, w, h = rng.randint(4, 24), rng.randint(4, 16), rng.randint(4, 16)
     frames = bytes(rng.getrandbits(8) for _ in range(nf * w * h))
     payload = b"VID1" + struct.pack(">HHH", nf, w, h) + frames
+    fsz = w * h
+    idx = list(range(0, nf, FRAME_SAMPLE_K))
+    dig = [hashlib.md5(frames[i * fsz:(i + 1) * fsz]).hexdigest()
+           for i in idx]
     return payload, {"n_frames": nf, "width": w, "height": h,
+                     "frame_idx_k4": idx, "frame_dig_k4": dig,
                      "format": "raw1-video"}
 
 
