@@ -22,11 +22,24 @@ import html.parser as _hp
 from html import unescape
 from html.parser import HTMLParser
 
-_starttagopen = _hp.starttagopen
-_locatestarttagend = _hp.locatestarttagend_tolerant
-_tagfind = _hp.tagfind_tolerant
-_attrfind = _hp.attrfind_tolerant
-_endtagfind = _hp.endtagfind
+# The one-shot fast path reuses the RUNNING stdlib's own compiled regexes
+# (undocumented module attributes). They have been stable across CPython 3.x
+# for a decade, but they are private: if a future build renames or removes
+# any of them, the module must still import and parse_html must route to the
+# stdlib drive — so the lookups are guarded rather than hard module-level
+# attribute accesses (a bare AttributeError here would take down the whole
+# import and with it the advertised fallback).
+try:
+    _starttagopen = _hp.starttagopen
+    _locatestarttagend = _hp.locatestarttagend_tolerant
+    _tagfind = _hp.tagfind_tolerant
+    _attrfind = _hp.attrfind_tolerant
+    _endtagfind = _hp.endtagfind
+    _FAST_PATH_OK = True
+except AttributeError:  # pragma: no cover — depends on the CPython build
+    _starttagopen = _locatestarttagend = None
+    _tagfind = _attrfind = _endtagfind = None
+    _FAST_PATH_OK = False
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
@@ -501,6 +514,8 @@ def parse_html(html: str, suppress_tags: frozenset[str] | None = None,
     ``suppress_tags`` drops those subtrees at build time (== building the
     full tree then pruning them — the extraction path passes PRUNE_TAGS so
     nav/script/footer text is never even materialized)."""
+    if not _FAST_PATH_OK:  # stdlib internals unavailable on this build
+        return parse_html_stdlib(html, suppress_tags, deny_attrs)
     builder = _DomBuilder(suppress_tags, deny_attrs)
     try:
         builder.parse(html)

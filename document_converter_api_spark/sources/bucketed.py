@@ -77,9 +77,13 @@ def q_bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are identical to the plain join (the DuckDB oracle); the plan
     property (no Exchange) is pinned in tests/test_plans.py.
 
-    The bucketed copies land in one FIXED temp dir (overwritten per call,
-    never accumulated): a fresh mkdtemp per invocation would leak a full
-    dataset copy every time the registered query runs."""
+    The bucketed copies land in a temp dir scoped by ``spark.app.id`` (and
+    table names likewise): re-running within one session overwrites rather
+    than accumulating copies, while two concurrent sessions (e.g.
+    check_oracle alongside the bench) can no longer interleave each other's
+    DROP TABLE/overwrite with a bucketed scan and read partial files."""
+    app = "".join(c if c.isalnum() else "_"
+                  for c in spark.sparkContext.applicationId)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     bdocs, bembs = bucketed_pair(
@@ -87,8 +91,9 @@ def q_bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars"),
         embs.select("vec_id", "label"),
         "doc_id", "vec_id",
-        base_dir=os.path.join(tempfile.gettempdir(), "dcas_bucketed_join"),
-        names=("b_documents", "b_embeddings"))
+        base_dir=os.path.join(tempfile.gettempdir(),
+                              f"dcas_bucketed_join_{app}"),
+        names=(f"b_documents_{app}", f"b_embeddings_{app}"))
     return (bdocs.join(bembs, bdocs.doc_id == bembs.vec_id)
             .select("doc_id", "lang", "n_chars", "label"))
 

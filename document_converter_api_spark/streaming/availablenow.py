@@ -49,12 +49,37 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
     its ``subdir/batch_id=N`` partition directory and overwrites it
     wholesale if the epoch replays after a crash — readers see the
     ``batch_id`` partition column. On timeout the query is stopped and a
-    TimeoutError raised; rerunning resumes from the checkpoint."""
+    TimeoutError raised (earlier revisions returned silently); rerunning
+    resumes from the checkpoint.
+
+    Layout-change guard: output directories written by the pre-partitioned
+    revision of this module hold flat parquet files directly under
+    ``subdir/``; Spark's partition discovery refuses to mix those with
+    ``batch_id=N`` subdirectories ("Conflicting directory structures"), so
+    a flat legacy layout is detected up front and rejected with a
+    migration message instead of producing an unreadable directory."""
     checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
     batches = {"n": 0}
 
+    def _reject_legacy_flat_layout(subdir: str) -> None:
+        d = os.path.join(output_dir, subdir)
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            return
+        flat = [e for e in entries if e.endswith(".parquet")
+                and os.path.isfile(os.path.join(d, e))]
+        if flat:
+            raise ValueError(
+                f"{d} holds flat parquet files ({flat[:3]}…) from the "
+                "pre-batch_id layout; mixing them with batch_id=N "
+                "partitions breaks Spark partition discovery. Move the "
+                "legacy files into a batch_id=-1/ subdir (or point "
+                "output_dir at a fresh directory) before draining.")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         for subdir, df in batch_outputs(batch_df).items():
+            _reject_legacy_flat_layout(subdir)
             (df.write.mode("overwrite")
              .parquet(os.path.join(output_dir, subdir,
                                    f"batch_id={batch_id}")))

@@ -158,7 +158,18 @@ def _session_fold(state_row: tuple | None, events: pd.DataFrame,
 def _round_half_up(x: float, digits: int = 2) -> float:
     """Spark-compatible rounding: F.round is HALF_UP on the shortest decimal
     representation of the double (BigDecimal.valueOf), while Python's
-    round() is banker's rounding — they differ on exact .xx5 values."""
+    round() is banker's rounding — they differ on exact .xx5 values.
+
+    Accumulation-order caveat: the streaming fold sums ``total_value`` in
+    per-key event order, while the batch twin's F.sum adds in whatever
+    partition order the shuffle delivers. Float addition is not
+    associative, so on adversarial values whose session sum lands exactly
+    on a .xx5 boundary the two HALF_UP roundings can differ in the last
+    decimal even though both sides are individually correct. A
+    stream-equals-batch parity check on arbitrary float inputs should
+    therefore compare ``total_value`` with a 1-ulp pre-rounding tolerance
+    rather than exact equality; the oracle-checked batch twin is immune
+    (both engines sum with F.sum semantics there)."""
     from decimal import ROUND_HALF_UP, Decimal
     q = Decimal(1).scaleb(-digits)
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))

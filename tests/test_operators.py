@@ -281,18 +281,33 @@ class TestDedupArrowJvmParity:
 
 
 class TestScanWiden:
-    def test_widen_noops_on_wide_input(self, spark):
-        """At real corpus scale the scan already has >= cluster-width
-        splits — widen must return the SAME plan (no extra shuffle)."""
+    def test_widen_noops_on_wide_input(self, spark, tmp_path):
+        """At real corpus scale the scan already spans >= cluster-width
+        files — widen must return the SAME plan (no extra shuffle), and
+        the probe must not force physical planning (file listing only)."""
         from document_converter_api_spark.operators.scan import widen
-        wide = spark.range(0, 1000, 1, 16)  # 16 partitions == local[4]*4
+        path = str(tmp_path / "wide")
+        spark.range(0, 1000, 1, 16).write.parquet(path)
+        wide = spark.read.parquet(path)  # 16 files >= local[4] parallelism
         assert widen(wide) is wide
 
-    def test_widen_spreads_narrow_input(self, spark):
+    def test_widen_spreads_narrow_input(self, spark, tmp_path):
         from document_converter_api_spark.operators.scan import widen
-        narrow = spark.range(0, 1000, 1, 1)
+        path = str(tmp_path / "narrow")
+        spark.range(0, 1000, 1, 1).write.parquet(path)
+        narrow = spark.read.parquet(path)
         out = widen(narrow)
         assert out is not narrow
         assert out.rdd.getNumPartitions() == \
             spark.sparkContext.defaultParallelism
         assert out.count() == 1000
+
+    def test_widen_spreads_in_memory_plans(self, spark):
+        """Plans with no file source (createDataFrame unions, ranges) have
+        no listing to probe — widen spreads them, which is the safe side
+        for the CPU-heavy stages it guards."""
+        from document_converter_api_spark.operators.scan import widen
+        out = widen(spark.range(0, 100, 1, 2))
+        assert out.rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+        assert out.count() == 100
