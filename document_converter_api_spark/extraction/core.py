@@ -18,7 +18,7 @@ from dataclasses import dataclass
 
 from .docx import docx_to_markdown
 from .markdown import html_to_markdown
-from .pdf import pdf_to_text
+from .pdf import PdfEncryptedError, PdfNeedsOcrError, pdf_to_text
 from .sniff import sniff_content_type
 
 
@@ -49,5 +49,12 @@ def extract_document(payload: bytes, url: str = "",
         if ctype == "docx":
             return ExtractResult(docx_to_markdown(payload), None)
         return ExtractResult(None, f"unsupported_content_type:{ctype}")
+    except PdfNeedsOcrError:
+        # detected-and-tagged reject (stable code, filterable downstream) —
+        # the reference OCRs these via tesseract, unavailable in-sandbox
+        return ExtractResult(None, "needs_ocr")
+    except PdfEncryptedError:
+        # the reference decrypts via qpdf; we tag instead of garbling
+        return ExtractResult(None, "encrypted")
     except Exception as exc:  # noqa: BLE001 — doc failure must not kill the job
         return ExtractResult(None, f"{type(exc).__name__}: {exc}"[:500])

@@ -3,18 +3,39 @@
 MarkItDown 0.1.0's PDF path is pdfminer.six ``extract_text`` — layout-ordered
 plain text with form-feed page separators (the operator the reference invokes
 at /root/reference/app/main.py:383-391 for ``.pdf`` uploads, whitelist at
-:204). pdfminer is not installable in this sandbox (no network), so this is a
-stdlib-only content-stream tokenizer covering the deterministic synthetic-PDF
-subset the fixtures generate (FIXTURES.md §3): ``%PDF-1.x``, text drawn with
-``BT/ET``, ``Tf``, ``Td/TD/T*``, ``Tj``/``TJ``/``'``, literal ``(...)`` and
-hex ``<...>`` strings, plain and FlateDecode streams, one content stream per
-page.
+:204; its Dockerfile also ships poppler/qpdf/tesseract for hard inputs).
+pdfminer is not installable in this sandbox (no network), so this is a
+stdlib-only extractor with two tiers:
+
+* **structured path** (preferred): index ``N 0 obj`` objects, walk
+  Catalog → Pages → Kids for page order, pull each page's ``/Contents``
+  stream(s) and ``/Resources /Font`` map, and tokenize the content streams.
+  Type0/CID fonts with a ``/ToUnicode`` CMap (bfchar/bfrange, Identity-H
+  2-byte codes) are decoded through the CMap; simple fonts decode latin-1.
+  Works identically for classic-xref and xref-stream (PDF 1.5+) files —
+  object discovery is linear, not offset-driven, so a compressed
+  cross-reference table changes nothing.
+* **linear fallback**: when no page tree is found, scan raw content
+  streams in file order (the original fixture-subset behavior), skipping
+  non-content stream types (XRef, ObjStm, Metadata, CMaps, images).
+
+Degradation contract (instead of silent garbage):
+
+* encrypted documents (``/Encrypt`` in the trailer) raise
+  :class:`PdfEncryptedError` → tagged ``error='encrypted'`` upstream
+  (the reference handles these via qpdf);
+* documents with zero extractable text but image XObjects raise
+  :class:`PdfNeedsOcrError` → ``error='needs_ocr'`` (the reference OCRs
+  them via tesseract, which this sandbox does not ship).
+
+Tokenizer coverage: ``BT/ET``, ``Tf``, ``Td/TD/T*``, ``Tj``/``TJ``/``'``,
+literal ``(...)`` (with escapes/kerning arrays) and hex ``<...>`` strings,
+plain and FlateDecode streams.
 
 Semantics (pdfminer-style):
 * each ``Td``/``TD``/``T*``/``'`` newline-advance emits ``\\n``;
 * strings within one line concatenate;
-* pages join with ``\\f``; output ends with a trailing ``\\f`` then ``\\n``
-  is NOT appended (we emit exactly page texts joined by ``\\f``).
+* every page's text ends with ``\\n\\f``.
 
 Pure Python; no Spark imports.
 """
@@ -25,6 +46,15 @@ import re
 import zlib
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+class PdfEncryptedError(Exception):
+    """Document is encrypted — cannot extract without decryption keys."""
+
+
+class PdfNeedsOcrError(Exception):
+    """Document has no text operators, only raster images — needs OCR."""
 
 # Per-stream inflate cap: page content streams are normally well under a
 # few MB; anything larger is a decompression bomb for this pipeline.
@@ -149,6 +179,12 @@ def _iter_strings_and_ops(stream: bytes):
         elif b == 0x25:  # comment to EOL
             j = stream.find(b"\n", i)
             i = n if j < 0 else j + 1
+        elif b == 0x2F:  # '/' name token (operand, e.g. the font of Tf)
+            j = i + 1
+            while j < n and stream[j] not in b" \t\r\n()<>[]{}/%":
+                j += 1
+            yield ("name", stream[i + 1:j].decode("latin-1"))
+            i = j
         elif (0x41 <= b <= 0x5A) or (0x61 <= b <= 0x7A) or b == 0x27 or b == 0x22:
             j = i
             while j < n and (
@@ -162,12 +198,41 @@ def _iter_strings_and_ops(stream: bytes):
             i += 1
 
 
-def _stream_to_text(stream: bytes) -> str:
-    """Decode one page content stream to text lines."""
+class _Font:
+    """Per-font decode state: a ToUnicode CMap (code → str) + code width."""
+
+    __slots__ = ("cmap", "width")
+
+    def __init__(self, cmap: dict[int, str] | None, width: int):
+        self.cmap = cmap
+        self.width = width
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is None:
+            return raw.decode("latin-1")
+        w = self.width
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i:i + w], "big")
+            out.append(self.cmap.get(code, "�"))
+        return "".join(out)
+
+
+_LATIN1_FONT = _Font(None, 1)
+
+
+def _stream_to_text(stream: bytes,
+                    fonts: dict[str, _Font] | None = None) -> str:
+    """Decode one page content stream to text lines. ``fonts`` maps content
+    resource names (the ``F1`` of ``/F1 12 Tf``) to decode state; absent
+    fonts (and the fallback path, which has no resource context) decode
+    latin-1."""
     lines: list[str] = []
     cur: list[str] = []
     pending: list[bytes] = []  # strings seen since last op
     in_text = False
+    cur_font = _LATIN1_FONT
+    last_name: str | None = None
 
     def newline() -> None:
         nonlocal cur
@@ -182,6 +247,10 @@ def _stream_to_text(stream: bytes) -> str:
         if kind == "str":
             pending.append(val)
             continue
+        if kind == "name":
+            # operand, like a number: remembered for Tf, never clears text
+            last_name = val
+            continue
         op = val
         if op == "BT":
             in_text = True
@@ -193,6 +262,10 @@ def _stream_to_text(stream: bytes) -> str:
                 cur = []
             in_text = False
             pending.clear()
+        elif op == "Tf":
+            if fonts is not None and last_name is not None:
+                cur_font = fonts.get(last_name, _LATIN1_FONT)
+            pending.clear()
         elif op in ("Td", "TD", "T*"):
             if not first_line:
                 newline()
@@ -200,16 +273,16 @@ def _stream_to_text(stream: bytes) -> str:
             pending.clear()
         elif op == "Tj":
             if pending:
-                cur.append(pending[-1].decode("latin-1"))
+                cur.append(cur_font.decode(pending[-1]))
             pending.clear()
         elif op == "TJ":
-            cur.append(b"".join(pending).decode("latin-1"))
+            cur.append("".join(cur_font.decode(p) for p in pending))
             pending.clear()
         elif op == "'":
             newline()
             first_line = False
             if pending:
-                cur.append(pending[-1].decode("latin-1"))
+                cur.append(cur_font.decode(pending[-1]))
             pending.clear()
         else:
             pending.clear()
@@ -218,31 +291,295 @@ def _stream_to_text(stream: bytes) -> str:
     return "\n".join(lines)
 
 
+# ---------------------------------------------------------------------------
+# Structured path: object index → page tree → per-page fonts/contents
+# ---------------------------------------------------------------------------
+
+# Stream dict types that are never page content (tokenizing their bodies
+# would emit garbage "text"): cross-reference streams (PDF 1.5+), compressed
+# object streams, XMP metadata, ToUnicode/other CMaps, embedded files.
+_NON_CONTENT_TYPES = (b"/XRef", b"/ObjStm", b"/Metadata", b"/CMap",
+                      b"/EmbeddedFile")
+
+
+def _inflate(params: bytes, body: bytes) -> bytes | None:
+    """Bounded FlateDecode (bomb/truncation → None, like corrupt streams)."""
+    if b"/FlateDecode" not in params:
+        return body
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(body, MAX_STREAM_BYTES)
+        if d.unconsumed_tail or not d.eof:
+            return None
+        return out
+    except zlib.error:
+        return None
+
+
+def _index_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Linear ``N G obj`` scan → {num: (dict_bytes, raw_stream_body|None)}.
+
+    Offset-free by design: works identically whether the file carries a
+    classic ``xref`` table or a PDF 1.5 cross-reference stream, and
+    tolerates broken/absent xref offsets entirely. The scan position always
+    jumps past stream bodies (length-delimited when /Length is literal), so
+    binary bodies containing ``N 0 obj`` bytes cannot spoof objects."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos, n = 0, len(data)
+    while pos < n:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        num, start = int(m.group(1)), m.end()
+        si = data.find(b"stream", start)
+        ei = data.find(b"endobj", start)
+        if si != -1 and (ei == -1 or si < ei):
+            params = data[start:si]
+            after = si + 6
+            if data[after:after + 2] == b"\r\n":
+                bs = after + 2
+            elif data[after:after + 1] == b"\n":
+                bs = after + 1
+            else:
+                bs = after
+            lm = _LENGTH_RE.search(params)
+            if lm:
+                ln = int(lm.group(1))
+                body = data[bs:bs + ln]
+                end = data.find(b"endstream", bs + ln)
+            else:  # indirect /Length: delimit by the endstream keyword
+                end = data.find(b"endstream", bs)
+                body = data[bs:end] if end >= 0 else data[bs:]
+                if body.endswith(b"\r\n"):
+                    body = body[:-2]
+                elif body.endswith(b"\n"):
+                    body = body[:-1]
+            scan_from = end + 9 if end >= 0 else bs + len(body)
+            ei = data.find(b"endobj", scan_from)
+            objs.setdefault(num, (params, body))
+            pos = ei + 6 if ei >= 0 else n
+        else:
+            params = data[start:ei] if ei >= 0 else data[start:]
+            objs.setdefault(num, (params, None))
+            pos = ei + 6 if ei >= 0 else n
+    return objs
+
+
+def _ref(params: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", params)
+    return int(m.group(1)) if m else None
+
+
+def _ref_list(blob: bytes) -> list[int]:
+    return [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", blob)]
+
+
+def _balanced_dict_after(params: bytes, key: bytes) -> bytes | None:
+    """The ``<< ... >>`` region following ``/key`` (balanced nesting)."""
+    m = re.search(rb"/" + key + rb"\s*<<", params)
+    if not m:
+        return None
+    i = m.end() - 2
+    depth, n = 0, len(params)
+    start = i
+    while i < n - 1:
+        pair = params[i:i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return params[start:i]
+        else:
+            i += 1
+    return None
+
+
+_MAX_BFRANGE = 1 << 16  # Identity-H code space; larger ranges are bombs
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """bfchar/bfrange sections of a ToUnicode CMap → {code: unicode str}."""
+    mapping: dict[int, str] = {}
+
+    def uni(hexdst: bytes) -> str:
+        try:
+            return bytes.fromhex(hexdst.decode("ascii")).decode(
+                "utf-16-be", "replace")
+        except ValueError:
+            return "�"
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            mapping[int(src, 16)] = uni(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = m.group(1)
+        for lo, hi, arr in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                body, re.S):
+            base = int(lo, 16)
+            for k, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                if k > int(hi, 16) - base:
+                    break
+                mapping[base + k] = uni(d)
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i >= _MAX_BFRANGE:
+                continue
+            width = len(dst)
+            base = int(dst, 16)
+            for c in range(lo_i, hi_i + 1):
+                mapping[c] = uni(
+                    format(base + (c - lo_i), f"0{width}x").encode())
+    return mapping
+
+
+def _code_width(font_params: bytes, cmap: bytes) -> int:
+    """Code byte width: from the CMap's codespacerange when present, else
+    2 for composite (Type0) fonts, 1 for simple fonts."""
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", cmap)
+    if m:
+        return max(1, len(m.group(1)) // 2)
+    return 2 if b"/Type0" in font_params else 1
+
+
+def _page_order(objs: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Page object numbers in tree order (Catalog→Pages→Kids, Kids may
+    nest); falls back to file order of /Type/Page objects."""
+    root = None
+    for _num, (params, _body) in objs.items():
+        if b"/Catalog" in params:
+            root = _ref(params, b"Pages")
+            break
+    pages: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 32 or num not in objs:
+            return
+        params, _ = objs[num]
+        if b"/Page" in params and b"/Pages" not in params:
+            pages.append(num)
+            return
+        m = re.search(rb"/Kids\s*\[(.*?)\]", params, re.S)
+        if m:
+            for kid in _ref_list(m.group(1)):
+                walk(kid, depth + 1)
+
+    if root is not None:
+        walk(root)
+    if not pages:
+        pages = [num for num, (params, body) in sorted(objs.items())
+                 if b"/Type" in params and b"/Page" in params
+                 and b"/Pages" not in params and body is None]
+    return pages
+
+
+def _page_fonts(objs: dict[int, tuple[bytes, bytes | None]],
+                page_params: bytes) -> dict[str, _Font]:
+    """Resource-name → decode state for one page (only fonts that need a
+    CMap are materialized; everything else defaults to latin-1)."""
+    res = _balanced_dict_after(page_params, b"Resources")
+    if res is None:
+        rnum = _ref(page_params, b"Resources")
+        if rnum is not None and rnum in objs:
+            res = objs[rnum][0]
+    if res is None:
+        return {}
+    fdict = _balanced_dict_after(res, b"Font")
+    if fdict is None:
+        return {}
+    fonts: dict[str, _Font] = {}
+    for name, fnum in re.findall(rb"/([^\s/<>\[\]]+)\s+(\d+)\s+\d+\s+R",
+                                 fdict):
+        fparams = objs.get(int(fnum), (b"", None))[0]
+        tun = _ref(fparams, b"ToUnicode")
+        if tun is None or tun not in objs:
+            continue
+        tparams, tbody = objs[tun]
+        if tbody is None:
+            continue
+        cmap_raw = _inflate(tparams, tbody)
+        if cmap_raw is None:
+            continue
+        fonts[name.decode("latin-1")] = _Font(
+            _parse_tounicode(cmap_raw), _code_width(fparams, cmap_raw))
+    return fonts
+
+
+def _page_text(objs: dict[int, tuple[bytes, bytes | None]],
+               page_params: bytes) -> str:
+    m = re.search(rb"/Contents\s*\[(.*?)\]", page_params, re.S)
+    if m:
+        refs = _ref_list(m.group(1))
+    else:
+        c = _ref(page_params, b"Contents")
+        refs = [c] if c is not None else []
+    bodies = []
+    for r in refs:
+        if r not in objs:
+            continue
+        params, body = objs[r]
+        if body is None:
+            continue
+        dec = _inflate(params, body)
+        if dec is not None:
+            bodies.append(dec)
+    if not bodies:
+        return ""
+    return _stream_to_text(b"\n".join(bodies), _page_fonts(objs, page_params))
+
+
+def _check_encrypted(data: bytes) -> None:
+    """/Encrypt in the trailer dict (classic) or an XRef stream dict."""
+    t = data.rfind(b"trailer")
+    if t >= 0 and b"/Encrypt" in data[t:t + 2048]:
+        raise PdfEncryptedError("PDF is encrypted (trailer /Encrypt)")
+
+
 def pdf_to_text(data: bytes) -> str:
-    """Extract layout text from a fixture-subset PDF; pages joined by \\f."""
+    """Extract layout text; every page's text ends with ``\\n\\f``.
+
+    Structured page-tree path when the document has one (required for CID
+    ToUnicode decoding and correct page order under xref streams), linear
+    stream scan otherwise. Raises :class:`PdfEncryptedError` /
+    :class:`PdfNeedsOcrError` per the module degradation contract."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    pages: list[str] = []
-    for params, body in _iter_streams(data):
-        if b"/FlateDecode" in params:
-            try:
-                # bounded inflate: a crafted stream can expand 1000:1, and an
-                # unbounded decompress of a 50 MB payload could OOM the
-                # Python worker — skip bomb streams like corrupt ones
-                d = zlib.decompressobj()
-                body = d.decompress(body, MAX_STREAM_BYTES)
-                if d.unconsumed_tail or not d.eof:
-                    # bomb (output cap hit) OR truncated stream — plain
-                    # zlib.decompress raised on truncation and the old code
-                    # skipped; keep skipping rather than emitting partial
-                    # garbage text
-                    continue
-            except zlib.error:
+    _check_encrypted(data)
+
+    objs = _index_objects(data)
+    for _num, (params, _body) in objs.items():
+        if b"/Type" in params and b"/XRef" in params \
+                and b"/Encrypt" in params:
+            raise PdfEncryptedError("PDF is encrypted (xref-stream dict)")
+
+    page_nums = _page_order(objs)
+    if page_nums:
+        pages = [_page_text(objs, objs[p][0]) for p in page_nums]
+    else:
+        # fallback: raw content streams in file order (no page tree found)
+        pages = []
+        for params, body in _iter_streams(data):
+            dec = _inflate(params, body)
+            if dec is None:
                 continue
-        if b"/Image" in params or b"/XObject" in params:
-            continue
-        text = _stream_to_text(body)
-        pages.append(text)
+            if any(t in params for t in _NON_CONTENT_TYPES) \
+                    or b"/Image" in params or b"/XObject" in params:
+                continue
+            pages.append(_stream_to_text(dec))
+
+    if not any(p.strip() for p in pages):
+        has_image = any(b"/Subtype" in params and b"/Image" in params
+                        for params, _body in objs.values())
+        if has_image:
+            raise PdfNeedsOcrError(
+                "no text operators; raster-image pages need OCR "
+                "(reference path: tesseract)")
     if not pages:
         return ""
     # pdfminer.six extract_text style: every page ends with "\n\f".

@@ -1,0 +1,260 @@
+"""PDF robustness tier (VERDICT round-1 item 5): xref-stream files,
+Type0/CID fonts with ToUnicode CMaps, image-only pages → needs_ocr,
+encrypted files → encrypted — plus regression byte-identity of the classic
+fixture subset through the new structured path.
+
+The reference gets these shapes free from pdfminer/qpdf/tesseract
+(/root/reference/Dockerfile:16-32); here each is either extracted or tagged
+with a stable error code — never silently garbled.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+
+import pytest
+
+from document_converter_api_spark.extraction.core import extract_document
+from document_converter_api_spark.extraction.pdf import (
+    PdfEncryptedError, PdfNeedsOcrError, pdf_to_text,
+)
+from fixtures.genpages import build_minimal_pdf
+
+
+# ---------------------------------------------------------------------------
+# builders for the new shapes
+# ---------------------------------------------------------------------------
+
+def _assemble(objs: list[bytes], trailer_extra: bytes = b"",
+              xref_stream: bool = False) -> bytes:
+    """Serialize numbered objects with either a classic xref table or a
+    PDF-1.5 cross-reference stream (type-1 entries, W=[1 4 2])."""
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(f"{n} 0 obj\n".encode())
+        out.write(body)
+        out.write(b"\nendobj\n")
+    if not xref_stream:
+        xref_at = out.tell()
+        out.write(f"xref\n0 {len(objs) + 1}\n".encode())
+        out.write(b"0000000000 65535 f \n")
+        for off in offsets:
+            out.write(f"{off:010d} 00000 n \n".encode())
+        out.write(b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+                  + b" /Root 1 0 R " + trailer_extra + b" >>\n")
+        out.write(f"startxref\n{xref_at}\n%%EOF\n".encode())
+        return out.getvalue()
+    # xref STREAM: one type-1 (offset) entry per object + one for itself
+    xref_num = len(objs) + 1
+    xref_at = out.tell()
+    rows = [b"\x01" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+    for off in offsets + [xref_at]:
+        rows.append(b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    packed = zlib.compress(b"".join(rows), 6)
+    out.write(f"{xref_num} 0 obj\n".encode())
+    out.write(b"<< /Type /XRef /Size " + str(xref_num + 1).encode()
+              + b" /W [1 4 2] /Root 1 0 R " + trailer_extra
+              + b" /Filter /FlateDecode /Length "
+              + str(len(packed)).encode() + b" >>\nstream\n" + packed
+              + b"\nendstream\nendobj\n")
+    out.write(f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return out.getvalue()
+
+
+def _simple_page_objs(lines: list[str], compress: bool = False) -> list[bytes]:
+    content = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for j, line in enumerate(lines):
+        if j > 0:
+            content.append("0 -14 Td")
+        content.append(f"({line}) Tj")
+    content.append("ET")
+    stream = "\n".join(content).encode("latin-1")
+    filt = b""
+    if compress:
+        stream = zlib.compress(stream, 6)
+        filt = b" /Filter /FlateDecode"
+    return [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Length " + str(len(stream)).encode() + filt
+        + b" >>\nstream\n" + stream + b"\nendstream",
+    ]
+
+
+def build_cid_pdf(text: str, compress_cmap: bool = True) -> bytes:
+    """Type0 (Identity-H) font: content strings are 2-byte glyph codes,
+    readable only through the /ToUnicode CMap (bfchar for the first two
+    distinct chars, bfrange for the rest)."""
+    chars = sorted(set(text))
+    code_of = {c: 0x0100 + i for i, c in enumerate(chars)}
+    hexstr = "".join(f"{code_of[c]:04x}" for c in text)
+    content = (f"BT\n/F7 12 Tf\n72 720 Td\n<{hexstr}> Tj\nET"
+               .encode("latin-1"))
+    bfchars = "".join(
+        f"<{code_of[c]:04x}> <{ord(c):04x}>\n" for c in chars[:2])
+    bfranges = ""
+    if len(chars) > 2:
+        # one bfrange per char (arbitrary codepoints aren't contiguous)
+        bfranges = "".join(
+            f"<{code_of[c]:04x}> <{code_of[c]:04x}> <{ord(c):04x}>\n"
+            for c in chars[2:])
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        f"{len(chars[:2])} beginbfchar\n{bfchars}endbfchar\n"
+        + (f"{len(chars) - 2} beginbfrange\n{bfranges}endbfrange\n"
+           if bfranges else "")
+        + "endcmap\nend\n").encode("latin-1")
+    filt = b""
+    if compress_cmap:
+        cmap = zlib.compress(cmap, 6)
+        filt = b" /Filter /FlateDecode"
+    return _assemble([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F7 4 0 R >> >> /Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+        b"/Encoding /Identity-H /ToUnicode 5 0 R >>",
+        b"<< /Type /CMap /Length " + str(len(cmap)).encode() + filt
+        + b" >>\nstream\n" + cmap + b"\nendstream",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ])
+
+
+def build_image_only_pdf() -> bytes:
+    raster = bytes(range(64)) * 4
+    content = b"q 100 0 0 100 72 600 cm /Im0 Do Q"
+    return _assemble([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+        + str(len(raster)).encode() + b" >>\nstream\n" + raster
+        + b"\nendstream",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ])
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+class TestClassicRegression:
+    def test_structured_path_matches_fixture_truth(self):
+        pages = [["Hello world.", "Second line."], ["Page two text."]]
+        pdf = build_minimal_pdf(pages, [False, True])
+        want = "".join("\n".join(ls) + "\n\f" for ls in pages)
+        assert pdf_to_text(pdf) == want
+
+    def test_escapes_and_hex_strings(self):
+        pdf = build_minimal_pdf([["Par (en) th\\eses"]], [False])
+        assert pdf_to_text(pdf) == "Par (en) th\\eses\n\f"
+
+
+class TestXrefStream:
+    def test_xref_stream_equals_classic(self):
+        """Same page content through a PDF-1.5 cross-reference stream must
+        extract byte-identically to the classic-xref file — and the binary
+        xref stream must never be tokenized as page text."""
+        lines = ["Alpha beta gamma.", "Delta epsilon."]
+        classic = _assemble(_simple_page_objs(lines), xref_stream=False)
+        xstream = _assemble(_simple_page_objs(lines), xref_stream=True)
+        want = "\n".join(lines) + "\n\f"
+        assert pdf_to_text(classic) == want
+        assert pdf_to_text(xstream) == want
+
+    def test_xref_stream_compressed_content(self):
+        lines = ["Flate body under xref stream."]
+        pdf = _assemble(_simple_page_objs(lines, compress=True),
+                        xref_stream=True)
+        assert pdf_to_text(pdf) == lines[0] + "\n\f"
+
+
+class TestCidToUnicode:
+    def test_bfchar_bfrange_roundtrip(self):
+        text = "Ünïcode → CID!"
+        assert pdf_to_text(build_cid_pdf(text)) == text + "\n\f"
+
+    def test_plain_cmap_stream(self):
+        text = "plain cmap"
+        assert pdf_to_text(build_cid_pdf(text, compress_cmap=False)) \
+            == text + "\n\f"
+
+    def test_mixed_fonts_on_one_page(self):
+        """A simple latin-1 font and a CID font in the same content stream:
+        each string decodes through the font selected by the last Tf."""
+        cid_text = "ab"
+        code_of = {c: 0x0200 + i for i, c in enumerate(sorted(set(cid_text)))}
+        hexstr = "".join(f"{code_of[c]:04x}" for c in cid_text)
+        bf = "".join(f"<{code_of[c]:04x}> <{ord(c):04x}>\n"
+                     for c in sorted(set(cid_text)))
+        cmap = (f"begincmap\n2 beginbfchar\n{bf}endbfchar\nendcmap\n"
+                ).encode()
+        content = ("BT\n/F1 12 Tf\n72 720 Td\n(latin ) Tj\n"
+                   f"/F7 12 Tf\n<{hexstr}> Tj\nET").encode("latin-1")
+        pdf = _assemble([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 4 0 R /F7 5 0 R >> >> "
+            b"/Contents 7 0 R >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 6 0 R >>",
+            b"<< /Type /CMap /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream",
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+        ])
+        assert pdf_to_text(pdf) == "latin ab\n\f"
+
+
+class TestDegradationTags:
+    def test_image_only_page_tags_needs_ocr(self):
+        pdf = build_image_only_pdf()
+        with pytest.raises(PdfNeedsOcrError):
+            pdf_to_text(pdf)
+        res = extract_document(pdf, "https://x.example/scan.pdf")
+        assert res.markdown is None
+        assert res.error == "needs_ocr"
+
+    def test_encrypted_trailer_tags_encrypted(self):
+        pdf = _assemble(_simple_page_objs(["secret"]),
+                        trailer_extra=b"/Encrypt 9 0 R")
+        with pytest.raises(PdfEncryptedError):
+            pdf_to_text(pdf)
+        res = extract_document(pdf, "https://x.example/locked.pdf")
+        assert res.error == "encrypted"
+
+    def test_encrypted_xref_stream_dict(self):
+        pdf = _assemble(_simple_page_objs(["secret"]),
+                        trailer_extra=b"/Encrypt 9 0 R", xref_stream=True)
+        res = extract_document(pdf, "https://x.example/locked15.pdf")
+        assert res.error == "encrypted"
+
+    def test_text_page_with_images_still_extracts(self):
+        """needs_ocr fires only when there is NO text anywhere — a normal
+        page that also embeds an image keeps its extracted text."""
+        raster = b"\x00" * 64
+        objs = _simple_page_objs(["Mixed media page."])
+        objs[3] = (b"<< /Type /Page /Parent 2 0 R "
+                   b"/Resources << /Font << /F1 3 0 R >> "
+                   b"/XObject << /Im0 6 0 R >> >> /Contents 5 0 R >>")
+        objs.append(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                    b"/Length " + str(len(raster)).encode()
+                    + b" >>\nstream\n" + raster + b"\nendstream")
+        pdf = _assemble(objs)
+        assert pdf_to_text(pdf) == "Mixed media page.\n\f"
