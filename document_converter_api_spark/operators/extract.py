@@ -157,9 +157,19 @@ def prepare_pages(pages: DataFrame,
     n_parts = num_partitions or pages.sparkSession.sparkContext.defaultParallelism * 4
     typed = pages.withColumn(
         "content_type", sniff_content_type_expr(F.col("html"), F.col("url"))
-    ).withColumn(
-        "partition_id", F.pmod(F.xxhash64(F.col("url")), F.lit(n_parts)).cast("int")
     )
+    if "partition_id" in pages.columns:
+        # Input is the prepartitioned layout (plans/pipeline.
+        # prepartition_pages): partition_id is a PHYSICAL partition-dir
+        # column. Keep it — recomputing the (identical) expression would
+        # orphan downstream commit-group filters from the partition column
+        # and forfeit scan pruning, the whole point of the layout.
+        typed = typed.withColumn("partition_id",
+                                 F.col("partition_id").cast("int"))
+    else:
+        typed = typed.withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_parts)).cast("int"))
     gate_error = (
         F.when(~F.col("content_type").isin(*SUPPORTED_TYPES),
                F.concat(F.lit("unsupported_content_type:"), F.col("content_type")))

@@ -12,8 +12,11 @@ Scale notes (SURVEY.md §4.2): partitions are the checkpoint granule —
 ``partition_id = pmod(xxhash64(url), P)`` is stable across runs and cluster
 sizes; commits batch ``partitions_per_commit`` granules per Spark action so
 the commit rate is O(P/K) jobs, not O(P); the partition_id filter prunes at
-the scan when the pages table is stored partitioned by the same expression
-(Iceberg bucket transform on a real cluster).
+the scan when the pages table is stored partitioned by the same expression —
+:func:`prepartition_pages` writes that layout (Iceberg bucket transform on a
+real cluster) and :func:`run_extraction_job` auto-detects it, so resume-mode
+commit groups read only their own directories instead of re-scanning the
+table P/K times.
 """
 
 from __future__ import annotations
@@ -36,6 +39,51 @@ from ..sources.tableio import LineageStore, ManifestTable
 
 def _chunks(seq: list[int], size: int) -> list[list[int]]:
     return [seq[i:i + size] for i in range(0, len(seq), size)]
+
+
+_PREPARTITION_META = "_prepartition.json"
+
+
+def prepartition_pages(spark: SparkSession, input_path: str, out_dir: str,
+                       num_partitions: int = 64) -> str:
+    """One-time layout job: rewrite the pages table directory-partitioned by
+    the lineage granule ``partition_id = pmod(xxhash64(url), P)``.
+
+    A resume run over a FLAT input re-scans the whole table once per commit
+    group (P/K scans total — the filter can't prune a column that only
+    exists as an expression). Over this layout the same filter is a
+    partition-directory predicate, so each commit group reads exactly its
+    own K directories (pinned by tests/test_pipeline_resume.py). On a real
+    cluster this is the Iceberg ``bucket(P, url)`` partition transform;
+    here it's Hive-style ``partitionBy`` + a ``_prepartition.json`` marker
+    carrying P (empty partitions leave no directory, so P cannot be
+    recovered from the listing alone)."""
+    import json
+    pages = spark.read.parquet(input_path)
+    (pages
+     .withColumn("partition_id",
+                 F.pmod(F.xxhash64(F.col("url")),
+                        F.lit(num_partitions)).cast("int"))
+     # one shuffle on the granule so each directory is one file, not
+     # one-file-per-input-task (P dirs × T tasks files would crush the
+     # namenode at scale)
+     .repartition(num_partitions, F.col("partition_id"))
+     .write.mode("overwrite").partitionBy("partition_id").parquet(out_dir))
+    with open(os.path.join(out_dir, _PREPARTITION_META), "w",
+              encoding="utf-8") as f:
+        json.dump({"num_partitions": num_partitions}, f)
+    return out_dir
+
+
+def _prepartitioned_p(input_path: str) -> int | None:
+    """num_partitions of a prepartitioned layout, None for flat inputs."""
+    import json
+    meta = os.path.join(input_path, _PREPARTITION_META)
+    try:
+        with open(meta, encoding="utf-8") as f:
+            return int(json.load(f)["num_partitions"])
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def partition_metrics(results: DataFrame) -> DataFrame:
@@ -71,6 +119,12 @@ def run_extraction_job(
     rejects_table = ManifestTable(os.path.join(output_root, "rejects"))
     lineage = LineageStore(os.path.join(output_root, "_lineage", "lineage.json"))
 
+    layout_p = _prepartitioned_p(input_path)
+    if layout_p is not None:
+        # prepartitioned layout: P comes from the layout (a mismatched
+        # caller value would silently mark directories it never read as
+        # completed), and commit-group filters prune at the scan
+        num_partitions = layout_p
     pages = spark.read.parquet(input_path)
     valid, rejects = prepare_pages(pages, max_bytes=max_bytes,
                                    num_partitions=num_partitions)
@@ -160,6 +214,11 @@ def main() -> None:  # pragma: no cover - CLI
     ap.add_argument("--partitions-per-commit", type=int, default=16)
     ap.add_argument("--max-bytes", type=int, default=MAX_FILE_SIZE)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument("--prepartition-dir", default=None,
+                    help="rewrite the input partitioned by partition_id "
+                         "into this dir first (skipped if its layout "
+                         "marker already exists), then run from it — "
+                         "resume commit groups then prune at the scan")
     args = ap.parse_args()
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
@@ -169,8 +228,14 @@ def main() -> None:  # pragma: no cover - CLI
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .getOrCreate()
     )
+    input_path = args.input
+    if args.prepartition_dir:
+        if _prepartitioned_p(args.prepartition_dir) is None:
+            prepartition_pages(spark, args.input, args.prepartition_dir,
+                               num_partitions=args.partitions)
+        input_path = args.prepartition_dir
     stats = run_extraction_job(
-        spark, args.input, args.output,
+        spark, input_path, args.output,
         num_partitions=args.partitions,
         partitions_per_commit=args.partitions_per_commit,
         max_bytes=args.max_bytes,

@@ -8,6 +8,7 @@ the final output is identical to a single-shot run.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pyarrow.parquet as pq
@@ -91,6 +92,78 @@ def test_rerun_after_completion_is_noop(spark, smoke_paths, outdir):
                                max_bytes=TEST_MAX_BYTES)
     assert stats["processed_partitions"] == 0
     assert stats["docs"] == 0
+
+
+class TestPrepartitionedLayout:
+    def test_commit_group_filter_prunes_at_scan(self, spark, smoke_paths,
+                                                tmp_path):
+        """Over the prepartitioned layout, a commit group's partition_id
+        filter must become a partition-directory predicate: the scan reads
+        ONLY the group's directories (no P/K re-scans of the full table)."""
+        from pyspark.sql import functions as F
+        from document_converter_api_spark.operators.extract import (
+            prepare_pages,
+        )
+        from document_converter_api_spark.plans.pipeline import (
+            prepartition_pages,
+        )
+        pages_path, _ = smoke_paths
+        pdir = str(tmp_path / "pp")
+        prepartition_pages(spark, pages_path, pdir, num_partitions=N_PARTS)
+
+        pages = spark.read.parquet(pdir)
+        valid, _rejects = prepare_pages(pages, max_bytes=TEST_MAX_BYTES,
+                                        num_partitions=N_PARTS)
+        group = [0, 1, 2, 3]
+        sub = valid.filter(F.col("partition_id").isin(group))
+        plan = sub._jdf.queryExecution().executedPlan().toString()
+        # the isin must land in the scan's PartitionFilters (directory
+        # pruning), not survive only as a post-scan Filter
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "partition_id" in m.group(1), plan
+        # and the pruned scan reads exactly the group's directories: same
+        # rows as reading those directories alone
+        direct = sum(
+            spark.read.parquet(os.path.join(pdir, f"partition_id={p}"))
+            .count() for p in group
+            if os.path.isdir(os.path.join(pdir, f"partition_id={p}")))
+        # valid excludes gate rejects; compare against the same gate
+        direct_valid, _ = prepare_pages(
+            spark.read.parquet(pdir).filter(
+                F.col("partition_id").isin(group)),
+            max_bytes=TEST_MAX_BYTES, num_partitions=N_PARTS)
+        assert sub.count() == direct_valid.count()
+        assert sub.count() <= direct
+
+    def test_prepartitioned_run_equals_flat_run(self, spark, smoke_paths,
+                                                tmp_path):
+        """Same results and lineage whether the job reads the flat table or
+        the prepartitioned layout (P auto-detected from the marker)."""
+        from document_converter_api_spark.plans.pipeline import (
+            prepartition_pages, run_extraction_job,
+        )
+        pages_path, _ = smoke_paths
+        flat_out = str(tmp_path / "flat_out")
+        pp_out = str(tmp_path / "pp_out")
+        pdir = str(tmp_path / "pp_in")
+        prepartition_pages(spark, pages_path, pdir, num_partitions=N_PARTS)
+
+        s1 = run_extraction_job(spark, pages_path, flat_out,
+                                num_partitions=N_PARTS,
+                                partitions_per_commit=PER_COMMIT,
+                                max_bytes=TEST_MAX_BYTES)
+        # deliberately wrong caller P: the layout marker must win
+        s2 = run_extraction_job(spark, pdir, pp_out,
+                                num_partitions=N_PARTS * 2,
+                                partitions_per_commit=PER_COMMIT,
+                                max_bytes=TEST_MAX_BYTES)
+        assert (s1["docs"], s1["failures"]) == (s2["docs"], s2["failures"])
+        assert s2["processed_partitions"] == N_PARTS
+        r1 = ManifestTable(os.path.join(flat_out, "results")).read(spark)
+        r2 = ManifestTable(os.path.join(pp_out, "results")).read(spark)
+        cols = ["url", "markdown", "error", "partition_id"]
+        assert r1.select(cols).exceptAll(r2.select(cols)).count() == 0
+        assert r2.select(cols).exceptAll(r1.select(cols)).count() == 0
 
 
 def test_lineage_delete(spark, smoke_paths, outdir):
