@@ -27,6 +27,15 @@ from pyspark.sql.window import Window
 
 from .scan import widen
 
+# Fixture-scale defaults. These are SCALE PARAMETERS, not plan properties:
+# the bucket count is 2^n_planes, so expected candidates per query are
+# ~N / 2^n_planes — at N = 10^12 vectors the default 8 planes (256 buckets)
+# would hand every query ~4·10^9 candidates, so a production call passes
+# n_planes ≈ 16–24 (65k–16M buckets) to q_ann_lsh_bucketed; likewise
+# k_centroids grows to ~sqrt(N) for IVF. The DuckDB oracles bake the
+# defaults, so the driver-checked queries use them; the parameterization is
+# exercised by tests/test_operators.py (occupancy grows with n_planes,
+# results stay exact-rerank correct).
 N_PLANES = 8
 DIM = 64
 TOP_K = 5
@@ -40,7 +49,15 @@ def _plane_weight(p: int, i: int) -> int:
     return 1 if h[0] in "89abcdef" else -1
 
 
-PLANES = [[_plane_weight(p, i) for i in range(DIM)] for p in range(N_PLANES)]
+def make_planes(n_planes: int = N_PLANES,
+                dim: int = DIM) -> list[list[int]]:
+    """The deterministic hyperplane table for any plane count — parameter,
+    not constant, so callers can size the bucket space to the corpus."""
+    return [[_plane_weight(p, i) for i in range(dim)]
+            for p in range(n_planes)]
+
+
+PLANES = make_planes()
 
 
 def _dot(a, b):
@@ -90,25 +107,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-def _bucket_expr(emb_col):
-    """8-bit sign bucket: bit p set iff dot(plane_p, v) >= 0."""
-    val = F.lit(0)
-    for p, plane in enumerate(PLANES):
+def _bucket_expr(emb_col, n_planes: int = N_PLANES):
+    """n_planes-bit sign bucket: bit p set iff dot(plane_p, v) >= 0."""
+    val = F.lit(0).cast("long")
+    for p, plane in enumerate(make_planes(n_planes)):
         signed = F.aggregate(
             F.zip_with(emb_col,
                        F.array(*[F.lit(float(w)) for w in plane]),
                        lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda acc, v: acc + v)
-        val = val + F.when(signed >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        val = val + F.when(signed >= 0,
+                           F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return val
 
 
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
+                       n_planes: int = N_PLANES) -> DataFrame:
     """LSH tier: same-bucket candidates, exact cosine re-rank, top-3.
     Scale path: bucket is a cheap JVM-side expression; the candidate join is
-    an equi-join on an 8-bit key instead of a full cross product."""
+    an equi-join on a 2^n_planes-value key instead of a full cross product.
+    ``n_planes`` sizes the bucket space to the corpus (see module header);
+    the oracle covers the default."""
     emb = (_with_norm(widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
-           .withColumn("bucket", _bucket_expr(F.col("embedding"))))
+           .withColumn("bucket", _bucket_expr(F.col("embedding"), n_planes)))
     q = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
@@ -206,14 +227,17 @@ NPROBE = 4
 IVF_TOP_K = 3
 
 
-def _centroid_rows(emb: DataFrame) -> list[tuple[int, list[float], float]]:
+def _centroid_rows(emb: DataFrame,
+                   k_centroids: int = K_CENTROIDS
+                   ) -> list[tuple[int, list[float], float]]:
     """Deterministic coarse quantizer: the K lowest-vec_id vectors act as
     centroids. K rows are driver-side metadata (collected once and baked
     into the plan as literals) — at 10^12 vectors this is exactly how a
     trained IVF codebook ships to executors: tiny broadcast state, while
-    list assignment stays a pure projection with NO shuffle."""
+    list assignment stays a pure projection with NO shuffle. K is a scale
+    parameter (~sqrt(N) in production; see module header)."""
     import math
-    rows = (emb.filter(F.col("vec_id") < K_CENTROIDS)
+    rows = (emb.filter(F.col("vec_id") < k_centroids)
             .select("vec_id", "embedding")
             .orderBy("vec_id").collect())
     out = []
@@ -237,14 +261,17 @@ def _centroid_cos_structs(cents, negate_cid: bool = True):
     return structs
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf(spark: SparkSession, sf_dir: str,
+              k_centroids: int = K_CENTROIDS,
+              nprobe: int = NPROBE) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid's inverted list
-    (pure projection — centroids are baked literals), probe the NPROBE
+    (pure projection — centroids are baked literals), probe the ``nprobe``
     nearest lists per query, exact cosine re-rank inside the probed lists.
-    Scale path vs brute force: candidates shrink by ~K/NPROBE; the only
-    joins are broadcasts of the tiny probe/query sets."""
+    Scale path vs brute force: candidates shrink by ~K/nprobe; the only
+    joins are broadcasts of the tiny probe/query sets. Both knobs are scale
+    parameters; the oracle covers the defaults."""
     emb = _with_norm(widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
-    cents = _centroid_rows(emb)
+    cents = _centroid_rows(emb, k_centroids)
 
     assigned = emb.withColumn(
         "list_id", -F.array_max(F.array(*_centroid_cos_structs(cents)))["c"])
@@ -256,7 +283,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.transform(
                           F.slice(F.reverse(F.array_sort(
                               F.array(*_centroid_cos_structs(cents)))),
-                              1, NPROBE),
+                              1, nprobe),
                           lambda s: -s["c"])))
     q = probes_src.select(F.col("vec_id").alias("query_id"),
                           F.col("embedding").alias("q_emb"),

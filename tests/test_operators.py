@@ -234,6 +234,55 @@ class TestSimhashBanding:
         assert expected == set(pairs)
 
 
+class TestAnnScaleParameters:
+    SF = "/root/testdata/sf0.001"
+
+    def test_bucket_occupancy_grows_with_planes(self, spark):
+        """n_planes is the LSH scale knob: more planes → more distinct
+        buckets → smaller candidate sets. Verify occupancy actually grows
+        (the 8-plane default is a fixture-scale setting, not a plan
+        constant)."""
+        from document_converter_api_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        counts = {}
+        for n in (4, 8, 12):
+            counts[n] = (emb.select(
+                S._bucket_expr(F.col("embedding"), n).alias("b"))
+                .distinct().count())
+        assert counts[4] < counts[8] < counts[12]
+        assert counts[4] <= 16 and counts[8] <= 256 and counts[12] <= 4096
+
+    def test_lsh_parameterized_results_are_exact_rerank(self, spark):
+        """At any n_planes the output stays a correct exact re-rank of the
+        bucket candidates: every reported neighbor shares the query's
+        bucket and cosines match the brute-force scores."""
+        from document_converter_api_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+        out = {(r.query_id, r.neighbor_id): r.cosine
+               for r in S.q_ann_lsh_bucketed(spark, self.SF,
+                                             n_planes=12).collect()}
+        assert out, "12-plane run returned nothing on the fixture"
+        exact = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in S.q_ann_cosine_topk(spark, self.SF).collect()}
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        buckets = {r.vec_id: r.b for r in emb.select(
+            "vec_id", S._bucket_expr(F.col("embedding"), 12).alias("b"))
+            .collect()}
+        for (qid, nid), cos in out.items():
+            assert buckets[qid] == buckets[nid]
+            if (qid, nid) in exact:
+                assert exact[(qid, nid)] == cos
+
+    def test_ivf_parameterized_still_ranks(self, spark):
+        from document_converter_api_spark.operators import similarity as S
+        rows = S.q_ann_ivf(spark, self.SF, k_centroids=8,
+                           nprobe=2).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.rank <= S.IVF_TOP_K
+
+
 class TestDedupArrowJvmParity:
     """The Arrow-batched Python signature stages must be byte-equal to their
     pure-JVM higher-order-function twins (the HOF forms stay in the module
