@@ -4,8 +4,12 @@ MarkItDown 0.1.0 converts DOCX via mammoth→HTML→markdownify (the ``.docx``
 half of the reference's whitelist, /root/reference/app/main.py:204). mammoth
 is not installable here, so this is a stdlib ``zipfile`` + ``xml.etree``
 reader for the OOXML subset our fixtures emit: paragraphs with Heading1-6 /
-ListParagraph styles, bold/italic runs, hyperlinks (resolved through
-``word/_rels/document.xml.rels``), and tables serialized as pipe tables.
+ListParagraph styles, real numbered/nested lists (``w:numPr`` +
+``word/numbering.xml`` numFmt per level, counters continued across
+interleaved paragraphs as Word does), bold/italic runs, hyperlinks
+(``r:id`` resolved through ``word/_rels/document.xml.rels``; ``w:anchor``
+internal links as ``[text](#anchor)``), and tables serialized as pipe
+tables.
 Output uses the same markdown dialect as the HTML path (``markdown.py``:
 ``**``/``*`` emphasis, ``[text](url)`` links, ``| --- |`` tables with
 ``\\|`` cell escaping) so downstream post-format (F2/F3) is format-agnostic.
@@ -42,6 +46,57 @@ def _load_rels(zf: zipfile.ZipFile) -> dict[str, str]:
     return rels
 
 
+def _load_numbering(zf: zipfile.ZipFile) -> dict[str, dict[int, str]]:
+    """numId → {ilvl → numFmt} from word/numbering.xml (absent in list-free
+    documents; numPr paragraphs then fall back to bullets)."""
+    try:
+        info = zf.getinfo("word/numbering.xml")
+    except KeyError:
+        return {}
+    if info.file_size > MAX_MEMBER_BYTES:
+        return {}
+    root = ET.fromstring(zf.read(info))
+    abstract: dict[str, dict[int, str]] = {}
+    for an in root.findall(f"{_W}abstractNum"):
+        aid = an.get(f"{_W}abstractNumId") or ""
+        lvls: dict[int, str] = {}
+        for lvl in an.findall(f"{_W}lvl"):
+            try:
+                ilvl = int(lvl.get(f"{_W}ilvl", "0"))
+            except ValueError:
+                continue
+            fmt = lvl.find(f"{_W}numFmt")
+            lvls[ilvl] = (fmt.get(f"{_W}val", "bullet")
+                          if fmt is not None else "bullet")
+        abstract[aid] = lvls
+    nums: dict[str, dict[int, str]] = {}
+    for num in root.findall(f"{_W}num"):
+        nid = num.get(f"{_W}numId")
+        aref = num.find(f"{_W}abstractNumId")
+        if nid and aref is not None:
+            nums[nid] = abstract.get(aref.get(f"{_W}val", ""), {})
+    return nums
+
+
+def _num_pr(para: ET.Element) -> tuple[str, int] | None:
+    """(numId, ilvl) of a real numbered-list paragraph, else None."""
+    ppr = para.find(f"{_W}pPr")
+    if ppr is None:
+        return None
+    numpr = ppr.find(f"{_W}numPr")
+    if numpr is None:
+        return None
+    nid_el = numpr.find(f"{_W}numId")
+    ilvl_el = numpr.find(f"{_W}ilvl")
+    if nid_el is None:
+        return None
+    try:
+        ilvl = int(ilvl_el.get(f"{_W}val", "0")) if ilvl_el is not None else 0
+    except ValueError:
+        ilvl = 0
+    return nid_el.get(f"{_W}val", ""), max(0, min(ilvl, 8))
+
+
 def _run_md(run: ET.Element) -> str:
     rpr = run.find(f"{_W}rPr")
     bold = rpr is not None and rpr.find(f"{_W}b") is not None
@@ -65,12 +120,29 @@ def _para_inline(para: ET.Element, rels: dict[str, str]) -> str:
         elif child.tag == f"{_W}hyperlink":
             inner = "".join(_run_md(r) for r in child.findall(f"{_W}r"))
             href = rels.get(child.get(f"{_R}id", ""), "")
+            if not href:
+                # internal bookmark link (no rels entry, w:anchor instead)
+                anchor = child.get(f"{_W}anchor", "")
+                href = f"#{anchor}" if anchor else ""
             if inner:
                 parts.append(f"[{inner}]({href})" if href else inner)
     return "".join(parts).strip()
 
 
-def _para_block(para: ET.Element, rels: dict[str, str]) -> str | None:
+def _para_block(para: ET.Element, rels: dict[str, str],
+                numbering: dict[str, dict[int, str]],
+                counters: dict[str, dict[int, int]]
+                ) -> tuple[str, str] | None:
+    """One paragraph → (kind, markdown); kind is ``"li"`` for list items
+    (grouped into a single newline-joined block by the caller, matching the
+    HTML dialect) or ``"block"``.
+
+    Real numbered lists: ``w:numPr`` selects (numId, ilvl); the level's
+    numFmt from numbering.xml picks the marker (decimal → ``N.``, anything
+    else → ``-``); decimal counters continue across interleaved paragraphs
+    per numId (Word semantics) and reset for deeper levels whenever a
+    shallower item advances. Indentation is two spaces per level — the
+    same dialect _serialize_list emits for nested HTML lists."""
     ppr = para.find(f"{_W}pPr")
     style = ""
     if ppr is not None:
@@ -80,12 +152,28 @@ def _para_block(para: ET.Element, rels: dict[str, str]) -> str | None:
     text = _para_inline(para, rels)
     if not text:
         return None
+    num = _num_pr(para)
+    if num is not None:
+        numid, ilvl = num
+        fmt = numbering.get(numid, {}).get(ilvl, "bullet")
+        indent = "  " * ilvl
+        if fmt == "decimal":
+            c = counters.setdefault(numid, {})
+            c[ilvl] = c.get(ilvl, 0) + 1
+            for deeper in [l for l in c if l > ilvl]:
+                del c[deeper]
+            marker = f"{c[ilvl]}."
+        else:
+            marker = "-"
+        return "li", f"{indent}{marker} {text}"
     m = _HEADING_RE.match(style)
     if m:
-        return "#" * int(m.group(1)) + " " + text
+        return "block", "#" * int(m.group(1)) + " " + text
     if style == "ListParagraph":
-        return f"- {text}"
-    return text
+        # style-only list item (no numPr): legacy bullet, kept as its own
+        # block for golden-stability with the existing corpus
+        return "block", f"- {text}"
+    return "block", text
 
 
 def _table_block(tbl: ET.Element, rels: dict[str, str]) -> str | None:
@@ -123,20 +211,37 @@ def docx_to_markdown(data: bytes) -> str:
             raise ValueError("docx member exceeds decompression cap")
         xml_bytes = zf.read("word/document.xml")
         rels = _load_rels(zf)
+        numbering = _load_numbering(zf)
     root = ET.fromstring(xml_bytes)
     body = root.find(f"{_W}body")
     if body is None:
         return ""
+    counters: dict[str, dict[int, int]] = {}
     blocks: list[str] = []
+    li_run: list[str] = []  # consecutive numPr items → one list block
+
+    def flush_li() -> None:
+        if li_run:
+            blocks.append("\n".join(li_run))
+            li_run.clear()
+
     # walk body children in document order — iter() would flatten table-cell
     # paragraphs out of their tables and emit them twice
     for child in body:
         if child.tag == f"{_W}p":
-            block = _para_block(child, rels)
+            item = _para_block(child, rels, numbering, counters)
         elif child.tag == f"{_W}tbl":
-            block = _table_block(child, rels)
+            tb = _table_block(child, rels)
+            item = ("block", tb) if tb else None
         else:
-            block = None
-        if block:
-            blocks.append(block)
+            item = None
+        if item is None:
+            continue
+        kind, md = item
+        if kind == "li":
+            li_run.append(md)
+        else:
+            flush_li()
+            blocks.append(md)
+    flush_li()
     return "\n\n".join(blocks)
