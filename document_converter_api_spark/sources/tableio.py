@@ -107,6 +107,25 @@ class ManifestTable:
         return deleted
 
 
+    def expire_snapshots(self) -> int:
+        """Iceberg ``expire_snapshots`` analog: physically remove data
+        directories no longer referenced by the published manifest (left
+        behind by ``replace_group``/``delete_where`` rewrites — readers
+        never see them, but they hold disk). Returns directories removed.
+        Safe against concurrent readers of PUBLISHED commits only, exactly
+        like Iceberg's: a reader pinned to an expired snapshot loses it."""
+        import shutil
+        live = set(self._load()["commits"].values())
+        data_dir = os.path.join(self.root, "data")
+        removed = 0
+        for d in os.listdir(data_dir):
+            p = os.path.join(data_dir, d)
+            if os.path.isdir(p) and d not in live:
+                shutil.rmtree(p)
+                removed += 1
+        return removed
+
+
 class LineageStore:
     """Per-partition lineage/status rows (FIXTURES.md §4 ``lineage`` schema),
     upserted MERGE-style keyed on partition_id (S9, SURVEY.md §2.1)."""

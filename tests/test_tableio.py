@@ -55,3 +55,78 @@ def test_replace_group_is_idempotent(spark, tmp_path):
     t.replace_group(df, "g0")
     t.replace_group(df, "g0")  # rerun of the same commit group (resume path)
     assert t.read(spark).count() == 2
+
+
+def test_expire_snapshots_reclaims_orphaned_dirs(spark, tmp_path):
+    import os
+    t = _mk_table(spark, str(tmp_path / "tbl4"))
+    t.delete_where(spark, "age_hours >= 24")   # rewrites g1 → orphans old dir
+    t.replace_group(spark.createDataFrame(
+        [Row(url="w0", age_hours=1)]), "g0")   # rewrites g0 → orphans old dir
+    data_dir = os.path.join(t.root, "data")
+    n_dirs_before = len(os.listdir(data_dir))
+    removed = t.expire_snapshots()
+    assert removed == 2
+    assert len(os.listdir(data_dir)) == n_dirs_before - 2
+    # published table unaffected
+    assert t.read(spark).count() == 10 + 4 + 1 - 10  # g0 replaced, g1 pruned
+    assert t.expire_snapshots() == 0  # idempotent
+
+
+class TestRetentionSweepJob:
+    """jobs/maintenance.py — the reference's cleanup_old_temp_files sweep
+    (app/main.py:301-343) as a standalone job over the table store."""
+
+    def _job_output(self, spark, root: str, now: float):
+        import os
+        from document_converter_api_spark.sources.tableio import LineageStore
+        results = ManifestTable(os.path.join(root, "results"))
+        rejects = ManifestTable(os.path.join(root, "rejects"))
+        lineage = LineageStore(os.path.join(root, "_lineage", "lineage.json"))
+        results.replace_group(spark.createDataFrame(
+            [Row(url="old1", partition_id=0), Row(url="old2", partition_id=1),
+             Row(url="new1", partition_id=2)]), "g00000")
+        rejects.replace_group(spark.createDataFrame(
+            [Row(url="oldrej", partition_id=0)]), "g00000")
+        lineage.merge({
+            0: {"status": "completed", "completed_at": now - 48 * 3600},
+            1: {"status": "completed", "completed_at": now - 25 * 3600},
+            2: {"status": "completed", "completed_at": now - 1 * 3600},
+            3: {"status": "processing", "started_at": now - 99 * 3600},
+        })
+        return results, rejects, lineage
+
+    def test_sweep_deletes_only_expired_completed_granules(self, spark,
+                                                           tmp_path):
+        import time
+        from jobs.maintenance import retention_sweep
+        now = time.time()
+        root = str(tmp_path / "job")
+        results, rejects, lineage = self._job_output(spark, root, now)
+
+        dry = retention_sweep(spark, root, retention_hours=24.0, now=now,
+                              dry_run=True)
+        assert dry["expired_partitions"] == [0, 1]
+        assert dry["deleted_rows"] == 0  # dry run touches nothing
+        assert results.read(spark).count() == 3
+
+        stats = retention_sweep(spark, root, retention_hours=24.0, now=now)
+        assert stats["expired_partitions"] == [0, 1]
+        assert stats["deleted_rows"] == 2
+        assert stats["deleted_reject_rows"] == 1
+        assert stats["lineage_deleted"] == 2
+        assert stats["snapshot_dirs_removed"] >= 2  # both rewrites reclaimed
+        rows = {r.url for r in results.read(spark).collect()}
+        assert rows == {"new1"}
+        # recent-completed and in-flight granules survive in lineage
+        assert set(lineage.load()) == {2, 3}
+
+    def test_sweep_noop_when_nothing_expired(self, spark, tmp_path):
+        import time
+        from jobs.maintenance import retention_sweep
+        now = time.time()
+        root = str(tmp_path / "job2")
+        self._job_output(spark, root, now)
+        stats = retention_sweep(spark, root, retention_hours=96.0, now=now)
+        assert stats["expired_partitions"] == []
+        assert stats["deleted_rows"] == 0
