@@ -104,6 +104,16 @@ def main() -> None:
         ("dedup_minhash_lsh", "bucket-then-expand LSH: the Arrow signature "
          "stage appears ONCE (a bands self-join would plan it twice), one "
          "shuffle to band buckets, pairs expand JVM-side."),
+        ("dedup_ngram_jaccard", "posting-list Jaccard with the document-"
+         "frequency cap riding the SAME shuffle: one Exchange on shingle "
+         "serves the window count (spill-safe per-key rows) AND the "
+         "collect_list groupBy — no hot-shingle row can exceed "
+         "JACCARD_DF_CAP entries, and there is no second Exchange."),
+        ("dedup_simhash", "64-bit simhash, 4 disjoint 16-bit band tables "
+         "(pigeonhole recall for Hamming<=3): signature stage planned "
+         "once, explode to 4 band rows, one shuffle on the high-"
+         "cardinality (band,bval) key, exact Hamming re-check inside "
+         "buckets."),
         ("shipping_priority", "TPC-H Q3 shape: filtered customer dim "
          "broadcast, lineitem⋈orders single fact shuffle, top-10 via "
          "TakeOrderedAndProject."),
