@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.q_token_count,
         "fingerprint": T.q_fingerprint,
         "gopher_rules": T.q_gopher_rules,
+        "url_normalize": T.q_url_normalize,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)
@@ -112,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateful sessionization — batch twin of the
         # applyInPandasWithState streaming operator (streaming/sessionize.py)
         "sessionize": _q_sessionize,
+        # windowed event-time aggregation — batch twin of the watermarked
+        # streaming crawl-rate monitor (streaming/windowed.py)
+        "crawl_rate": _q_crawl_rate,
         # bucketed co-located join (sources/bucketed.py) — results == plain
         # join; the zero-Exchange plan property is pinned in test_plans.py
         "bucketed_join": _q_bucketed_join,
@@ -126,6 +130,11 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.streaming.sessionize import q_sessionize
     return q_sessionize(spark, sf_dir)
+
+
+def _q_crawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.streaming.windowed import q_crawl_rate
+    return q_crawl_rate(spark, sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -427,6 +436,10 @@ def oracle_sql() -> dict[str, str]:
         SESSIONIZE_ORACLE_SQL,
     )
     sql["sessionize"] = SESSIONIZE_ORACLE_SQL
+    from document_converter_api_spark.streaming.windowed import (
+        crawl_rate_oracle,
+    )
+    sql["crawl_rate"] = crawl_rate_oracle(repo_root)
     from document_converter_api_spark.sources.bucketed import (
         BUCKETED_JOIN_ORACLE_SQL,
     )

@@ -279,3 +279,87 @@ TEXT_ORACLES["gopher_rules"] = f"""
                  THEN 1 ELSE 0 END AS INT) AS keep
     FROM s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (webtext-pipeline staple: dedup by canonical url)
+# ---------------------------------------------------------------------------
+
+# Tracking query parameters that never change page identity; dropping them
+# is the first step of url-keyed dedup (same rule in both engines).
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL: lowercase scheme+host, strip default ports and
+    fragments, drop tracking params, sort the surviving query params.
+    Pure Catalyst (regex + array HOFs, zero Python); raw URLs are derived
+    deterministically from doc_id so both engines build the same input —
+    the oracle checks the operator, not a url generator.
+
+    At 10^12 pages this runs as a projection inside the scan stage; the
+    canonical url then keys exact dedup (one digest shuffle) — the reason
+    param ORDER must be normalized, not just filtered."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=feed&b=2&a=1&fbclid=XYZ"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("?z=26&gclid=g1&y=25"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#section-2"))
+         .otherwise(F.lit("")))
+    df = docs.withColumn("raw_url", raw)
+    nofrag = F.regexp_replace(F.col("raw_url"), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(443|80)$", "")
+    path = F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qstr = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qstr, "&", -1),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qnorm = F.array_join(F.array_sort(params), "&")
+    normalized = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))
+    return (df.select("doc_id", "raw_url",
+                      normalized.alias("normalized_url"))
+            .orderBy("doc_id"))
+
+
+TEXT_ORACLES["url_normalize"] = f"""
+    WITH r AS (
+      SELECT doc_id,
+        'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/' || doc_id
+        || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1&fbclid=XYZ'
+                 WHEN doc_id % 3 = 1 THEN '?z=26&gclid=g1&y=25'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END)
+        AS raw_url
+      FROM documents),
+    n AS (SELECT doc_id, raw_url,
+                 regexp_replace(raw_url, '#.*$', '') AS nofrag FROM r),
+    parts AS (
+      SELECT doc_id, raw_url,
+        lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(nofrag,
+            '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host,
+        regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        regexp_extract(nofrag, '\\?([^#]*)', 1) AS q
+      FROM n),
+    qs AS (
+      SELECT doc_id, raw_url, scheme, host, path,
+        array_to_string(list_sort(list_filter(str_split(q, '&'),
+          p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))),
+          '&') AS qn
+      FROM parts)
+    SELECT doc_id, raw_url,
+           scheme || '://' || host || path
+             || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END)
+             AS normalized_url
+    FROM qs ORDER BY doc_id
+"""

@@ -37,6 +37,38 @@ def crawl_rate(pages: DataFrame, window: str = "1 hour",
                     "lang", "n_docs", "bytes_in"))
 
 
+def q_crawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked batch twin of the streaming crawl-rate aggregation:
+    tumbling 1-hour event-time windows per lang over the committed smoke
+    pages corpus. Spark's window() arithmetic is epoch-aligned on the raw
+    timestamp micros, which is exactly DuckDB's time_bucket — so the same
+    numbers fall out of both engines and the oracle checks the windowed
+    GROUP BY the stream runs per micro-batch."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    pages = spark.read.parquet(
+        os.path.join(repo, "fixtures", "data", "pages_smoke.parquet"))
+    return (crawl_rate(pages)
+            .orderBy("window_start", "lang"))
+
+
+def crawl_rate_oracle(repo_root: str) -> str:
+    import os
+    path = os.path.join(repo_root, "fixtures", "data", "pages_smoke.parquet")
+    return f"""
+        SELECT time_bucket(INTERVAL 1 HOUR, warc_ts) AS window_start,
+               time_bucket(INTERVAL 1 HOUR, warc_ts) + INTERVAL 1 HOUR
+                   AS window_end,
+               lang,
+               count(*) AS n_docs,
+               CAST(sum(octet_length(html)) AS BIGINT) AS bytes_in
+        FROM '{path}'
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, lang
+    """
+
+
 def run_crawl_rate_available_now(spark: SparkSession, input_dir: str,
                                  output_dir: str,
                                  watermark: str = "30 minutes",

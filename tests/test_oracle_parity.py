@@ -22,7 +22,8 @@ SUBSET = (
     "rollup_stats", "distinct_users", "except_users", "top_revenue_orders",
     "download_names", "result_json", "region_revenue", "part_type_share",
     "shipping_priority", "big_orders", "sessionize", "bucketed_join",
-    "ann_ivf", "value_percentiles", "gopher_rules",
+    "ann_ivf", "value_percentiles", "gopher_rules", "crawl_rate",
+    "multimodal_frame_sample", "multimodal_audio_features",
 )
 
 

@@ -164,6 +164,27 @@ class TestClassicRegression:
         assert pdf_to_text(pdf) == "Par (en) th\\eses\n\f"
 
 
+class TestTjKerning:
+    def test_tj_array_with_kerning_numbers(self):
+        """TJ arrays interleave strings with numeric kern adjustments —
+        the numbers must be ignored and the strings concatenated in order
+        (pdfminer emits them contiguously for ordinary kerning)."""
+        content = (b"BT\n/F1 12 Tf\n72 720 Td\n"
+                   b"[(Ker) -120 (ned) 80 ( text)] TJ\nET")
+        objs = _simple_page_objs(["placeholder"])
+        objs[4] = (b"<< /Length " + str(len(content)).encode()
+                   + b" >>\nstream\n" + content + b"\nendstream")
+        assert pdf_to_text(_assemble(objs)) == "Kerned text\n\f"
+
+    def test_tj_array_hex_and_literal_mix(self):
+        content = (b"BT\n/F1 12 Tf\n72 720 Td\n"
+                   b"[(AB) <4344> (EF)] TJ\nET")
+        objs = _simple_page_objs(["placeholder"])
+        objs[4] = (b"<< /Length " + str(len(content)).encode()
+                   + b" >>\nstream\n" + content + b"\nendstream")
+        assert pdf_to_text(_assemble(objs)) == "ABCDEF\n\f"
+
+
 class TestXrefStream:
     def test_xref_stream_equals_classic(self):
         """Same page content through a PDF-1.5 cross-reference stream must
