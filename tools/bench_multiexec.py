@@ -104,6 +104,7 @@ def run_fleet(n_exec: int, cores_per: int, input_path: str) -> dict:
     return {"executors": n_exec, "cores_per_executor": cores_per,
             "docs": docs, "wall_secs": round(wall, 2),
             "launch_wall_secs": round(launch_wall, 2),
+            "worker_secs": [round(s, 2) for s in sorted(secs)],
             "docs_per_sec": round(docs / wall, 2)}
 
 
