@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
         "dedup_simhash": D.q_dedup_simhash,
         "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
+        # duplicate-cluster resolution: connected components (iterative
+        # min-label propagation) over the LSH pairs; DuckDB twin is a
+        # recursive CTE — the one genuinely iterative algorithm in the repo
+        "dedup_clusters": D.q_dedup_clusters,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,

@@ -305,6 +305,80 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. Duplicate-cluster resolution (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs: each doc
+    in any candidate pair gets its cluster's canonical (minimum) doc_id —
+    the step an actual dedup pipeline runs AFTER pair generation, since
+    keeping "one of each pair" over-deletes when A~B and B~C.
+
+    Plan: iterative min-label propagation entirely in DataFrame ops —
+    labels start as each node's own id; every round each node takes the
+    min of its label and its neighbors' labels; a monotone non-increasing
+    sum(label) serves as the convergence check (equality == fixpoint, no
+    row-level diff join needed). The edge list and each round's labels are
+    ``localCheckpoint``ed: edges so the expensive scan→signature→bucket
+    subtree runs ONCE, labels so the plan doesn't grow by one join per
+    round (lineage truncation is what makes iterative DataFrame algorithms
+    viable). Near-dup clusters have tiny diameters, so rounds ≈ 2-3; at
+    10^12 docs swap the per-round step for the large-star/small-star
+    rounds of Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14) — same DataFrame primitives, O(log n) rounds on
+    adversarial graphs."""
+    pairs = (q_dedup_minhash_lsh(spark, sf_dir)
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))
+    # undirected: propagate labels both ways
+    edges = pairs.unionAll(pairs.select(F.col("id_b").alias("id_a"),
+                                        F.col("id_a").alias("id_b")))
+    labels = (pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (edges.join(labels, edges.id_b == labels.id)
+                   .groupBy("id_a")
+                   .agg(F.min("label").alias("nbr_label")))
+        labels = (labels.join(nbr_min, labels.id == nbr_min.id_a, "left")
+                  .select(F.col("id"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nbr_label"),
+                                             F.col("label"))).alias("label"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (labels.select(F.col("id").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+# the oracle resolves the same fixpoint with a recursive CTE: min reachable
+# id per node over the undirected LSH-pair graph
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+    SELECT id AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
@@ -599,3 +673,6 @@ DEDUP_ORACLES = {
         ORDER BY id_a, id_b
     """,
 }
+
+DEDUP_ORACLES["dedup_clusters"] = _CLUSTERS_ORACLE.format(
+    pairs_sql=DEDUP_ORACLES["dedup_minhash_lsh"])

@@ -234,6 +234,31 @@ class TestSimhashBanding:
         assert expected == set(pairs)
 
 
+class TestDedupClusters:
+    def test_transitive_pairs_collapse_to_one_cluster(self, spark):
+        """A~B and B~C must land in ONE cluster with the min id canonical —
+        the property pairwise keep-one-of-each gets wrong."""
+        from document_converter_api_spark.operators import dedup as D
+        sf = "/root/testdata/sf0.001"
+        clusters = {r.doc_id: r.cluster_id
+                    for r in D.q_dedup_clusters(spark, sf).collect()}
+        assert clusters, "no candidate pairs on the fixture corpus"
+        # canonical id is the min of its cluster
+        by_cluster: dict = {}
+        for doc, c in clusters.items():
+            by_cluster.setdefault(c, []).append(doc)
+        for c, members in by_cluster.items():
+            assert c == min(members)
+        # docs divisible by 35 have an exact copy (+10000) AND a near copy
+        # (+20000) → base, copy, near-copy chain into one cluster
+        chained = [d for d in clusters
+                   if d % 35 == 0 and d < 10000
+                   and d + 10000 in clusters and d + 20000 in clusters]
+        assert chained, "fixture should produce at least one 3-chain"
+        for d in chained:
+            assert clusters[d] == clusters[d + 10000] == clusters[d + 20000]
+
+
 class TestAnnScaleParameters:
     SF = "/root/testdata/sf0.001"
 
