@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min-label propagation) over the LSH pairs; DuckDB twin is a
         # recursive CTE — the one genuinely iterative algorithm in the repo
         "dedup_clusters": D.q_dedup_clusters,
+        # C4-style line-level dedup: distinct lines survive only in their
+        # lowest-doc_id document; docs rebuilt in order (md5-compared)
+        "line_dedup": D.q_line_dedup,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,

@@ -676,3 +676,76 @@ DEDUP_ORACLES = {
 
 DEDUP_ORACLES["dedup_clusters"] = _CLUSTERS_ORACLE.format(
     pairs_sql=DEDUP_ORACLES["dedup_minhash_lsh"])
+
+
+# ---------------------------------------------------------------------------
+# 6. Line-level dedup (C4-style corpus line filtering)
+# ---------------------------------------------------------------------------
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line dedup: every distinct non-empty line is kept only in
+    the lowest-doc_id document containing it; documents are rebuilt from
+    their surviving lines in original order (empty lines always survive —
+    they carry structure, not content).
+
+    Scale shape: the keeper table is a plain min-aggregate on the line
+    (map-side partials, no list materialization — a hot boilerplate line
+    costs one row, unlike a posting list), the kept-filter is one
+    shuffle-join on the line key, and reconstruction is a per-doc
+    collect_list bounded by document size. Rebuilt text is compared via
+    md5 so the oracle checks content without hashing megabytes of rows."""
+    corpus = _corpus(spark, sf_dir)
+    lines = (widen(corpus)
+             .select("doc_id",
+                     F.posexplode(F.split("text", "\n", -1))
+                     .alias("pos", "line")))
+    keeper = (lines.filter(F.trim("line") != "")
+              .groupBy("line").agg(F.min("doc_id").alias("keeper")))
+    kept = (lines.join(keeper, "line", "left")
+            .filter((F.trim("line") == "")
+                    | (F.col("doc_id") == F.col("keeper"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").cast("int").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n").alias("kept_text")))
+    totals = corpus.select(
+        "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.length(F.coalesce("kept_text", F.lit("")))
+                    .cast("int").alias("kept_len"),
+                    F.md5(F.coalesce("kept_text", F.lit("")))
+                    .alias("kept_md5"))
+            .orderBy("doc_id"))
+
+
+DEDUP_ORACLES["line_dedup"] = f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    l0 AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM corpus),
+    lines AS (SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS pos
+              FROM l0),
+    keeper AS (SELECT line, min(doc_id) AS keeper FROM lines
+               WHERE trim(line) <> '' GROUP BY line),
+    kept AS (SELECT l.doc_id, l.pos, l.line
+             FROM lines l LEFT JOIN keeper k ON l.line = k.line
+             WHERE trim(l.line) = '' OR l.doc_id = k.keeper),
+    rebuilt AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS kept_text
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id,
+                   CAST(len(str_split(text, chr(10))) AS INT) AS n_lines
+            FROM corpus)
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(length(COALESCE(r.kept_text, '')) AS INT) AS kept_len,
+           md5(COALESCE(r.kept_text, '')) AS kept_md5
+    FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+"""

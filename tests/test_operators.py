@@ -259,6 +259,26 @@ class TestDedupClusters:
             assert clusters[d] == clusters[d + 10000] == clusters[d + 20000]
 
 
+class TestLineDedup:
+    def test_exact_copies_lose_all_content_lines(self, spark):
+        """An exact copy (doc_id+10000) shares every non-empty line with
+        its lower-id base doc, so after line dedup it keeps only empty
+        lines; the base doc keeps everything."""
+        from document_converter_api_spark.operators import dedup as D
+        from pyspark.sql import functions as F
+        sf = "/root/testdata/sf0.001"
+        out = {r.doc_id: r for r in D.q_line_dedup(spark, sf).collect()}
+        docs = spark.read.parquet(f"{sf}/documents.parquet") \
+            .filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").collect()
+        assert docs
+        for r in docs:
+            base, copy = out[r.doc_id], out[r.doc_id + 10000]
+            nonempty = sum(1 for ln in r.text.split("\n") if ln.strip())
+            empty = base.n_lines - nonempty
+            assert base.n_kept == base.n_lines  # base keeps everything
+            assert copy.n_kept == empty         # copy keeps only empties
+
+
 class TestAnnScaleParameters:
     SF = "/root/testdata/sf0.001"
 
