@@ -696,18 +696,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partials, no list materialization — a hot boilerplate line
     costs one row, unlike a posting list), the kept-filter is one
     shuffle-join on the line key, and reconstruction is a per-doc
-    collect_list bounded by document size. Rebuilt text is compared via
-    md5 so the oracle checks content without hashing megabytes of rows."""
+    collect_list bounded by document size. Empty lines never enter the
+    join: every empty line hashes to ONE key, so routing them through the
+    shuffle would hand a single reducer ~all blank lines in the corpus —
+    they're unconditionally kept and unioned back instead. Hot non-empty
+    boilerplate lines remain skew candidates on the probe side; AQE's
+    skew-join splitting handles those (the keeper side is one row per
+    line). Rebuilt text is compared via md5 so the oracle checks content
+    without hashing megabytes of rows."""
     corpus = _corpus(spark, sf_dir)
     lines = (widen(corpus)
              .select("doc_id",
                      F.posexplode(F.split("text", "\n", -1))
                      .alias("pos", "line")))
-    keeper = (lines.filter(F.trim("line") != "")
-              .groupBy("line").agg(F.min("doc_id").alias("keeper")))
-    kept = (lines.join(keeper, "line", "left")
-            .filter((F.trim("line") == "")
-                    | (F.col("doc_id") == F.col("keeper"))))
+    nonempty = lines.filter(F.trim("line") != "")
+    empty = lines.filter(F.trim("line") == "")
+    keeper = nonempty.groupBy("line").agg(F.min("doc_id").alias("keeper"))
+    kept = (nonempty.join(keeper, "line")
+            .filter(F.col("doc_id") == F.col("keeper"))
+            .select("doc_id", "pos", "line")
+            .unionAll(empty.select("doc_id", "pos", "line")))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.count("*").cast("int").alias("n_kept"),
                     F.array_join(
