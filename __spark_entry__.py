@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": M.q_multimodal_audio_features,
         # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
         "host_stats_salted": K.q_host_stats_salted,
+        # domain balancing: deterministic per-host document cap (md5 order)
+        "host_cap_sample": K.q_host_cap_sample,
         # stateful sessionization — batch twin of the
         # applyInPandasWithState streaming operator (streaming/sessionize.py)
         "sessionize": _q_sessionize,
@@ -437,8 +439,11 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_embedding_cosine"] = _embedding_cosine_oracle()
     repo_root = os.path.dirname(os.path.abspath(__file__))
     sql.update(oracle_sql_for_media(repo_root))
-    from document_converter_api_spark.operators.skew import host_stats_oracle
+    from document_converter_api_spark.operators.skew import (
+        host_cap_oracle, host_stats_oracle,
+    )
     sql["host_stats_salted"] = host_stats_oracle(repo_root)
+    sql["host_cap_sample"] = host_cap_oracle(repo_root)
     from document_converter_api_spark.streaming.sessionize import (
         SESSIONIZE_ORACLE_SQL,
     )

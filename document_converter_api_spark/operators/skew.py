@@ -80,6 +80,59 @@ def q_host_stats_salted(spark, sf_dir: str) -> DataFrame:
     return salted_host_agg(pages, hot)
 
 
+HOST_CAP = 50
+
+
+def q_host_cap_sample(spark, sf_dir: str):
+    """Domain balancing: cap every host at HOST_CAP documents, choosing
+    survivors by md5(url) order (deterministic in any engine — a seeded
+    uniform draw, since the hash is independent of crawl order). The
+    standard pre-training downsampling step for Zipf-skewed crawls: without
+    it one hot host dominates the training mix.
+
+    Plan: one shuffle to (host)-partitioned windows; row_number + filter.
+    The hot host's rows DO pass through one window partition — rows, not
+    arrays, so WindowExec spills rather than OOMs; for corpora where even
+    that serialization hurts, pre-filter with a sampled heavy-hitter pass
+    (detect_hot_hosts above) and exact-rank only the hot hosts.
+    Output is per-host survivor stats so the check is order-insensitive."""
+    import os
+    from pyspark.sql import Window
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, "fixtures", "data", "pages_smoke.parquet")
+    pages = spark.read.parquet(path).select("url")
+    w = Window.partitionBy("host").orderBy(F.md5("url"), F.col("url"))
+    ranked = (pages
+              .withColumn("host", host_expr(F.col("url")))
+              .withColumn("rn", F.row_number().over(w)))
+    kept = ranked.filter(F.col("rn") <= HOST_CAP)
+    return (kept.groupBy("host")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min(F.md5("url")).alias("first_pick"),
+                 F.max(F.md5("url")).alias("last_pick"))
+            .orderBy("host"))
+
+
+def host_cap_oracle(repo_root: str) -> str:
+    import os
+    path = os.path.join(repo_root, "fixtures", "data", "pages_smoke.parquet")
+    return f"""
+        WITH ranked AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 md5(url) AS h,
+                 row_number() OVER (
+                     PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                     ORDER BY md5(url), url) AS rn
+          FROM '{path}')
+        SELECT host, count(*) AS n_kept,
+               min(h) AS first_pick, max(h) AS last_pick
+        FROM ranked WHERE rn <= {HOST_CAP}
+        GROUP BY host ORDER BY host
+    """
+
+
 def host_stats_oracle(repo_root: str) -> str:
     import os
     path = os.path.join(repo_root, "fixtures", "data", "pages_smoke.parquet")

@@ -29,6 +29,22 @@ class TestSkew:
                  .collect()}
         assert salted == naive
 
+    def test_host_cap_bounds_every_host(self, spark):
+        """Domain balancing: no host exceeds HOST_CAP survivors, the hot
+        host is actually capped, and the pick is split-invariant (same
+        survivors whatever the input partitioning — the md5 order is data-
+        dependent, not order-dependent)."""
+        from document_converter_api_spark.operators.skew import (
+            HOST_CAP, q_host_cap_sample,
+        )
+        out = {r.host: r for r in q_host_cap_sample(spark, "").collect()}
+        assert all(r.n_kept <= HOST_CAP for r in out.values())
+        assert out["hot.example.com"].n_kept == HOST_CAP  # Zipf fixture
+        out2 = {r.host: (r.n_kept, r.first_pick, r.last_pick)
+                for r in q_host_cap_sample(spark, "").collect()}
+        assert out2 == {h: (r.n_kept, r.first_pick, r.last_pick)
+                        for h, r in out.items()}
+
     def test_salt_actually_spreads_hot_host(self, spark):
         """Post-salt, the hot host's rows occupy many distinct salt values —
         the property that bounds max-partition/median at scale."""
