@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,
         "ann_ivf": S.q_ann_ivf,
+        # product quantization: 2-byte codes + ADC lookup-table distances
+        "ann_pq": S.q_ann_pq,
         # text analysis
         "lang_id": T.q_lang_id,
         "quality_score": T.q_quality_score,
@@ -437,6 +439,10 @@ def oracle_sql() -> dict[str, str]:
     from document_converter_api_spark.operators.dedup import _embedding_cosine_oracle
     from document_converter_api_spark.operators.multimodal import oracle_sql_for_media
     sql["dedup_embedding_cosine"] = _embedding_cosine_oracle()
+    from document_converter_api_spark.operators.similarity import (
+        ann_pq_oracle_sql,
+    )
+    sql["ann_pq"] = ann_pq_oracle_sql()
     repo_root = os.path.dirname(os.path.abspath(__file__))
     sql.update(oracle_sql_for_media(repo_root))
     from document_converter_api_spark.operators.skew import (

@@ -348,3 +348,165 @@ ANN_IVF_ORACLE_SQL = f"""
 """
 
 SIMILARITY_ORACLES["ann_ivf"] = ANN_IVF_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# PQ tier (product quantization + asymmetric-distance top-k)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16       # centroids per subspace (~sqrt scaling in production)
+PQ_TOP_K = 3
+
+
+def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """[m][k] → 16-dim centroid: sub-vectors of the PQ_K lowest-vec_id
+    embeddings (deterministic stand-in for a k-means codebook, exactly
+    like the IVF tier's quantizer). Driver-side literals — real PQ ships
+    its trained codebook the same way: M×K×SUBDIM floats of broadcast
+    state, while encoding stays a shuffle-free projection."""
+    rows = (emb.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "embedding").orderBy("vec_id").collect())
+    return [[[float(x) for x in
+              r.embedding[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]]
+             for r in rows] for m in range(PQ_M)]
+
+
+def _pq_code_expr(emb_col, books_m: list[list[float]], m: int):
+    """argmin_k L2²(subvector_m, centroid_k), ties → lowest k. Distances
+    fold in index order with (d*d) squaring so Spark, DuckDB, and the
+    driver-side LUT arithmetic are bit-identical float64."""
+    structs = []
+    base = m * PQ_SUBDIM
+
+    def dist_fold(carr):
+        # closure factory: a default-arg lambda would grow a 3rd parameter
+        # and Spark validates HOF lambdas by arity
+        return lambda acc, i: acc \
+            + (F.element_at(emb_col, F.lit(base) + i).cast("double")
+               - F.element_at(carr, i)) \
+            * (F.element_at(emb_col, F.lit(base) + i).cast("double")
+               - F.element_at(carr, i))
+
+    for k, cent in enumerate(books_m):
+        carr = F.array(*[F.lit(c) for c in cent])
+        d = F.aggregate(F.sequence(F.lit(1), F.lit(PQ_SUBDIM)),
+                        F.lit(0.0), dist_fold(carr))
+        structs.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
+    return F.array_min(F.array(*structs))["k"]
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: every vector compresses to PQ_M 4-bit codes (a pure
+    projection against baked codebook literals — 64 dims → 2 bytes, the
+    memory tier that makes 10^12-vector search feasible); each query
+    builds an M×K lookup table of subspace distances driver-side, and the
+    approximate distance is M table lookups per vector — no per-pair
+    float folds at query time. Top-PQ_TOP_K by ADC distance, vec_id
+    tie-break."""
+    emb = widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    books = _pq_codebooks(emb)
+    coded = emb.select(
+        "vec_id",
+        *[_pq_code_expr(F.col("embedding"), books[m], m).alias(f"c{m}")
+          for m in range(PQ_M)])
+    qrows = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    out = None
+    for q in qrows:
+        luts = _pq_luts(books, q.embedding)
+        dist = None
+        for m in range(PQ_M):
+            term = F.element_at(F.array(*[F.lit(v) for v in luts[m]]),
+                                F.col(f"c{m}") + 1)
+            dist = term if dist is None else dist + term
+        scored = (coded.filter(F.col("vec_id") != q.vec_id)
+                  .select(F.lit(int(q.vec_id)).alias("query_id"), "vec_id",
+                          F.round(dist, 6).alias("approx_dist")))
+        out = scored if out is None else out.unionAll(scored)
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"),
+                                               F.asc("vec_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= PQ_TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", "approx_dist")
+            .orderBy("query_id", "rank"))
+
+
+def _pq_code_sql(m: int, books_m: list[list[float]]) -> str:
+    base = m * PQ_SUBDIM
+    structs = []
+    for k, cent in enumerate(books_m):
+        carr = "[" + ", ".join(repr(c) for c in cent) + "]::DOUBLE[]"
+        d = (f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+             f"i -> (CAST(embedding[{base} + i] AS DOUBLE) - ({carr})[i])"
+             f" * (CAST(embedding[{base} + i] AS DOUBLE) - ({carr})[i])))")
+        structs.append(f"{{'d': {d}, 'k': {k}}}")
+    return f"(list_sort([{', '.join(structs)}])[1]).k"
+
+
+def ann_pq_oracle(books: list[list[list[float]]],
+                  luts_by_query: dict[int, list[list[float]]]) -> str:
+    codes = ", ".join(f"{_pq_code_sql(m, books[m])} AS c{m}"
+                      for m in range(PQ_M))
+    arms = []
+    for qid, luts in luts_by_query.items():
+        terms = " + ".join(
+            "([" + ", ".join(repr(v) for v in luts[m]) + "]::DOUBLE[])"
+            f"[c{m} + 1]" for m in range(PQ_M))
+        arms.append(f"SELECT {qid} AS query_id, vec_id, "
+                    f"round({terms}, 6) AS approx_dist "
+                    f"FROM codes WHERE vec_id <> {qid}")
+    return f"""
+        WITH codes AS (SELECT vec_id, {codes} FROM embeddings),
+        adc AS ({" UNION ALL ".join(arms)}),
+        ranked AS (
+          SELECT query_id, vec_id AS neighbor_id, approx_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_dist ASC, vec_id ASC)
+                     AS rank
+          FROM adc)
+        SELECT query_id, neighbor_id, rank, approx_dist FROM ranked
+        WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
+    """
+
+
+def _pq_luts(books: list[list[list[float]]],
+             qvec: list[float]) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for one query vector. Shared by the
+    Spark driver path and the oracle builder so the float64 arithmetic
+    (index-ordered (d*d) accumulation) is the same code, not merely the
+    same formula."""
+    luts = []
+    for m in range(PQ_M):
+        lut = []
+        for cent in books[m]:
+            s = 0.0
+            for i in range(PQ_SUBDIM):
+                dq = float(qvec[m * PQ_SUBDIM + i]) - cent[i]
+                s = s + dq * dq
+            lut.append(s)
+        luts.append(lut)
+    return luts
+
+
+def ann_pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Build the PQ oracle with codebooks/LUTs derived from the SAME
+    embeddings the driver's correctness gate reads (sf0.01 views). The
+    Spark query derives its codebooks from whatever sf_dir it is given, so
+    the two sides agree exactly at the gate's scale; at other scales the
+    Spark side remains self-consistent but this oracle does not apply."""
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {PQ_K} ORDER BY vec_id").fetchall()
+    books = [[[float(x) for x in emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]]
+              for _vid, emb in rows] for m in range(PQ_M)]
+    qrows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({', '.join(str(q) for q in QUERY_IDS)}) "
+        f"ORDER BY vec_id").fetchall()
+    luts_by_query = {int(vid): _pq_luts(books, emb) for vid, emb in qrows}
+    return ann_pq_oracle(books, luts_by_query)

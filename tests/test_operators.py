@@ -335,6 +335,34 @@ class TestAnnScaleParameters:
             if (qid, nid) in exact:
                 assert exact[(qid, nid)] == cos
 
+    def test_pq_codes_and_adc_ranking(self, spark):
+        """PQ codes stay in [0, PQ_K); ADC distances are non-decreasing in
+        rank per query; exact-codebook vectors (vec_id < PQ_K) quantize to
+        zero self-distance in their own subspaces."""
+        from document_converter_api_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        books = S._pq_codebooks(emb)
+        coded = emb.select(
+            "vec_id",
+            *[S._pq_code_expr(F.col("embedding"), books[m], m).alias(f"c{m}")
+              for m in range(S.PQ_M)]).collect()
+        for r in coded:
+            for m in range(S.PQ_M):
+                assert 0 <= r[f"c{m}"] < S.PQ_K
+            if r.vec_id < S.PQ_K:
+                # a codebook vector's nearest centroid is itself
+                assert all(r[f"c{m}"] == r.vec_id for m in range(S.PQ_M))
+        rows = S.q_ann_pq(spark, self.SF).collect()
+        assert len(rows) == len(S.QUERY_IDS) * S.PQ_TOP_K
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.approx_dist))
+        for q, rs in by_q.items():
+            rs.sort()
+            dists = [d for _rk, d in rs]
+            assert dists == sorted(dists)
+
     def test_ivf_parameterized_still_ranks(self, spark):
         from document_converter_api_spark.operators import similarity as S
         rows = S.q_ann_ivf(spark, self.SF, k_centroids=8,
