@@ -130,6 +130,17 @@ def main() -> None:
          "zero Python."),
         ("value_percentiles", "exact per-group percentiles: single "
          "shuffle to groups, sort-based percentile within each."),
+        ("line_dedup", "C4-style line dedup: empty lines bypass the "
+         "shuffle entirely (they all hash to ONE key), keeper is a plain "
+         "min-aggregate (one row per line, never a posting list), "
+         "reconstruction sorts within doc groups."),
+        ("host_cap_sample", "domain balancing: one shuffle to host "
+         "windows, row_number over deterministic md5 order, cap filter."),
+        ("ann_pq", "product quantization: codes are a pure projection "
+         "against baked codebook literals; ADC distance is M array "
+         "lookups — no per-pair float folds at query time."),
+        ("url_normalize", "URL canonicalization fully inside Catalyst "
+         "(regex + array HOFs): a scan-stage projection at corpus scale."),
     ):
         add(name, note, queries[name](spark, SF))
 
