@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": T.q_fingerprint,
         "gopher_rules": T.q_gopher_rules,
         "url_normalize": T.q_url_normalize,
+        # the full curation recipe as ONE plan: exact dedup -> Gopher gate
+        # -> lang-ID -> per-language mix report
+        "corpus_curation": T.q_corpus_curation,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)

@@ -39,25 +39,29 @@ def _stop_hits(tokens, lang: str):
     return F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS[lang])))
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-count language ID; argmax over (en, es, de) with fixed
-    order tie-break; compared against the table's ``lang`` label.
-
-    Tokens and per-language hit counts are materialized as columns — an
-    inline split/filter subtree would be re-evaluated at every reference
-    (higher-order functions get no codegen/CSE): 3 hit filters + the argmax
-    reusing them = ~7 full re-tokenizations per row."""
-    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-            .withColumn("toks", _tokens(F.col("text"))))
+def with_lang_pred(docs: DataFrame) -> DataFrame:
+    """+ ``toks``, ``hits_<lang>``, ``pred_lang`` columns. Tokens and
+    per-language hit counts are materialized as columns — an inline
+    split/filter subtree would be re-evaluated at every reference
+    (higher-order functions get no codegen/CSE): 3 hit filters + the
+    argmax reusing them = ~7 full re-tokenizations per row."""
+    docs = docs.withColumn("toks", _tokens(F.col("text")))
     for lang in LANG_ORDER:
         docs = docs.withColumn(f"hits_{lang}", _stop_hits(F.col("toks"), lang))
     pred = (F.when((F.col("hits_en") >= F.col("hits_es"))
                    & (F.col("hits_en") >= F.col("hits_de")), "en")
             .when(F.col("hits_es") >= F.col("hits_de"), "es")
             .otherwise("de"))
+    return docs.withColumn("pred_lang", pred)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID; argmax over (en, es, de) with fixed
+    order tie-break; compared against the table's ``lang`` label."""
+    docs = with_lang_pred(
+        widen(spark.read.parquet(f"{sf_dir}/documents.parquet")))
     return (docs.select(
-        "doc_id", "lang", "hits_en", "hits_es", "hits_de",
-        pred.alias("pred_lang"))
+        "doc_id", "lang", "hits_en", "hits_es", "hits_de", "pred_lang")
         .withColumn("match", (F.col("pred_lang") == F.col("lang")).cast("int"))
         .orderBy("doc_id"))
 
@@ -206,13 +210,12 @@ GOPHER_MIN_ALPHA_FRAC = 0.8   # fraction of words containing a letter
 GOPHER_MAX_DUP_2GRAM = 0.35   # duplicated-2-gram character-free fraction
 
 
-def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality rules, pure Catalyst (no Python):
-    word-count bounds, mean word length bounds, alphabetic-word fraction,
-    duplicate-2-gram fraction, and the combined keep flag. The words array
-    is materialized once — every signal reads the column instead of
-    re-splitting (HOF subtrees get no codegen/CSE)."""
-    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+def with_gopher_signals(docs: DataFrame) -> DataFrame:
+    """+ ``n_words``, ``mean_word_len``, ``alpha_frac``, ``dup_2gram_frac``,
+    ``keep`` columns. The words array is materialized once — every signal
+    reads the column instead of re-splitting (HOF subtrees get no
+    codegen/CSE)."""
+    docs = (docs
             .withColumn("words", F.split(F.col("text"), " ", -1))
             .withColumn("n_words", F.size("words"))
             .withColumn("alpha_words", F.size(
@@ -237,12 +240,21 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
             & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
             & (dup_frac <= GOPHER_MAX_DUP_2GRAM))
+    return (docs.withColumn("mean_word_len", mean_wl)
+            .withColumn("alpha_frac", alpha_frac)
+            .withColumn("dup_2gram_frac", dup_frac)
+            .withColumn("keep", keep.cast("int")))
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules, pure Catalyst (no Python):
+    word-count bounds, mean word length bounds, alphabetic-word fraction,
+    duplicate-2-gram fraction, and the combined keep flag."""
+    docs = with_gopher_signals(
+        widen(spark.read.parquet(f"{sf_dir}/documents.parquet")))
     return (docs.select(
-        "doc_id", n.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        dup_frac.alias("dup_2gram_frac"),
-        keep.cast("int").alias("keep"))
+        "doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "dup_2gram_frac", "keep")
         .orderBy("doc_id"))
 
 
@@ -362,4 +374,99 @@ TEXT_ORACLES["url_normalize"] = f"""
              || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END)
              AS normalized_url
     FROM qs ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation recipe (the full training-data pipeline as ONE plan)
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard webtext curation recipe as a single DataFrame program:
+    exact dedup (canonical = min (doc_id, lang, text) struct per md5 — lang
+    and text ride the struct-min, so no join-back) → Gopher quality gate →
+    language ID → per-(label, predicted)-language mix report (candidates
+    after dedup, survivors after the gate, surviving token volume — the
+    numbers a data recipe is tuned by).
+
+    One shuffle for the dedup group-by (on digests), one for the final
+    tiny aggregate; all signals are single-pass Catalyst columns. The
+    corpus is the same planted-duplicate union the dedup tier uses
+    (dedup._corpus), widened to carry the upstream ``lang`` label."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "text"))
+    exact = (docs.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 10000).alias("doc_id"),
+                     "lang", "text"))
+    near = (docs.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 20000).alias("doc_id"), "lang",
+                    F.concat(F.col("text"), F.lit(" extraword"))
+                    .alias("text")))
+    corpus = docs.unionAll(exact).unionAll(near)
+    canon = (widen(corpus)
+             .groupBy(F.md5("text").alias("h"))
+             .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
+             .select("s.doc_id", "s.lang", "s.text"))
+    sig = with_lang_pred(with_gopher_signals(canon))
+    return (sig.groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n_candidates"),
+                 F.sum("keep").cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("keep") == 1, F.col("n_words"))
+                       .otherwise(0)).cast("long").alias("kept_words"))
+            .orderBy("lang", "pred_lang"))
+
+
+TEXT_ORACLES["corpus_curation"] = f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, lang, text FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, lang, text || ' extraword' AS text
+      FROM documents WHERE doc_id % 7 = 0),
+    canon AS (
+      SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(text, doc_id) AS text
+      FROM corpus GROUP BY md5(text)),
+    sig AS (
+      SELECT doc_id, lang, text,
+        len(str_split(text, ' ')) AS n_words,
+        round((length(text) - (len(str_split(text, ' ')) - 1))
+              / len(str_split(text, ' ')), 4) AS mean_wl,
+        round(len(list_filter(str_split(text, ' '),
+                  w -> regexp_matches(w, '[A-Za-z]')))
+              / len(str_split(text, ' ')), 4) AS alpha_frac,
+        round(CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+          (len(str_split(text, ' ')) - 1
+           - len(list_distinct(list_transform(
+               range(1, len(str_split(text, ' '))),
+               i -> str_split(text, ' ')[i] || ' '
+                    || str_split(text, ' ')[i+1]))))
+          / (len(str_split(text, ' ')) - 1) ELSE 0.0 END, 4) AS dup_frac,
+        len(list_filter(str_split(lower(text), ' '),
+            x -> x IN ({_in_list(STOPWORDS['en'])}))) AS hits_en,
+        len(list_filter(str_split(lower(text), ' '),
+            x -> x IN ({_in_list(STOPWORDS['es'])}))) AS hits_es,
+        len(list_filter(str_split(lower(text), ' '),
+            x -> x IN ({_in_list(STOPWORDS['de'])}))) AS hits_de
+      FROM canon),
+    flagged AS (
+      SELECT *,
+        CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+             WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END AS pred_lang,
+        CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+              AND n_words <= {GOPHER_MAX_WORDS}
+              AND mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN}
+              AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN}
+              AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+              AND dup_frac <= {GOPHER_MAX_DUP_2GRAM}
+             THEN 1 ELSE 0 END AS keep
+      FROM sig)
+    SELECT lang, pred_lang,
+           count(*) AS n_candidates,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep = 1 THEN n_words ELSE 0 END) AS BIGINT)
+               AS kept_words
+    FROM flagged GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """

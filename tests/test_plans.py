@@ -134,3 +134,17 @@ def test_bucketed_join_and_agg_have_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS tp_bdocs")
         spark.sql("DROP TABLE IF EXISTS tp_bembs")
+
+
+def test_corpus_curation_single_pass_no_join(spark):
+    """The end-to-end curation recipe must stay a single linear pass:
+    dedup carries lang+text through the struct-min (NO join-back to
+    recover columns), quality/lang signals are projections over the
+    dedup output, and the only data-sized shuffle is the digest groupBy
+    (the mix-report agg and its orderBy shuffle ≤ |langs|² rows)."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["corpus_curation"](spark, SF))
+    assert "Join" not in plan, "signals must ride the struct-min, not a join"
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+    # widen() round-robin + digest groupBy + final agg + orderBy range
+    assert n_exchanges(plan) <= 4, plan
