@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from document_converter_api_spark.plans import queries as Q
+    from document_converter_api_spark.operators import curation as C
     from document_converter_api_spark.operators import dedup as D
     from document_converter_api_spark.operators import multimodal as M
     from document_converter_api_spark.operators import skew as K
@@ -114,6 +115,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full curation recipe as ONE plan: exact dedup -> Gopher gate
         # -> lang-ID -> per-language mix report
         "corpus_curation": T.q_corpus_curation,
+        # curation tier (operators/curation.py): PII redaction (pure
+        # Catalyst regexp chain), GPT-3-style 13-gram benchmark
+        # decontamination (broadcast bench set), token-budget shard
+        # packing (two-phase scalable prefix sum — no SinglePartition
+        # window), NFC normalization (Arrow batch; DuckDB nfc_normalize
+        # twin), CCNet-style unigram-LM quality scoring
+        "pii_redact": C.q_pii_redact,
+        "decontaminate": C.q_decontaminate,
+        "token_pack": C.q_token_pack,
+        "unicode_normalize": C.q_unicode_normalize,
+        "unigram_logprob": C.q_unigram_logprob,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)
@@ -434,6 +446,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
+    from document_converter_api_spark.operators.curation import CURATION_ORACLES
+    sql.update(CURATION_ORACLES)
     sql.update(DEDUP_ORACLES)
     sql.update(SIMILARITY_ORACLES)
     sql.update(TEXT_ORACLES)

@@ -47,6 +47,8 @@ BENCH_QUERIES = (
     "ann_cosine_topk", "ann_lsh_bucketed",
     "lang_id", "quality_score", "token_count", "fingerprint",
     "url_normalize", "crawl_rate",
+    "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
+    "corpus_curation",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

@@ -1,0 +1,350 @@
+"""Curation-tier operators a large-scale training-data pipeline needs
+beyond dedup/quality/lang-ID: PII redaction, benchmark decontamination,
+token-budget shard packing, Unicode normalization, and unigram-LM quality
+scoring.
+
+Reference parity note: the reference service (``/root/reference/app/main.py``)
+stops at per-document conversion; these stages are the corpus-level
+post-processing a 100 TB webtext pipeline runs downstream of extraction
+(GPT-3 App. A decontamination, CCNet LM scoring, RefinedWeb PII pass).
+
+Scale notes per operator:
+
+* ``pii_redact`` — pure Catalyst ``regexp_count``/``regexp_replace`` chains
+  (WholeStageCodegen; zero Python, zero shuffle beyond the input widen).
+* ``decontaminate`` — the benchmark set is SMALL by construction (eval
+  suites are thousands of n-grams, not billions) → distinct + broadcast;
+  the corpus side explodes its 13-grams and broadcast-semi-joins, so the
+  only data-sized shuffle is the per-doc hit re-aggregation, keyed by
+  ``doc_id`` (uniform — no skew: a doc contributes at most |words| grams).
+* ``token_pack`` — a GLOBAL running sum done scalably: per-group partial
+  sums (one row per ~G docs) are collected (tiny by construction, the same
+  contract as the IVF codebook), turned into exclusive prefix offsets, and
+  broadcast-joined back; the window cumsum then runs per-group, so no
+  ``Exchange SinglePartition`` / single-task global window ever appears.
+* ``unicode_normalize`` — Arrow-batched pandas normalization (the one stage
+  Catalyst genuinely cannot express; ``pandas.Series.str.normalize`` is a
+  C-loop over the batch, not per-row Python round trips).
+* ``unigram_logprob`` — vocabulary built with a map-side-combinable
+  ``groupBy(tok)``; doc scoring pre-aggregates ``(doc_id, tok)`` counts so
+  hot tokens are spread across docs before the vocab join (broadcast here;
+  at an unbounded-vocab scale the standard split is broadcast top-K +
+  shuffle-join the tail — documented, fixture vocab is bounded).
+
+Every operator has a DuckDB twin with identical constants in
+``CURATION_ORACLES``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .scan import widen
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Shared regex constants — interpolated verbatim into both engines.
+# (RE2/DuckDB and java.util.regex agree on this subset: classes, bounded
+# repetition, \b word boundaries.)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII spans (fixture text is clean word salad;
+    the planted spans are the ground truth both engines must find)."""
+    did = F.col("doc_id")
+    return docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" host 10."), (did % 256).cast("string"),
+            F.lit(".0."), ((did * 7) % 256).cast("string"))).otherwise(F.lit("")),
+    ))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails / NANP phones / IPv4 addresses.
+
+    Pure Catalyst: three ``regexp_count`` + a three-stage ``regexp_replace``
+    chain, all inside one codegen stage. Replacement order is significant
+    and pinned (email first — its local part may contain digits; the
+    ``<EMAIL>``/``<PHONE>`` placeholders contain no digits, so later
+    patterns cannot match across an earlier redaction)."""
+    docs = _plant_pii(
+        widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .select("doc_id", "text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+    return (docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(IP_RE)).cast("long").alias("n_ips"),
+        redacted.alias("redacted"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (13-gram overlap, GPT-3 App. A style)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 13
+BENCH_MOD = 50  # every 50th doc's opening 13-gram stands in for an eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag documents sharing any 13-gram with the benchmark set.
+
+    The benchmark n-gram table is distinct'd and BROADCAST (eval suites are
+    small by nature; the plan must never shuffle the corpus against them).
+    Corpus docs explode into their 13-grams lazily under a ``size >= 13``
+    guard (Spark's ``sequence(1, n)`` with ``n < 1`` counts DOWN — the CASE
+    guard is load-bearing, not cosmetic), hit counts re-aggregate on
+    ``doc_id``."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text"))
+    words = docs.withColumn("w", F.split("text", " ", -1))
+    bench = (words
+             .filter((F.col("doc_id") % BENCH_MOD == 0)
+                     & (F.size("w") >= NGRAM_N))
+             .select(F.array_join(F.slice("w", 1, NGRAM_N), " ").alias("ng"))
+             .distinct())
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("w") >= NGRAM_N,
+                   F.transform(
+                       F.sequence(F.lit(1), F.size("w") - (NGRAM_N - 1)),
+                       lambda i: F.array_join(F.slice("w", i, NGRAM_N), " ")))
+            .otherwise(F.array().cast("array<string>"))).alias("ng"))
+    hits = (grams.join(F.broadcast(bench), "ng")
+            .groupBy("doc_id").agg(F.count("*").alias("n")))
+    return (docs.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
+                    (F.coalesce("n", F.lit(0)) > 0).cast("int")
+                    .alias("contaminated"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (sequence packing for training shards)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048   # tokens per shard
+PACK_GROUP = 64      # docs per prefix-sum group (scale: rows/partition)
+
+
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs (in ``doc_id`` order) to fixed-token-budget training
+    shards: ``shard_id = floor(tokens_before_doc / PACK_BUDGET)``.
+
+    The global running sum is the scalable two-phase form: (1) per-group
+    token totals — ONE ROW per ~PACK_GROUP docs, collected under the same
+    tiny-by-construction contract as the IVF codebook — prefix-summed on
+    the driver into exclusive offsets; (2) offsets broadcast-joined back
+    and added to a PER-GROUP window cumsum. A naive
+    ``Window.orderBy("doc_id")`` with no partition key would plan
+    ``Exchange SinglePartition`` — the whole corpus through one task;
+    ``tests/test_plans.py`` pins its absence."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id",
+                    F.size(F.split("text", " ", -1)).cast("long")
+                    .alias("n_toks"))
+            .withColumn("grp", F.floor(F.col("doc_id") / PACK_GROUP)))
+    grp_rows = sorted(
+        docs.groupBy("grp").agg(F.sum("n_toks").alias("t")).collect(),
+        key=lambda r: r["grp"])
+    offsets, acc = [], 0
+    for r in grp_rows:
+        offsets.append((r["grp"], acc))
+        acc += r["t"]
+    off = spark.createDataFrame(offsets, "grp long, grp_offset long")
+    w = (Window.partitionBy("grp").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (F.sum("n_toks").over(w) + F.col("grp_offset")).alias("cum_toks")
+    out = (docs.join(F.broadcast(off), "grp")
+           .select("doc_id", "n_toks", cum))
+    return (out.select(
+        "doc_id", "n_toks", "cum_toks",
+        F.floor((F.col("cum_toks") - F.col("n_toks")) / F.lit(float(PACK_BUDGET)))
+        .cast("long").alias("shard_id"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC)
+# ---------------------------------------------------------------------------
+
+# Decomposed suffix planted into every 6th doc: 'e' + U+0301, 'n' + U+0303.
+DECOMP_SUFFIX = " cafe\u0301 jalapen\u0303o"
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize text; report per-doc codepoint shrink.
+
+    Catalyst has no normalization expression, so this is the legitimate
+    Arrow path: one ``pandas_udf`` whose body is a single
+    ``Series.str.normalize`` call over the whole batch (C loop, no per-row
+    Python). Oracle: DuckDB's ``nfc_normalize``."""
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    did = F.col("doc_id")
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text")
+            .withColumn("text", F.concat(
+                F.col("text"),
+                F.when(did % 6 == 0, F.lit(DECOMP_SUFFIX))
+                .otherwise(F.lit("")))))
+    out = docs.withColumn("norm_text", nfc(F.col("text")))
+    return (out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_cp_raw"),
+        F.length("norm_text").cast("long").alias("n_cp_norm"),
+        (F.col("norm_text") != F.col("text")).cast("int").alias("changed"),
+        "norm_text")
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each doc by mean token log-probability under the corpus's own
+    unigram LM (the relational form of CCNet's LM-perplexity filter).
+
+    Three keyed shuffles, all skew-safe: (1) vocab ``groupBy(tok)`` —
+    map-side partial agg absorbs hot tokens; (2) per-(doc, tok) counts —
+    the doc_id in the key spreads hot tokens across the corpus; (3) per-doc
+    score re-agg on uniform ``doc_id``. The corpus-total is a 1-row
+    aggregate broadcast via crossJoin (never ``collect``-ed into the plan);
+    the vocab join is broadcast here — with an unbounded vocabulary the
+    standard split is broadcast top-K + shuffle-join the tail."""
+    toks = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok")))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t"))
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    scored = (dt.join(F.broadcast(vocab), "tok")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.sum("c").cast("long").alias("n_toks"),
+                   (F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t")))
+                    / F.sum("c")).alias("lp")))
+    return (scored.select(
+        "doc_id", "n_toks", F.round("lp", 4).alias("avg_logp"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical constants, interpolated from the same names
+# ---------------------------------------------------------------------------
+
+_PLANT_PII_SQL = """
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS text
+      FROM documents
+"""
+
+CURATION_ORACLES = {
+    "pii_redact": f"""
+        WITH planted AS ({_PLANT_PII_SQL})
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+              AS n_emails,
+          CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+              AS n_phones,
+          CAST(len(regexp_extract_all(text, '{IP_RE}')) AS BIGINT) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(
+              text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+              '{PHONE_RE}', '<PHONE>', 'g'),
+              '{IP_RE}', '<IP>', 'g') AS redacted
+        FROM planted ORDER BY doc_id
+    """,
+    "decontaminate": f"""
+        WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        bench AS (
+          SELECT DISTINCT array_to_string(w[1:{NGRAM_N}], ' ') AS ng
+          FROM w WHERE doc_id % {BENCH_MOD} = 0 AND len(w) >= {NGRAM_N}),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+              range(1, len(w) - {NGRAM_N - 2}),
+              i -> array_to_string(list_slice(w, i, i + {NGRAM_N - 1}), ' ')))
+              AS ng
+          FROM w WHERE len(w) >= {NGRAM_N}),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM grams
+          JOIN bench USING (ng) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+               CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END
+                   AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
+    """,
+    "token_pack": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n_toks,
+                 sum(n_toks) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_toks
+          FROM toks)
+        SELECT doc_id, n_toks, cum_toks,
+               CAST(floor((cum_toks - n_toks) / {float(PACK_BUDGET)})
+                    AS BIGINT) AS shard_id
+        FROM cum ORDER BY doc_id
+    """,
+    "unicode_normalize": f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 6 = 0
+                              THEN '{DECOMP_SUFFIX}' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_cp_raw,
+               CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp_norm,
+               CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END
+                   AS changed,
+               nfc_normalize(text) AS norm_text
+        FROM planted ORDER BY doc_id
+    """,
+    "unigram_logprob": """
+        WITH toks AS (
+          SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt) AS t FROM vocab),
+        dt AS (SELECT doc_id, tok, count(*) AS c FROM toks
+               GROUP BY doc_id, tok)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+               round(sum(c * ln(cnt / t)) / sum(c), 4) AS avg_logp
+        FROM dt JOIN vocab USING (tok) CROSS JOIN total
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+}

@@ -24,7 +24,8 @@ SUBSET = (
     "shipping_priority", "big_orders", "sessionize", "bucketed_join",
     "ann_ivf", "value_percentiles", "gopher_rules", "crawl_rate",
     "multimodal_frame_sample", "multimodal_audio_features",
-    "corpus_curation",
+    "corpus_curation", "pii_redact", "decontaminate", "token_pack",
+    "unicode_normalize", "unigram_logprob",
 )
 
 

@@ -148,3 +148,53 @@ def test_corpus_curation_single_pass_no_join(spark):
     assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
     # widen() round-robin + digest groupBy + final agg + orderBy range
     assert n_exchanges(plan) <= 4, plan
+
+
+def test_pii_redact_is_pure_catalyst(spark):
+    """PII counting+redaction must stay JVM-side: a regexp chain in one
+    codegen stage, no Python, no shuffle beyond widen + output sort."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["pii_redact"](spark, SF))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert n_exchanges(plan) <= 2, plan  # widen round-robin + orderBy range
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    """The eval-suite n-gram table is small by nature — the corpus-side
+    13-gram stream must probe a BROADCAST of it, never shuffle against it,
+    and nothing may plan as a cartesian product."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_pack_has_no_single_partition_window(spark):
+    """The global running sum must use the two-phase (per-group cumsum +
+    broadcast offsets) form. A naive Window.orderBy with no partition key
+    would plan `Exchange SinglePartition` — the entire corpus through one
+    task — which is exactly what this pins against."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["token_pack"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+
+
+def test_unicode_normalize_single_arrow_stage(spark):
+    """NFC normalization is the one legitimately-Python stage: exactly one
+    Arrow-batched eval node, no row-at-a-time BatchEvalPython."""
+    plan_re = re.compile(r"ArrowEvalPython \(\d+\)")
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["unicode_normalize"](spark, SF))
+    assert len(set(plan_re.findall(plan))) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab_and_total(spark):
+    """Vocab and the 1-row corpus total must both arrive by broadcast;
+    the only data-sized shuffles are the three keyed aggregations."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["unigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
