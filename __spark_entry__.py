@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": C.q_token_pack,
         "unicode_normalize": C.q_unicode_normalize,
         "unigram_logprob": C.q_unigram_logprob,
+        # crawl-over-crawl change classification: ONE full-outer shuffle
+        # join on doc_id carrying md5 digests, never the text payload
+        "snapshot_diff": C.q_snapshot_diff,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)

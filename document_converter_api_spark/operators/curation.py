@@ -348,3 +348,62 @@ CURATION_ORACLES = {
         GROUP BY doc_id ORDER BY doc_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diff (CDX-style change classification between two crawls)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every document across two crawl snapshots as
+    added / removed / changed / same, plus the per-status counts a crawl
+    scheduler consumes.
+
+    Snapshot B is derived deterministically from A (drop every 11th doc,
+    rewrite every 13th's text, mint new ids above the old range) so both
+    engines build identical inputs. The diff itself is ONE full-outer
+    shuffle join on the uniform ``doc_id`` key — both sides hash-partition
+    once, no skew (ids are unique); md5 digests compare content so the
+    shuffle carries 32-byte hashes, never the text payload (the same
+    never-shuffle-the-text rule the dedup tier follows)."""
+    base = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text"))
+    snap_a = base.select("doc_id", F.md5("text").alias("h_a"))
+    snap_b = (base.filter(F.col("doc_id") % 11 != 0)
+              .select("doc_id",
+                      F.md5(F.when(F.col("doc_id") % 13 == 0,
+                                   F.concat(F.lit("rewritten "), F.col("text")))
+                            .otherwise(F.col("text"))).alias("h_b"))
+              .unionAll(
+                  base.filter(F.col("doc_id") % 17 == 0)
+                  .select((F.col("doc_id") + 100000).alias("doc_id"),
+                          F.md5(F.concat(F.lit("new "), F.col("text")))
+                          .alias("h_b"))))
+    status = (F.when(F.col("h_a").isNull(), "added")
+              .when(F.col("h_b").isNull(), "removed")
+              .when(F.col("h_a") == F.col("h_b"), "same")
+              .otherwise("changed"))
+    return (snap_a.join(snap_b, "doc_id", "full_outer")
+            .select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("status"))
+
+
+CURATION_ORACLES["snapshot_diff"] = """
+    WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN 'rewritten ' || text
+                      ELSE text END) AS h_b
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5('new ' || text) AS h_b
+      FROM documents WHERE doc_id % 17 = 0),
+    j AS (
+      SELECT CASE WHEN h_a IS NULL THEN 'added'
+                  WHEN h_b IS NULL THEN 'removed'
+                  WHEN h_a = h_b THEN 'same' ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b USING (doc_id))
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status ORDER BY status
+"""

@@ -449,3 +449,32 @@ class TestScanWiden:
         assert out.rdd.getNumPartitions() == \
             spark.sparkContext.defaultParallelism
         assert out.count() == 100
+
+
+class TestTokenPackSink:
+    def test_shard_partitioned_write_round_trips(self, spark, tmp_path):
+        """token_pack's shard assignment is a WRITE layout contract: a
+        partitionBy('shard_id') write must produce one directory per shard,
+        every shard but the last must have crossed the token budget by at
+        most one doc (the greedy fill invariant), and the read-back equals
+        the computed assignment."""
+        from document_converter_api_spark.operators.curation import (
+            PACK_BUDGET, q_token_pack,
+        )
+        out = str(tmp_path / "shards")
+        packed = q_token_pack(spark, "/root/testdata/sf0.001")
+        packed.write.partitionBy("shard_id").mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        assert back.count() == packed.count()
+        import os
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+        n_shards = packed.select("shard_id").distinct().count()
+        assert len(dirs) == n_shards and n_shards >= 2
+        # greedy fill: within a shard, tokens-before-last-doc < budget
+        from pyspark.sql import functions as F
+        over = (packed.groupBy("shard_id")
+                .agg((F.max("cum_toks") - F.max("n_toks")).alias("before_last"),
+                     F.min("cum_toks").alias("lo"))
+                .filter(F.col("before_last") - F.col("lo")
+                        + F.col("lo") % PACK_BUDGET >= 2 * PACK_BUDGET))
+        assert over.count() == 0

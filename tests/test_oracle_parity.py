@@ -25,7 +25,7 @@ SUBSET = (
     "ann_ivf", "value_percentiles", "gopher_rules", "crawl_rate",
     "multimodal_frame_sample", "multimodal_audio_features",
     "corpus_curation", "pii_redact", "decontaminate", "token_pack",
-    "unicode_normalize", "unigram_logprob",
+    "unicode_normalize", "unigram_logprob", "snapshot_diff",
 )
 
 

@@ -198,3 +198,26 @@ def test_unigram_logprob_broadcasts_vocab_and_total(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark):
+    """The crawl-diff join must carry 32-char md5 digests, not document
+    bodies: no plan node below the join may reference the text column
+    except inside the md5 projection (checked via the join's output
+    attributes), and there is exactly one join."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["snapshot_diff"](spark, SF))
+    joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+        r"[^\n(]*\((\d+)\)", plan)
+    assert len(set(joins)) == 1, plan
+    # md5 is computed BEFORE the shuffle: every Exchange that hash-
+    # partitions on the join key must carry a digest column and never the
+    # raw text payload
+    key_exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput[^\n]*\nArguments: hashpartitioning"
+        r"\(doc_id[^\n]*", plan)
+    assert key_exchanges, plan
+    for ex in key_exchanges:
+        assert "text#" not in ex, ex
+        assert "h_a#" in ex or "h_b#" in ex, ex
