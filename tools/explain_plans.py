@@ -141,6 +141,27 @@ def main() -> None:
          "lookups — no per-pair float folds at query time."),
         ("url_normalize", "URL canonicalization fully inside Catalyst "
          "(regex + array HOFs): a scan-stage projection at corpus scale."),
+        ("corpus_curation", "the full curation recipe as ONE plan: exact "
+         "dedup rides a struct-min (lang/text recovered with NO join-"
+         "back), quality + lang signals are projections over the dedup "
+         "output — one digest shuffle plus a tiny mix-report agg."),
+        ("pii_redact", "PII count+redact: regexp chain entirely inside "
+         "one WholeStageCodegen span — zero Python, no extra shuffle."),
+        ("decontaminate", "13-gram benchmark decontamination: the eval "
+         "set is distinct'd then BROADCAST; corpus grams explode lazily "
+         "under the size guard; hits re-aggregate on uniform doc_id."),
+        ("token_pack", "token-budget shard packing: two-phase global "
+         "prefix sum — per-group offsets broadcast back, window cumsum "
+         "runs PER GROUP; no Exchange SinglePartition anywhere."),
+        ("unicode_normalize", "NFC normalization: the one legitimately-"
+         "Python stage — a single ArrowEvalPython node, batch-level "
+         "Series.str.normalize."),
+        ("unigram_logprob", "unigram-LM scoring: vocab + 1-row total both "
+         "broadcast; the three keyed aggregations are the only shuffles, "
+         "each map-side-combinable."),
+        ("snapshot_diff", "crawl snapshot diff: md5 projected BEFORE the "
+         "full-outer join's Exchange — the shuffle carries digests, "
+         "never document text."),
     ):
         add(name, note, queries[name](spark, SF))
 
