@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from document_converter_api_spark.operators import dedup as D
     from document_converter_api_spark.operators import multimodal as M
     from document_converter_api_spark.operators import skew as K
+    from document_converter_api_spark.operators import sampling as SA
     from document_converter_api_spark.operators import similarity as S
     from document_converter_api_spark.operators import text_analysis as T
 
@@ -129,6 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-over-crawl change classification: ONE full-outer shuffle
         # join on doc_id carrying md5 digests, never the text payload
         "snapshot_diff": C.q_snapshot_diff,
+        # corpus selection (operators/sampling.py): deterministic
+        # hash-thresholded stratified sampling (reproducible under task
+        # retry/resume — no rand()), registered-domain deny-list as a
+        # broadcast LEFT ANTI join, per-source distinctive terms with
+        # integer tf*(n_sources-df) weights (exact cross-engine ranking)
+        "mix_sample": SA.q_mix_sample,
+        "blocklist_filter": SA.q_blocklist_filter,
+        "source_terms": SA.q_source_terms,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)
@@ -450,7 +459,9 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     from document_converter_api_spark.operators.curation import CURATION_ORACLES
+    from document_converter_api_spark.operators.sampling import SAMPLING_ORACLES
     sql.update(CURATION_ORACLES)
+    sql.update(SAMPLING_ORACLES)
     sql.update(DEDUP_ORACLES)
     sql.update(SIMILARITY_ORACLES)
     sql.update(TEXT_ORACLES)

@@ -48,7 +48,7 @@ BENCH_QUERIES = (
     "lang_id", "quality_score", "token_count", "fingerprint",
     "url_normalize", "crawl_rate",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
-    "corpus_curation",
+    "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

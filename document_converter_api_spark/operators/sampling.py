@@ -1,0 +1,265 @@
+"""Corpus-selection operators: deterministic stratified mix sampling,
+domain-blocklist filtering, and per-source distinctive-term mining.
+
+Reference parity note: like the curation tier (``operators/curation.py``),
+these stages sit downstream of the reference service's per-document
+conversion (``/root/reference/app/main.py`` stops at convert+store); they
+are the corpus-level selection passes a 100 TB webtext pipeline runs when
+assembling a training mix (The Pile / RefinedWeb style source weighting,
+domain deny-lists, per-source signature terms for mix QA).
+
+Scale notes per operator:
+
+* ``mix_sample`` — sampling must be DETERMINISTIC at 10^12 rows (a
+  ``rand()`` sample is irreproducible across retries and resumes, and a
+  driver-side reservoir is a non-starter).  The draw is
+  ``md5('mix:'||doc_id)`` compared against a per-stratum threshold, so the
+  kept set is a pure function of the data: re-runs, speculative task
+  retries, and partition-level resumes all agree.  The only shuffle is the
+  tiny per-language count aggregation (map-side combinable, K rows); the
+  threshold joins back via an explicit broadcast and the filter itself is
+  a shuffle-free projection inside the scan stage.
+* ``blocklist_filter`` — domain deny-lists are small by construction
+  (~10^5 registered domains) while the corpus is not: the only sane plan
+  at scale is registered-domain extraction as a scan-stage projection plus
+  a broadcast LEFT ANTI join — zero data-sized shuffle; the per-domain
+  report aggregation afterwards is map-side combinable.
+* ``source_terms`` — tf lives on (source, term) — high cardinality, no
+  skew; document frequency is per-term over the already-aggregated tf
+  rows (vocabulary-sized, NOT corpus-sized), so the df side broadcasts.
+  The corpus-wide source count is a 1-row aggregate crossed in via
+  broadcast (same pattern as ``plans/queries.py`` retention).  Scoring is
+  integer ``tf * (n_sources - df)`` — the log-idf variant is the
+  production choice, but integer weights keep the cross-engine oracle
+  exact to the last row (no float rounding at rank boundaries).
+
+Every operator has a DuckDB twin with identical constants in
+``SAMPLING_ORACLES``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .scan import widen
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified mix sampling
+# ---------------------------------------------------------------------------
+
+MIX_TARGET_DOCS = 60          # per-language document budget (fixture scale)
+_HASH_SPACE = 4294967296.0    # 16^8: the draw is the first 8 md5 hex chars
+
+
+def mix_sample(docs: DataFrame, target_docs: int = MIX_TARGET_DOCS) -> DataFrame:
+    """Keep ~``target_docs`` documents per language, deterministically.
+
+    Per-stratum keep rate ``min(1, target/count)`` is turned into an 8-hex
+    threshold; a row survives iff its md5 draw sorts below it.  Fixed-width
+    lowercase hex compares lexicographically == numerically, so the
+    comparison stays a string predicate both engines evaluate identically
+    (no hex->int parsing, which DuckDB and Spark spell differently).
+    Returns the kept rows plus ``n_total`` (stratum size) for reporting."""
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    thr = F.when(
+        F.col("n_total") <= target_docs, F.lit("g")  # rate 1: 'g' > any hex
+    ).otherwise(F.lower(F.lpad(F.hex(F.floor(
+        (F.lit(float(target_docs)) / F.col("n_total")) * F.lit(_HASH_SPACE)
+    )), 8, "0")))
+    draw = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8)
+    return (docs.join(F.broadcast(counts), "lang")
+            .withColumn("draw", draw)
+            .withColumn("thr", thr)
+            .filter(F.col("draw") < F.col("thr")))
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mix report over the sampled corpus: stratum size, kept
+    docs, kept chars.  The kept subset itself is the operator's product;
+    the report is its map-side-combinable summary."""
+    docs = widen(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "lang", "n_chars"))
+    kept = mix_sample(docs)
+    return (kept.groupBy("lang").agg(
+        F.max("n_total").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"))
+        .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Domain-blocklist filtering (broadcast anti-join)
+# ---------------------------------------------------------------------------
+
+# Registered domains to deny. Hosts are derived deterministically from
+# doc_id (documents carries no url) so both engines build the same input —
+# the oracle checks the filter, not a url generator.
+BLOCKLIST = ("site1.net", "site4.com", "site7.net", "site8.com")
+
+_REG_DOMAIN_RE = r"([^.]+[.][^.]+)$"
+
+
+def _with_host(docs: DataFrame) -> DataFrame:
+    sub = (F.when(F.col("doc_id") % 3 == 0, F.lit("www"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("cdn"))
+            .otherwise(F.lit("ads")))
+    dom = F.concat(
+        F.lit("site"), (F.col("doc_id") % 11).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(F.lit(".net")))
+    host = F.concat(sub, F.lit("."), dom)
+    return docs.withColumn("host", host).withColumn(
+        "domain", F.regexp_extract(F.col("host"), _REG_DOMAIN_RE, 1))
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop documents whose REGISTERED domain (any subdomain of it) is
+    deny-listed; report surviving volume per domain.
+
+    Plan: registered-domain extraction is a regex projection in the scan
+    stage; the deny-list joins as an explicit broadcast LEFT ANTI (the
+    list is ~10^5 rows at production scale — always broadcastable), so no
+    data-sized shuffle happens before the final per-domain aggregation."""
+    docs = _with_host(
+        widen(spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "n_chars")))
+    block = spark.createDataFrame([(d,) for d in BLOCKLIST], "domain string")
+    kept = docs.join(F.broadcast(block), "domain", "left_anti")
+    return (kept.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"))
+        .orderBy("domain"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source distinctive terms (integer tf-idf variant)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS = 3
+_TERM_RE = "^[a-z0-9]+$"
+_MIN_TERM_LEN = 4
+
+
+def _plant_topics(docs: DataFrame) -> DataFrame:
+    """Deterministically plant source-specific vocabulary (the fixture
+    word salad is shared across sources, so every natural term has df ==
+    n_sources and zero distinctiveness weight; the planted ``topic<k>``
+    tokens are the ground-truth signal both engines must surface)."""
+    snum = F.col("source").substr(4, 8)
+    return docs.withColumn("text", F.lower(F.concat(
+        F.col("text"),
+        F.lit(" topic"), snum, F.lit(" topic"), snum,
+        F.lit(" niche"), (F.col("doc_id") % 7).cast("string"))))
+
+
+def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_TERMS`` distinctive terms per source, scored by integer
+    ``tf * (n_sources - df)`` (terms shared by every source weigh zero).
+
+    Shuffle shape: one (source, term) tf aggregation over the exploded
+    tokens (high-cardinality keys — no skew), then vocabulary-sized df
+    rows broadcast back, a 1-row source-count broadcast cross, and the
+    per-source top-k window (each source's partition holds only its own
+    vocabulary, never corpus rows)."""
+    docs = _plant_topics(
+        widen(spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "source", "text")))
+    toks = (docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter((F.length("term") >= _MIN_TERM_LEN)
+                & F.col("term").rlike(_TERM_RE)))
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("source").alias("df"))
+    nsrc = tf.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(nsrc))
+              .withColumn("score", (F.col("tf")
+                                    * (F.col("n_sources") - F.col("df"))
+                                    ).cast("long")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_TERMS)
+            .select("source", "term", "tf", "score", "rk")
+            .orderBy("source", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (identical constants, interpolated from the same names)
+# ---------------------------------------------------------------------------
+
+SAMPLING_ORACLES = {
+    "mix_sample": f"""
+        WITH c AS (SELECT lang, count(*) AS n_total
+                   FROM documents GROUP BY lang),
+        k AS (
+          SELECT d.lang, d.n_chars, c.n_total,
+                 substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS draw,
+                 CASE WHEN c.n_total <= {MIX_TARGET_DOCS} THEN 'g'
+                      ELSE lower(lpad(hex(CAST(floor(
+                        (CAST({MIX_TARGET_DOCS} AS DOUBLE) / c.n_total)
+                        * {_HASH_SPACE}) AS BIGINT)), 8, '0'))
+                 END AS thr
+          FROM documents d JOIN c USING (lang))
+        SELECT lang,
+               max(n_total) AS n_total,
+               count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM k WHERE draw < thr
+        GROUP BY lang ORDER BY lang
+    """,
+    "blocklist_filter": f"""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'www'
+                       WHEN doc_id % 3 = 1 THEN 'cdn'
+                       ELSE 'ads' END)
+                 || '.site' || CAST(doc_id % 11 AS VARCHAR)
+                 || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.net' END)
+                 AS host
+          FROM documents),
+        d AS (SELECT doc_id, n_chars,
+                     regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain
+              FROM h)
+        SELECT domain, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM d
+        WHERE domain NOT IN {tuple(BLOCKLIST)!r}
+        GROUP BY domain ORDER BY domain
+    """,
+    "source_terms": f"""
+        WITH raw AS (
+          SELECT source,
+                 unnest(str_split(lower(
+                   text || ' topic' || substr(source, 4)
+                        || ' topic' || substr(source, 4)
+                        || ' niche' || CAST(doc_id % 7 AS VARCHAR)), ' '))
+                 AS term
+          FROM documents),
+        toks AS (SELECT source, term FROM raw
+                 WHERE length(term) >= {_MIN_TERM_LEN}
+                   AND regexp_matches(term, '{_TERM_RE}')),
+        tf AS (SELECT source, term, count(*) AS tf
+               FROM toks GROUP BY source, term),
+        dfreq AS (SELECT term, count(DISTINCT source) AS df
+                  FROM tf GROUP BY term),
+        s AS (SELECT count(DISTINCT source) AS n_sources FROM tf),
+        scored AS (
+          SELECT tf.source, tf.term, tf.tf,
+                 CAST(tf.tf * (s.n_sources - dfreq.df) AS BIGINT) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN s),
+        ranked AS (
+          SELECT source, term, tf, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, tf DESC, term ASC)
+                 AS rk
+          FROM scored)
+        SELECT source, term, tf, score, rk
+        FROM ranked WHERE rk <= {TOP_TERMS}
+        ORDER BY source, rk
+    """,
+}

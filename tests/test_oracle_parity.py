@@ -26,6 +26,7 @@ SUBSET = (
     "multimodal_frame_sample", "multimodal_audio_features",
     "corpus_curation", "pii_redact", "decontaminate", "token_pack",
     "unicode_normalize", "unigram_logprob", "snapshot_diff",
+    "mix_sample", "blocklist_filter", "source_terms",
 )
 
 

@@ -221,3 +221,39 @@ def test_snapshot_diff_shuffles_digests_not_text(spark):
     for ex in key_exchanges:
         assert "text#" not in ex, ex
         assert "h_a#" in ex or "h_b#" in ex, ex
+
+
+def test_mix_sample_broadcasts_stratum_thresholds(spark):
+    """The per-language thresholds (K rows) must join back by BROADCAST
+    and the draw-vs-threshold filter must stay a projection — the only
+    data-sized shuffle is the count aggregation over the pruned lang
+    column; no SortMergeJoin, no Python."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["mix_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    """The deny-list must arrive by broadcast as a LEFT ANTI probe; the
+    corpus side must never shuffle before the join (domain extraction is
+    a scan-stage projection)."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["blocklist_filter"](spark, SF))
+    m = re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan)
+    assert m, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_terms_broadcasts_vocab_sides(spark):
+    """df (vocabulary-sized) and the 1-row source count must broadcast;
+    the per-source top-k window must partition by source (never plan an
+    Exchange SinglePartition); tokens stay JVM-side."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["source_terms"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan

@@ -162,6 +162,18 @@ def main() -> None:
         ("snapshot_diff", "crawl snapshot diff: md5 projected BEFORE the "
          "full-outer join's Exchange — the shuffle carries digests, "
          "never document text."),
+        ("mix_sample", "deterministic stratified sampling: per-language "
+         "thresholds (K rows) broadcast back, the md5-draw filter is a "
+         "shuffle-free projection — reproducible under task retry, "
+         "unlike rand()."),
+        ("blocklist_filter", "registered-domain deny-list: domain "
+         "extraction is a scan-stage regex projection, the list probes "
+         "as a broadcast LEFT ANTI — zero data-sized shuffle before the "
+         "report agg."),
+        ("source_terms", "per-source distinctive terms: one (source,term) "
+         "tf shuffle, vocabulary-sized df broadcast back, 1-row source "
+         "count crossed in by broadcast, per-source top-k window (no "
+         "SinglePartition)."),
     ):
         add(name, note, queries[name](spark, SF))
 
