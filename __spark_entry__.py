@@ -144,6 +144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": M.q_multimodal_decode,
         "multimodal_frame_sample": M.q_multimodal_frame_sample,
         "multimodal_audio_features": M.q_multimodal_audio_features,
+        # temporal joins (operators/temporal.py): as-of join via the
+        # union+carry-forward window (one Exchange, no row expansion) and
+        # fixed-width interval join via bucket-explode equi-join; DuckDB
+        # twins use DIFFERENT algorithms (native ASOF JOIN / inequality
+        # join) so agreement cross-validates the plan, not just the code
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
         "host_stats_salted": K.q_host_stats_salted,
         # domain balancing: deterministic per-host document cap (md5 order)
@@ -158,6 +165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join; the zero-Exchange plan property is pinned in test_plans.py
         "bucketed_join": _q_bucketed_join,
     }
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.temporal import q_asof_join
+    return q_asof_join(spark, sf_dir)
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.temporal import q_range_join
+    return q_range_join(spark, sf_dir)
 
 
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,4 +510,6 @@ def oracle_sql() -> dict[str, str]:
         BUCKETED_JOIN_ORACLE_SQL,
     )
     sql["bucketed_join"] = BUCKETED_JOIN_ORACLE_SQL
+    from document_converter_api_spark.operators.temporal import TEMPORAL_ORACLES
+    sql.update(TEMPORAL_ORACLES)
     return sql

@@ -478,3 +478,68 @@ class TestTokenPackSink:
                 .filter(F.col("before_last") - F.col("lo")
                         + F.col("lo") % PACK_BUDGET >= 2 * PACK_BUDGET))
         assert over.count() == 0
+
+
+class TestTemporalJoins:
+    """Behavioral contracts for operators/temporal.py: inclusive ASOF tie
+    semantics, inner-drop of unmatched probes, and the scale-deciding plan
+    shapes (one Exchange / equi-join, never a nested-loop join)."""
+
+    @staticmethod
+    def _plan_helpers():
+        from .test_plans import n_exchanges, plan_of
+        return plan_of, n_exchanges
+
+    def _frames(self, spark):
+        from datetime import datetime as dt
+        probe = spark.createDataFrame(
+            [(1, 10, dt(2024, 1, 1, 0, 0, 0)),    # before any build -> drop
+             (2, 10, dt(2024, 1, 1, 1, 0, 0)),    # == build ts -> inclusive
+             (3, 10, dt(2024, 1, 1, 5, 0, 0)),    # after both -> latest
+             (4, 20, dt(2024, 1, 1, 2, 0, 0)),    # other key
+             (5, 30, dt(2024, 1, 1, 2, 0, 0))],   # key with no build -> drop
+            "event_id long, user_id long, ts timestamp")
+        build = spark.createDataFrame(
+            [(10, dt(2024, 1, 1, 1, 0, 0), dt(2024, 1, 1, 1, 0, 0), 1.0),
+             (10, dt(2024, 1, 1, 3, 0, 0), dt(2024, 1, 1, 3, 0, 0), 2.0),
+             (20, dt(2024, 1, 1, 1, 30, 0), dt(2024, 1, 1, 1, 30, 0), 9.0)],
+            "user_id long, ts timestamp, b_ts timestamp, b_value double")
+        return probe, build
+
+    def test_asof_semantics(self, spark):
+        from document_converter_api_spark.operators.temporal import asof_join
+        probe, build = self._frames(spark)
+        got = {r.event_id: (r.m_ts.hour, r.m_value)
+               for r in asof_join(probe, build).collect()}
+        # probe 1 (no preceding build) and probe 5 (no build key) dropped;
+        # probe 2 matches the EQUAL-ts build row (inclusive convention);
+        # probe 3 takes the latest of the two builds.
+        assert got == {2: (1, 1.0), 3: (3, 2.0), 4: (1, 9.0)}
+
+    def test_asof_plan_one_exchange_no_nlj(self, spark):
+        from document_converter_api_spark.operators.temporal import asof_join
+        probe, build = self._frames(spark)
+        plan_of, n_exchanges = self._plan_helpers()
+        plan = plan_of(asof_join(probe, build))
+        assert n_exchanges(plan) == 1, "union+window asof must shuffle once"
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_range_join_matches_oracle_and_plans_equi(self, spark):
+        import duckdb
+        from document_converter_api_spark.operators.temporal import (
+            TEMPORAL_ORACLES, q_range_join,
+        )
+        sf = "/root/testdata/sf0.001"
+        df = q_range_join(spark, sf)
+        plan_of, _ = self._plan_helpers()
+        plan = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        got = {(r.window_id, r.n_clicks, r.first_click, r.last_click)
+               for r in df.collect()}
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        want = {(w, n, f, l) for (w, _, _, n, f, l)
+                in con.execute(TEMPORAL_ORACLES["range_join"]).fetchall()}
+        assert got == want and got
