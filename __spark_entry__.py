@@ -151,6 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join) so agreement cross-validates the plan, not just the code
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        # mergeable cardinality sketches (operators/sketch.py): HLL
+        # registers + KMV bottom-k, every hash/register/estimate step the
+        # SAME SQL fragment on both engines — an approximate operator
+        # checked EXACTLY (identical registers, identical estimate)
+        "hll_distinct": _q_hll_distinct,
+        "kmv_distinct": _q_kmv_distinct,
         # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
         "host_stats_salted": K.q_host_stats_salted,
         # domain balancing: deterministic per-host document cap (md5 order)
@@ -165,6 +171,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join; the zero-Exchange plan property is pinned in test_plans.py
         "bucketed_join": _q_bucketed_join,
     }
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sketch import q_hll_distinct
+    return q_hll_distinct(spark, sf_dir)
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sketch import q_kmv_distinct
+    return q_kmv_distinct(spark, sf_dir)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,4 +528,6 @@ def oracle_sql() -> dict[str, str]:
     sql["bucketed_join"] = BUCKETED_JOIN_ORACLE_SQL
     from document_converter_api_spark.operators.temporal import TEMPORAL_ORACLES
     sql.update(TEMPORAL_ORACLES)
+    from document_converter_api_spark.operators.sketch import SKETCH_ORACLES
+    sql.update(SKETCH_ORACLES)
     return sql

@@ -543,3 +543,44 @@ class TestTemporalJoins:
         want = {(w, n, f, l) for (w, _, _, n, f, l)
                 in con.execute(TEMPORAL_ORACLES["range_join"]).fetchall()}
         assert got == want and got
+
+
+class TestSketches:
+    """operators/sketch.py: the property that makes HLL the scale plan is
+    MERGEABILITY — sketch(A ∪ B) == register-wise max of sketch(A),
+    sketch(B) — plus the standard-error accuracy bound."""
+
+    def test_hll_registers_merge(self, spark):
+        from document_converter_api_spark.operators.sketch import (
+            hll_register_table,
+        )
+        a = spark.range(0, 3000).selectExpr("id AS user_id")
+        b = spark.range(2000, 5000).selectExpr("id AS user_id")
+        ra = {r.register: r.rho_max for r in hll_register_table(a).collect()}
+        rb = {r.register: r.rho_max for r in hll_register_table(b).collect()}
+        merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+        union = {r.register: r.rho_max
+                 for r in hll_register_table(a.union(b)).collect()}
+        assert merged == union
+
+    def test_hll_partial_agg_before_shuffle(self, spark):
+        from document_converter_api_spark.operators.sketch import (
+            hll_register_table,
+        )
+        df = spark.range(0, 1000).selectExpr("id AS user_id")
+        plan = hll_register_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max" in plan, "register merge must combine map-side"
+
+    def test_hll_accuracy_bound(self, spark):
+        from document_converter_api_spark.operators.sketch import (
+            M_REGISTERS, hll_register_table,
+        )
+        import math
+        n = 5000
+        df = spark.range(0, n).selectExpr("id AS user_id")
+        regs = {r.register: r.rho_max for r in hll_register_table(df).collect()}
+        alpha_m2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        s = sum(2.0 ** -v for v in regs.values()) + (M_REGISTERS - len(regs))
+        est = alpha_m2 / s
+        # 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
+        assert abs(est - n) / n < 4 * 1.04 / math.sqrt(M_REGISTERS)
