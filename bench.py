@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "url_normalize", "crawl_rate",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
     "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
+    "asof_join", "range_join", "hll_distinct", "kmv_distinct",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

@@ -174,6 +174,19 @@ def main() -> None:
          "tf shuffle, vocabulary-sized df broadcast back, 1-row source "
          "count crossed in by broadcast, per-source top-k window (no "
          "SinglePartition)."),
+        ("asof_join", "as-of join via union+carry-forward window: ONE "
+         "hash Exchange on the key, zero row expansion — never the "
+         "BroadcastNestedLoopJoin an inequality formulation plans."),
+        ("range_join", "fixed-width interval join: each window explodes "
+         "to its <=2 covering time buckets, the match is a plain "
+         "EQUI-join on (key,bucket) + exact range filter — no "
+         "nested-loop node anywhere."),
+        ("hll_distinct", "HyperLogLog: groupBy(register)->max(rho) "
+         "combines map-side, so the shuffle carries <=256 rows per task "
+         "regardless of corpus size — the distributed sketch-union."),
+        ("kmv_distinct", "KMV bottom-k: partial TakeOrdered per "
+         "partition, k-row driver merge — the full distinct set never "
+         "centralizes."),
     ):
         add(name, note, queries[name](spark, SF))
 
