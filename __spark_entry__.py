@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4-style line-level dedup: distinct lines survive only in their
         # lowest-doc_id document; docs rebuilt in order (md5-compared)
         "line_dedup": D.q_line_dedup,
+        # ExactSubstr-style duplicated-span marking: substring-granularity
+        # dedup (window-count mark on one digest shuffle, gaps-and-islands
+        # span merge — no pair expansion anywhere)
+        "span_dedup": D.q_span_dedup,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,

@@ -761,3 +761,120 @@ DEDUP_ORACLES["line_dedup"] = f"""
     FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 8. ExactSubstr-style duplicated-SPAN detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+# Span shingle width in words. Production ExactSubstr (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") uses
+# 50-token windows; 8 fits the fixture docs while keeping the plan
+# identical — the width is a constant in one projection, not a plan shape.
+SPAN_K = 8
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark every K-word span whose text occurs MORE THAN ONCE in the
+    corpus, merge overlapping/adjacent marked spans per document
+    (gaps-and-islands), and report per-doc duplicated coverage.
+
+    This is the substring-granularity tier the doc-level (exact/minhash)
+    and line-level (line_dedup) tiers miss: a page that quotes a
+    boilerplate paragraph is not a duplicate DOCUMENT, but the paragraph
+    itself is duplicated TEXT a training pipeline wants to drop once.
+
+    Scale shape (the reason this formulation survives 10^12 docs):
+
+    * positional shingles are md5 DIGESTS — the shuffle never carries
+      text, and each occurrence is ONE row (doc_id, pos, h);
+    * the duplicate mark is a window ``count(*) over (partition by h)``
+      riding a single Exchange on h — a boolean per row, NO pair
+      expansion, so a corpus-wide boilerplate span costs its occurrence
+      count, never occurrences² (contrast: Jaccard's posting lists need
+      the DF cap precisely because they DO expand pairs);
+    * island merging is a per-doc window over marked positions only —
+      second Exchange on doc_id, rows already reduced to duplicated
+      positions.
+
+    Exactly mirrored in DuckDB (same split convention, same md5 keys,
+    same merge rule: spans [p, p+K-1] merge when p <= prev_end + 1)."""
+    from pyspark.sql.window import Window
+
+    corpus = _corpus(spark, sf_dir)
+    k = SPAN_K
+    sh = (widen(corpus)
+          .withColumn("words", F.split(F.lower("text"), " ", -1))
+          .filter(F.size("words") >= k)
+          .select("doc_id", F.size("words").alias("n_words"),
+                  F.posexplode(F.transform(
+                      F.sequence(F.lit(1), F.size("words") - k + 1),
+                      lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, k)))
+                  )).alias("p0", "h"))
+          .select("doc_id", "n_words", (F.col("p0") + 1).alias("pos"), "h"))
+    marked = (sh.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+              .filter(F.col("cnt") > 1)
+              .select("doc_id", "n_words", "pos"))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k - 1).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (marked
+               .withColumn("is_new",
+                           F.when(prev_end.isNull()
+                                  | (F.col("pos") > prev_end + 1), 1)
+                           .otherwise(0))
+               .withColumn("island", F.sum("is_new").over(
+                   w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy("doc_id", "n_words", "island")
+               .agg((F.max("pos") + k - 1 - F.min("pos") + 1)
+                    .alias("covered")))
+    return (islands.groupBy("doc_id", "n_words")
+            .agg(F.count("*").cast("int").alias("n_spans"),
+                 F.sum("covered").cast("int").alias("dup_words"))
+            .select("doc_id", F.col("n_words").cast("int").alias("n_words"),
+                    "n_spans", "dup_words",
+                    F.round(F.col("dup_words") / F.col("n_words"), 4)
+                    .alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+DEDUP_ORACLES["span_dedup"] = f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    ws AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM corpus
+           WHERE len(str_split(lower(text), ' ')) >= {SPAN_K}),
+    sh AS (SELECT doc_id, len(w) AS n_words,
+                  unnest(list_transform(range(1, len(w) - {SPAN_K} + 2),
+                    i -> {{'pos': i,
+                          'h': md5(array_to_string(w[i:i+{SPAN_K}-1], ' '))}}),
+                  recursive := true)
+           FROM ws),
+    marked AS (SELECT doc_id, n_words, pos FROM (
+                 SELECT doc_id, n_words, pos,
+                        count(*) OVER (PARTITION BY h) AS cnt
+                 FROM sh) WHERE cnt > 1),
+    flagged AS (SELECT doc_id, n_words, pos,
+                       CASE WHEN max(pos + {SPAN_K} - 1) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) IS NULL
+                            OR pos > max(pos + {SPAN_K} - 1) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) + 1
+                            THEN 1 ELSE 0 END AS is_new
+                FROM marked),
+    isl AS (SELECT doc_id, n_words,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island, pos
+            FROM flagged),
+    spans AS (SELECT doc_id, n_words, island,
+                     max(pos) + {SPAN_K} - 1 - min(pos) + 1 AS covered
+              FROM isl GROUP BY doc_id, n_words, island)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(count(*) AS INT) AS n_spans,
+           CAST(sum(covered) AS INT) AS dup_words,
+           round(sum(covered) * 1.0 / n_words, 4) AS dup_frac
+    FROM spans GROUP BY doc_id, n_words
+    ORDER BY doc_id
+"""

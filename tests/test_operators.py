@@ -584,3 +584,49 @@ class TestSketches:
         est = alpha_m2 / s
         # 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
         assert abs(est - n) / n < 4 * 1.04 / math.sqrt(M_REGISTERS)
+
+
+class TestSpanDedup:
+    """operators/dedup.py q_span_dedup: ExactSubstr-style span marking."""
+
+    def test_exact_copy_docs_fully_covered(self, spark):
+        """Planted exact copies (doc_id+10000) must be covered end-to-end:
+        one island spanning all n_words, dup_frac == 1.0."""
+        from document_converter_api_spark.operators.dedup import q_span_dedup
+        out = {r.doc_id: r for r in
+               q_span_dedup(spark, "/root/testdata/sf0.001").collect()}
+        copies = [r for d, r in out.items() if d >= 10000 and d < 20000]
+        assert copies, "fixture plants doc_id+10000 exact copies"
+        for r in copies:
+            assert (r.n_spans, r.dup_words, r.dup_frac) == (1, r.n_words, 1.0)
+
+    def test_shared_paragraph_span_boundaries(self, spark):
+        """Two docs sharing only a middle 12-word run: with K=8 the
+        duplicated shingles start at paragraph positions 1..5, so the
+        island covers exactly the 12 shared words — nothing else."""
+        from document_converter_api_spark.operators.dedup import SPAN_K
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+        assert SPAN_K == 8
+        shared = " ".join(f"s{i}" for i in range(12))
+        a = "a0 a1 a2 " + shared + " a3 a4"
+        b = "b0 " + shared + " b1 b2 b3 b4 b5"
+        docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        # re-run the operator's exact pipeline on the two-doc corpus
+        k = SPAN_K
+        sh = (docs.withColumn("words", F.split(F.lower("text"), " ", -1))
+              .filter(F.size("words") >= k)
+              .select("doc_id", F.size("words").alias("n_words"),
+                      F.posexplode(F.transform(
+                          F.sequence(F.lit(1), F.size("words") - k + 1),
+                          lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, k)))
+                      )).alias("p0", "h"))
+              .select("doc_id", "n_words", (F.col("p0") + 1).alias("pos"), "h"))
+        marked = (sh.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+                  .filter("c > 1").groupBy("doc_id")
+                  .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+                       F.count("*").alias("n")))
+        got = {r.doc_id: (r.lo, r.hi, r.n) for r in marked.collect()}
+        # doc 1: shared words at positions 4..15 -> shingle starts 4..8
+        # doc 2: shared words at positions 2..13 -> shingle starts 2..6
+        assert got == {1: (4, 8, 5), 2: (2, 6, 5)}
