@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked EXACTLY (identical registers, identical estimate)
         "hll_distinct": _q_hll_distinct,
         "kmv_distinct": _q_kmv_distinct,
+        # frequency + membership sketches: count-min (integer sums — exact
+        # parity by construction) and a Bloom filter (bit_or word folds;
+        # no-false-negative invariant surfaced as a checked column)
+        "cms_topk": _q_cms_topk,
+        "bloom_filter": _q_bloom_filter,
         # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
         "host_stats_salted": K.q_host_stats_salted,
         # domain balancing: deterministic per-host document cap (md5 order)
@@ -185,6 +190,16 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.sketch import q_kmv_distinct
     return q_kmv_distinct(spark, sf_dir)
+
+
+def _q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sketch import q_cms_topk
+    return q_cms_topk(spark, sf_dir)
+
+
+def _q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sketch import q_bloom_filter
+    return q_bloom_filter(spark, sf_dir)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

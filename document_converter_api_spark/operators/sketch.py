@@ -190,3 +190,170 @@ SKETCH_ORACLES = {
         FROM est
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency) and Bloom filter (membership) — both with
+# INTEGER/BIT-exact cross-engine parity: counters are plain sums and the
+# filter words plain bit_or folds, so there is no float question at all.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4         # count-min hash rows
+CMS_W = 256       # counters per row
+BLOOM_BITS = 1024  # 32 words x 32 bits
+BLOOM_K = 4        # hash functions
+_BLOOM_WORD_BITS = 32
+
+# Column index for count-min row r: first two nibbles of a per-row keyed md5.
+_CMS_COL = (f"CAST((instr({_NIBBLES}, substring(hr, 1, 1)) - 1) * 16 + "
+            f"(instr({_NIBBLES}, substring(hr, 2, 1)) - 1) AS INT)")
+_CMS_H = "md5(CAST(user_id AS STRING) || ':' || CAST(r AS STRING))"
+
+# Bloom bit position for hash j: first three nibbles (0..4095) mod 1024.
+_BLOOM_H = "md5(CAST(user_id AS STRING) || '#' || CAST(j AS STRING))"
+_BLOOM_POS = (f"CAST(((instr({_NIBBLES}, substring(hj, 1, 1)) - 1) * 256 + "
+              f"(instr({_NIBBLES}, substring(hj, 2, 1)) - 1) * 16 + "
+              f"(instr({_NIBBLES}, substring(hj, 3, 1)) - 1)) % {BLOOM_BITS} "
+              "AS INT)")
+
+
+def cms_table(df: DataFrame) -> DataFrame:
+    """The (r, col, counter) count-min state: d×w counters, each a plain
+    SUM — map-side combinable, mergeable across corpora by addition, and
+    the shuffle is bounded at d·w rows per task regardless of input."""
+    return (df.select("user_id", F.explode(
+                F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"))
+            .withColumn("hr", F.expr(_CMS_H))
+            .select("r", F.expr(_CMS_COL).alias("col"))
+            .groupBy("r", "col").agg(F.count("*").alias("counter")))
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the exact top-10 users by event
+    count: estimate = min over the d rows of the hashed counter.  The
+    CMS guarantee (estimate >= truth, overestimate only) is visible in
+    the output as a non-negative ``overcount`` column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    sketch = cms_table(ev)
+    top = (ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+           .orderBy(F.desc("true_n"), F.asc("user_id")).limit(10))
+    probes = (top.select("user_id", "true_n", F.explode(
+                  F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"))
+              .withColumn("hr", F.expr(_CMS_H))
+              .select("user_id", "true_n", "r", F.expr(_CMS_COL).alias("col")))
+    return (probes.join(sketch, ["r", "col"])
+            .groupBy("user_id", "true_n")
+            .agg(F.min("counter").cast("long").alias("cms_estimate"))
+            .select("user_id", "true_n", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("true_n"))
+                    .cast("long").alias("overcount"))
+            .orderBy("user_id"))
+
+
+def bloom_words(df: DataFrame) -> DataFrame:
+    """The (word, bits) Bloom state: BLOOM_BITS bits as 32-bit-word
+    ``bit_or`` folds — at most 32 rows leave each map task, and two
+    filters merge by OR-ing words."""
+    return (df.select("user_id", F.explode(
+                F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
+            .withColumn("hj", F.expr(_BLOOM_H))
+            .select(F.expr(_BLOOM_POS).alias("pos"))
+            .select((F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word"),
+                    F.expr(f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)")
+                    .alias("mask"))
+            .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the EVEN user ids, probe every distinct
+    user: no false negatives (pinned as ``n_false_neg`` must be 0) and a
+    measured false-positive count against the ground truth.  The filter
+    is 32 rows — Spark broadcasts it to the probe join."""
+    users = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .select("user_id").distinct())
+    members = users.filter(F.col("user_id") % 2 == 0)
+    filt = bloom_words(members)
+    probes = (users.select("user_id", F.explode(
+                  F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
+              .withColumn("hj", F.expr(_BLOOM_H))
+              .select("user_id", F.expr(_BLOOM_POS).alias("pos"))
+              .select("user_id",
+                      (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word"),
+                      F.expr(f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)")
+                      .alias("mask")))
+    hits = (probes.join(F.broadcast(filt), "word", "left")
+            .select("user_id",
+                    ((F.coalesce(F.col("bits"), F.lit(0))
+                      .bitwiseAND(F.col("mask"))) == F.col("mask")).alias("hit"))
+            .groupBy("user_id").agg(F.bool_and("hit").alias("positive")))
+    return (hits.withColumn("is_member", F.col("user_id") % 2 == 0)
+            .agg(F.count("*").cast("long").alias("n_probes"),
+                 F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+                 .cast("long").alias("n_members"),
+                 F.sum(F.when(F.col("positive"), 1).otherwise(0))
+                 .cast("long").alias("n_positive"),
+                 F.sum(F.when(F.col("positive") & ~F.col("is_member"), 1)
+                       .otherwise(0)).cast("long").alias("n_false_pos"),
+                 F.sum(F.when(~F.col("positive") & F.col("is_member"), 1)
+                       .otherwise(0)).cast("long").alias("n_false_neg")))
+
+
+SKETCH_ORACLES["cms_topk"] = f"""
+    WITH r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    rows_ AS (
+      SELECT user_id, r, {_CMS_H} AS hr FROM events CROSS JOIN r),
+    cells AS (
+      SELECT r, {_CMS_COL} AS col FROM rows_),
+    sketch AS (
+      SELECT r, col, count(*) AS counter FROM cells GROUP BY r, col),
+    top AS (
+      SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+      ORDER BY true_n DESC, user_id ASC LIMIT 10),
+    probes AS (
+      SELECT t.user_id, t.true_n, r.r,
+             md5(CAST(t.user_id AS STRING) || ':' || CAST(r.r AS STRING)) AS hr
+      FROM top t CROSS JOIN r),
+    pcells AS (
+      SELECT user_id, true_n, r, {_CMS_COL} AS col FROM probes)
+    SELECT p.user_id, p.true_n,
+           CAST(min(s.counter) AS BIGINT) AS cms_estimate,
+           CAST(min(s.counter) - p.true_n AS BIGINT) AS overcount
+    FROM pcells p JOIN sketch s ON p.r = s.r AND p.col = s.col
+    GROUP BY p.user_id, p.true_n
+    ORDER BY p.user_id
+"""
+
+SKETCH_ORACLES["bloom_filter"] = f"""
+    WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    users AS (SELECT DISTINCT user_id FROM events),
+    mrows AS (
+      SELECT user_id, j, {_BLOOM_H} AS hj
+      FROM (SELECT user_id FROM users WHERE user_id % 2 = 0) CROSS JOIN j),
+    mpos AS (SELECT {_BLOOM_POS} AS pos FROM mrows),
+    filt AS (
+      SELECT CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+             bit_or(CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)) AS bits
+      FROM mpos GROUP BY 1),
+    prows AS (
+      SELECT user_id, j, {_BLOOM_H} AS hj FROM users CROSS JOIN j),
+    ppos AS (SELECT user_id, {_BLOOM_POS} AS pos FROM prows),
+    pcell AS (
+      SELECT user_id, CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+             CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT) AS mask
+      FROM ppos),
+    hits AS (
+      SELECT p.user_id,
+             bool_and((COALESCE(f.bits, 0) & p.mask) = p.mask) AS positive
+      FROM pcell p LEFT JOIN filt f ON p.word = f.word
+      GROUP BY p.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(sum(CASE WHEN positive AND user_id % 2 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN NOT positive AND user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_neg
+    FROM hits
+"""

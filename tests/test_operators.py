@@ -630,3 +630,53 @@ class TestSpanDedup:
         # doc 1: shared words at positions 4..15 -> shingle starts 4..8
         # doc 2: shared words at positions 2..13 -> shingle starts 2..6
         assert got == {1: (4, 8, 5), 2: (2, 6, 5)}
+
+
+class TestFrequencyMembershipSketches:
+    """cms_table / bloom_words: the never-undercount and no-false-negative
+    guarantees, and mergeability (the distributed-union property)."""
+
+    def test_cms_never_undercounts_any_key(self, spark):
+        from document_converter_api_spark.operators.sketch import (
+            CMS_D, _CMS_COL, _CMS_H, cms_table,
+        )
+        df = (spark.range(0, 2000)
+              .selectExpr("CAST(id % 37 AS LONG) AS user_id"))
+        sketch = {(r.r, r.col): r.counter for r in cms_table(df).collect()}
+        truth = {r.user_id: r.n for r in
+                 df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+        probes = (df.distinct()
+                  .selectExpr("user_id", f"explode(array({','.join(str(i) for i in range(CMS_D))})) AS r")
+                  .selectExpr("user_id", "r", f"{_CMS_H} AS hr")
+                  .selectExpr("user_id", "r", f"{_CMS_COL} AS col").collect())
+        import collections
+        est = collections.defaultdict(list)
+        for p in probes:
+            est[p.user_id].append(sketch[(p.r, p.col)])
+        assert all(min(v) >= truth[u] for u, v in est.items())
+
+    def test_cms_merge_is_counter_sum(self, spark):
+        from document_converter_api_spark.operators.sketch import cms_table
+        a = spark.range(0, 700).selectExpr("CAST(id % 11 AS LONG) AS user_id")
+        b = spark.range(0, 500).selectExpr("CAST(id % 13 AS LONG) AS user_id")
+        ca = {(r.r, r.col): r.counter for r in cms_table(a).collect()}
+        cb = {(r.r, r.col): r.counter for r in cms_table(b).collect()}
+        merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+        union = {(r.r, r.col): r.counter
+                 for r in cms_table(a.union(b)).collect()}
+        assert merged == union
+
+    def test_bloom_no_false_negatives_and_or_merge(self, spark):
+        from document_converter_api_spark.operators.sketch import (
+            bloom_words, q_bloom_filter,
+        )
+        row = q_bloom_filter(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row.n_false_neg == 0
+        assert row.n_positive >= row.n_members
+        a = spark.range(0, 40).selectExpr("id AS user_id")
+        b = spark.range(30, 80).selectExpr("id AS user_id")
+        wa = {r.word: r.bits for r in bloom_words(a).collect()}
+        wb = {r.word: r.bits for r in bloom_words(b).collect()}
+        merged = {k: wa.get(k, 0) | wb.get(k, 0) for k in set(wa) | set(wb)}
+        union = {r.word: r.bits for r in bloom_words(a.union(b)).collect()}
+        assert merged == union
