@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-false-negative invariant surfaced as a checked column)
         "cms_topk": _q_cms_topk,
         "bloom_filter": _q_bloom_filter,
+        # mergeable 64-bin histogram + interpolated p50/p95 — the scale
+        # path next to value_percentiles' exact per-group sort, and an
+        # approximate percentile that IS cross-engine checkable
+        "histogram_quantiles": _q_histogram_quantiles,
         # skew: salted two-phase hot-host aggregation (== naive GROUP BY)
         "host_stats_salted": K.q_host_stats_salted,
         # domain balancing: deterministic per-host document cap (md5 order)
@@ -200,6 +204,13 @@ def _q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.sketch import q_bloom_filter
     return q_bloom_filter(spark, sf_dir)
+
+
+def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sketch import (
+        q_histogram_quantiles,
+    )
+    return q_histogram_quantiles(spark, sf_dir)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,7 +49,9 @@ BENCH_QUERIES = (
     "url_normalize", "crawl_rate",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
     "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
-    "asof_join", "range_join", "hll_distinct", "kmv_distinct",
+    "asof_join", "range_join", "span_dedup",
+    "hll_distinct", "kmv_distinct", "cms_topk", "bloom_filter",
+    "histogram_quantiles",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

@@ -357,3 +357,91 @@ SKETCH_ORACLES["bloom_filter"] = f"""
              AS BIGINT) AS n_false_neg
     FROM hits
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram + interpolated quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 of ``value`` per event_type from a 64-bin
+    equi-width histogram with linear interpolation inside the hit bin.
+
+    This is the SCALE path next to ``value_percentiles``' exact per-group
+    sort: bin counts are plain sums — map-side combinable and mergeable
+    across partitions/corpora by addition, so the shuffle carries at most
+    groups×64 rows per task regardless of input size.  Exact percentiles
+    need the whole group's values co-located and sorted; the histogram
+    needs neither.  Spark's own ``percentile_approx`` (KLL-ish) cannot be
+    oracle-checked across engines; this estimator CAN — binning, cumsum
+    and interpolation are the same arithmetic on both sides.
+
+    Determinism: bin edges derive from the group's exact min/max (both
+    engines agree bit-for-bit), ``floor((value-min)/width)`` is a single
+    IEEE divide on identical doubles, and the interpolation is a couple
+    more — the comparator's 9-decimal rounding absorbs nothing here
+    because every input double is identical by construction."""
+    from pyspark.sql.window import Window
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_type", "value"))
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count("*").alias("n"))
+    binned = (ev.join(F.broadcast(stats), "event_type")
+              .select("event_type",
+                      F.least(F.floor((F.col("value") - F.col("lo"))
+                                      / ((F.col("hi") - F.col("lo"))
+                                         / HIST_BINS)),
+                              F.lit(HIST_BINS - 1)).cast("int").alias("bin"))
+              .groupBy("event_type", "bin").agg(F.count("*").alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (binned.withColumn("cum", F.sum("c").over(w))
+           .withColumn("prev", F.col("cum") - F.col("c")))
+    qs = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    hit = (cum.crossJoin(F.broadcast(qs))
+           .join(F.broadcast(stats), "event_type")
+           .filter((F.col("cum") >= F.col("q") * F.col("n"))
+                   & (F.col("prev") < F.col("q") * F.col("n")))
+           .select("event_type", "q", "n",
+                   F.round(F.col("lo")
+                           + ((F.col("hi") - F.col("lo")) / HIST_BINS)
+                           * (F.col("bin")
+                              + (F.col("q") * F.col("n") - F.col("prev"))
+                              / F.col("c")), 4).alias("estimate")))
+    return hit.orderBy("event_type", "q")
+
+
+SKETCH_ORACLES["histogram_quantiles"] = f"""
+    WITH stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CAST(least(floor((e.value - s.lo) / ((s.hi - s.lo) / {HIST_BINS})),
+                        {HIST_BINS - 1}) AS INT) AS bin,
+             count(*) AS c
+      FROM events e JOIN stats s USING (event_type)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM binned),
+    qs AS (SELECT unnest([0.5, 0.95]) AS q)
+    SELECT c.event_type, qs.q, s.n,
+           round(s.lo + ((s.hi - s.lo) / {HIST_BINS})
+                 * (c.bin + (qs.q * s.n - (c.cum - c.c)) / c.c), 4)
+             AS estimate
+    FROM cum c
+    CROSS JOIN qs
+    JOIN stats s USING (event_type)
+    WHERE c.cum >= qs.q * s.n AND (c.cum - c.c) < qs.q * s.n
+    ORDER BY c.event_type, qs.q
+"""

@@ -680,3 +680,28 @@ class TestFrequencyMembershipSketches:
         merged = {k: wa.get(k, 0) | wb.get(k, 0) for k in set(wa) | set(wb)}
         union = {r.word: r.bits for r in bloom_words(a.union(b)).collect()}
         assert merged == union
+
+
+class TestHistogramQuantiles:
+    def test_estimate_within_one_bin_of_exact(self, spark):
+        """The interpolated histogram estimate can be off by at most one
+        bin width from the exact percentile."""
+        from document_converter_api_spark.operators.sketch import (
+            HIST_BINS, q_histogram_quantiles,
+        )
+        sf = "/root/testdata/sf0.001"
+        est = {(r.event_type, r.q): r.estimate
+               for r in q_histogram_quantiles(spark, sf).collect()}
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        stats = {r.event_type: (r.lo, r.hi) for r in
+                 ev.groupBy("event_type")
+                 .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+                 .collect()}
+        exact = {(r.event_type, q): v
+                 for r in ev.groupBy("event_type")
+                 .agg(F.expr("percentile(value, array(0.5, 0.95))").alias("p"))
+                 .collect()
+                 for q, v in zip((0.5, 0.95), r.p)}
+        for (et, q), e in est.items():
+            width = (stats[et][1] - stats[et][0]) / HIST_BINS
+            assert abs(e - exact[(et, q)]) <= width, (et, q)

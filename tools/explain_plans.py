@@ -187,6 +187,17 @@ def main() -> None:
         ("kmv_distinct", "KMV bottom-k: partial TakeOrdered per "
          "partition, k-row driver merge — the full distinct set never "
          "centralizes."),
+        ("span_dedup", "ExactSubstr span marking: digest-only shuffle, "
+         "window-count duplicate mark (boolean per occurrence, no pair "
+         "expansion), per-doc gaps-and-islands merge on reduced rows."),
+        ("cms_topk", "count-min: d*w counter sums combine map-side; "
+         "probe side is 10 rows joined against the 1024-row sketch."),
+        ("bloom_filter", "Bloom membership: 32 bit_or word folds, "
+         "filter BROADCAST to the probe join — no data-sized shuffle."),
+        ("histogram_quantiles", "mergeable equi-width histogram: bin "
+         "counts combine map-side (groups*64 rows/task), quantile "
+         "interpolation over the tiny cumsum — exact percentiles would "
+         "sort every group's values instead."),
     ):
         add(name, note, queries[name](spark, SF))
 
