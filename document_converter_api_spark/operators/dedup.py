@@ -1,6 +1,8 @@
 """Deduplication operators for training-data pipelines over ``documents``.
 
-Four tiers, all shuffle-conscious and oracle-checked against DuckDB:
+Document-level tiers (exact, Jaccard, MinHash+LSH, SimHash), cluster
+resolution, line-level (C4-style) and substring-level (ExactSubstr-style
+``q_span_dedup``) — all shuffle-conscious and oracle-checked against DuckDB:
 
 * **exact**      — hash-groupBy on md5(text): one shuffle on a 32-byte key,
   never on the text payload itself (at 100 TB you shuffle digests, not docs).
