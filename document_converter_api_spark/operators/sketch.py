@@ -83,10 +83,10 @@ _KMV_U = (
 )
 
 
-def hll_register_table(df: DataFrame) -> DataFrame:
+def hll_register_table(df: DataFrame, key: str = "user_id") -> DataFrame:
     """(register, rho_max) for every HIT register — the mergeable sketch
     state.  Map-side combine caps the shuffle at m rows per task."""
-    return (df.select(F.expr(_H).alias("h"))
+    return (df.select(F.expr(f"md5(CAST({key} AS STRING))").alias("h"))
             .select(F.expr(_REG).alias("register"),
                     F.regexp_replace(F.substring("h", 3, 16), "^0+", "").alias("z"))
             .select("register", F.expr(_RHO).alias("rho"))

@@ -53,3 +53,38 @@ def test_first_wins_within_horizon_across_batches(spark, tmp_path):
     urls = sorted(r.url for r in rows)
     assert urls == ["https://a.example/1", "https://a.example/2",
                     "https://a.example/3"], urls
+
+
+class TestStreamingCardinality:
+    def test_streamed_registers_equal_batch_sketch(self, spark, smoke_paths,
+                                                   tmp_path):
+        """Two file drops through the monitor; the merged state must equal
+        the BATCH HLL over the union — the register merge is exact, so
+        stream and batch cannot diverge at all."""
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.operators.sketch import (
+            hll_register_table,
+        )
+        from document_converter_api_spark.streaming.cardinality import (
+            estimate_from_state, run_cardinality_monitor, _latest_state,
+        )
+        pages_path, _ = smoke_paths
+        t = pq.read_table(pages_path)
+        indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(indir)
+        pq.write_table(t.slice(0, 120), os.path.join(indir, "d1.parquet"))
+        assert run_cardinality_monitor(spark, indir, outdir) >= 1
+        pq.write_table(t.slice(120, 80), os.path.join(indir, "d2.parquet"))
+        run_cardinality_monitor(spark, indir, outdir)
+
+        streamed = {r.register: r.rho_max
+                    for r in _latest_state(spark, outdir).collect()}
+        allp = os.path.join(str(tmp_path), "all.parquet")
+        pq.write_table(t.slice(0, 200), allp)
+        batch = {r.register: r.rho_max for r in hll_register_table(
+            spark.read.parquet(allp).select("url"), key="url").collect()}
+        assert streamed == batch
+
+        n_true = t.slice(0, 200).column("url").to_pandas().nunique()
+        est = estimate_from_state(spark, outdir)
+        assert abs(est - n_true) / n_true < 0.3  # m=256 -> ~6.5% stderr
