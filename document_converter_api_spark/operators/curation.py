@@ -161,12 +161,20 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     and added to a PER-GROUP window cumsum. A naive
     ``Window.orderBy("doc_id")`` with no partition key would plan
     ``Exchange SinglePartition`` — the whole corpus through one task;
-    ``tests/test_plans.py`` pins its absence."""
+    ``tests/test_plans.py`` pins its absence.
+
+    The (doc_id, n_toks, grp) projection is PERSISTED before phase 1: both
+    phases need it, and without the persist each re-runs the expensive
+    ``split(text)`` over the full corpus (measured 2x the query cost at
+    sf0.1). The persisted form is three longs per doc — ~24 bytes/doc, so
+    even at 10^12 docs it is ~24 TB spread across the fleet's
+    MEMORY_AND_DISK tiers, vs re-scanning 100 TB of text."""
     docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .select("doc_id",
                     F.size(F.split("text", " ", -1)).cast("long")
                     .alias("n_toks"))
-            .withColumn("grp", F.floor(F.col("doc_id") / PACK_GROUP)))
+            .withColumn("grp", F.floor(F.col("doc_id") / PACK_GROUP))
+            .persist())
     grp_rows = sorted(
         docs.groupBy("grp").agg(F.sum("n_toks").alias("t")).collect(),
         key=lambda r: r["grp"])
