@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-over-crawl change classification: ONE full-outer shuffle
         # join on doc_id carrying md5 digests, never the text payload
         "snapshot_diff": C.q_snapshot_diff,
+        # mojibake (double-encoded UTF-8) detect + repair: literal
+        # alternation regexp_count + fixed replace chain, all codegen,
+        # zero shuffle
+        "mojibake_repair": C.q_mojibake_repair,
         # corpus selection (operators/sampling.py): deterministic
         # hash-thresholded stratified sampling (reproducible under task
         # retry/resume — no rand()), registered-domain deny-list as a
@@ -142,6 +146,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": SA.q_mix_sample,
         "blocklist_filter": SA.q_blocklist_filter,
         "source_terms": SA.q_source_terms,
+        # deterministic train/val/test split: salted-hash draw as a
+        # scan-stage projection; per-split sizes via 3-row broadcast (not
+        # a 3-partition window)
+        "split_assign": SA.q_split_assign,
+        # relevance scoring (operators/search.py): BM25 with literal probe
+        # terms (tf = codegen'd array-filter count — corpus never exploded
+        # or shuffled on a term key) and a hashed-feature linear quality
+        # classifier (zero-shuffle per-row HOF fold; exact cross-engine
+        # sums via 20-bit weights)
+        "bm25_search": _q_bm25_search,
+        "quality_classifier": _q_quality_classifier,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)
@@ -211,6 +226,18 @@ def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_histogram_quantiles,
     )
     return q_histogram_quantiles(spark, sf_dir)
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.search import q_bm25_search
+    return q_bm25_search(spark, sf_dir)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.search import (
+        q_quality_classifier,
+    )
+    return q_quality_classifier(spark, sf_dir)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,4 +587,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(TEMPORAL_ORACLES)
     from document_converter_api_spark.operators.sketch import SKETCH_ORACLES
     sql.update(SKETCH_ORACLES)
+    from document_converter_api_spark.operators.search import SEARCH_ORACLES
+    sql.update(SEARCH_ORACLES)
     return sql

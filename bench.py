@@ -52,6 +52,7 @@ BENCH_QUERIES = (
     "asof_join", "range_join", "span_dedup",
     "hll_distinct", "kmv_distinct", "cms_topk", "bloom_filter",
     "histogram_quantiles",
+    "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

@@ -1,7 +1,7 @@
 """Curation-tier operators a large-scale training-data pipeline needs
 beyond dedup/quality/lang-ID: PII redaction, benchmark decontamination,
-token-budget shard packing, Unicode normalization, and unigram-LM quality
-scoring.
+token-budget shard packing, Unicode normalization, unigram-LM quality
+scoring, and mojibake (double-encoded UTF-8) repair.
 
 Reference parity note: the reference service (``/root/reference/app/main.py``)
 stops at per-document conversion; these stages are the corpus-level
@@ -25,6 +25,8 @@ Scale notes per operator:
 * ``unicode_normalize`` — Arrow-batched pandas normalization (the one stage
   Catalyst genuinely cannot express; ``pandas.Series.str.normalize`` is a
   C-loop over the batch, not per-row Python round trips).
+* ``mojibake_repair`` — literal-alternation ``regexp_count`` plus a fixed
+  ``replace`` chain, one codegen projection over the scan (zero shuffle).
 * ``unigram_logprob`` — vocabulary built with a map-side-combinable
   ``groupBy(tok)``; doc scoring pre-aggregates ``(doc_id, tok)`` counts so
   hot tokens are spread across docs before the vocab join (broadcast here;
@@ -263,6 +265,57 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mojibake (double-encoded UTF-8) detection and repair
+# ---------------------------------------------------------------------------
+
+# The classic Latin-1-reread-as-UTF-8 artifacts a web crawl accumulates:
+# each pair is (mojibake form, intended character). Planted into every 7th
+# doc so both engines see the same ground truth.
+MOJIBAKE_MAP = (
+    ("Ã©", "é"),          # Ã©  -> é
+    ("â€™", "’"),    # â€™ -> ’
+    ("Ã¯", "ï"),          # Ã¯  -> ï
+)
+MOJI_SUFFIX = (" cafÃ© donâ€™t"
+               " naÃ¯ve")
+_MOJI_ALT = "|".join(m for m, _ in MOJIBAKE_MAP)
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and repair double-encoded UTF-8 (mojibake) spans.
+
+    Pure Catalyst: one ``regexp_count`` over a literal alternation plus a
+    fixed ``replace`` chain, all inside the scan's codegen stage — the
+    100 TB path is a shuffle-free projection. Replacement order follows
+    ``MOJIBAKE_MAP`` and is pinned in both engines (the three patterns are
+    mutually non-overlapping, so order cannot change the result — pinned
+    anyway so the plan text is deterministic)."""
+    did = F.col("doc_id")
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text")
+            .withColumn("text", F.concat(
+                F.col("text"),
+                F.when(did % 7 == 0, F.lit(MOJI_SUFFIX))
+                .otherwise(F.lit("")))))
+    fixed = F.expr(_moji_fix_sql("text"))
+    return (docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_MOJI_ALT)).cast("long")
+        .alias("n_moji"),
+        fixed.alias("repaired"),
+        (fixed != F.col("text")).cast("int").alias("changed"))
+        .orderBy("doc_id"))
+
+
+def _moji_fix_sql(col: str) -> str:
+    """Nested replace() chain over ``col`` — same text in both engines."""
+    expr = col
+    for moji, real in MOJIBAKE_MAP:
+        expr = f"replace({expr}, '{moji}', '{real}')"
+    return expr
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles — identical constants, interpolated from the same names
 # ---------------------------------------------------------------------------
 
@@ -354,6 +407,20 @@ CURATION_ORACLES = {
                round(sum(c * ln(cnt / t)) / sum(c), 4) AS avg_logp
         FROM dt JOIN vocab USING (tok) CROSS JOIN total
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    "mojibake_repair": f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN '{MOJI_SUFFIX}' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_MOJI_ALT}')) AS BIGINT)
+                   AS n_moji,
+               {_moji_fix_sql('text')} AS repaired,
+               CASE WHEN {_moji_fix_sql('text')} <> text THEN 1 ELSE 0 END
+                   AS changed
+        FROM planted ORDER BY doc_id
     """,
 }
 

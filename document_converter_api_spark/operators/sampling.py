@@ -1,5 +1,6 @@
 """Corpus-selection operators: deterministic stratified mix sampling,
-domain-blocklist filtering, and per-source distinctive-term mining.
+domain-blocklist filtering, per-source distinctive-term mining, and
+deterministic train/validation/test split assignment.
 
 Reference parity note: like the curation tier (``operators/curation.py``),
 these stages sit downstream of the reference service's per-document
@@ -32,6 +33,13 @@ Scale notes per operator:
   integer ``tf * (n_sources - df)`` — the log-idf variant is the
   production choice, but integer weights keep the cross-engine oracle
   exact to the last row (no float rounding at rank boundaries).
+
+* ``split_assign`` — the split is a pure function of ``doc_id`` (salted
+  md5 draw against fixed-width hex thresholds), so retries, re-runs, and
+  later corpus versions agree on every document's split; the draw is a
+  scan-stage projection and the per-split size report joins back via a
+  3-row broadcast (a window partitioned by the 3-value split key would
+  put a third of a 10^12-row corpus through each of three tasks).
 
 Every operator has a DuckDB twin with identical constants in
 ``SAMPLING_ORACLES``.
@@ -189,10 +197,65 @@ def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/validation/test split assignment
+# ---------------------------------------------------------------------------
+
+# Thresholds over the first 3 md5 nibbles (a draw in [0, 4096)): ~1% val,
+# ~1% test, rest train. Spelled as FIXED-WIDTH lowercase hex literals so
+# the comparison stays a pure string predicate both engines evaluate
+# identically (the mix_sample idiom): 41 = 0x029, 82 = 0x052.
+SPLIT_VAL_THR = "029"
+SPLIT_TEST_THR = "052"
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/validation/test by hash.
+
+    The assignment is a pure function of ``doc_id`` (salted md5 draw) —
+    re-runs, retries, and later corpus versions agree on the split of
+    every surviving document, which is what makes held-out contamination
+    auditable. The draw is a scan-stage projection (zero shuffle); the
+    per-split size report joins back via a 3-row broadcast, NOT a window
+    partitioned by split (a 3-partition window at 10^12 rows would put a
+    third of the corpus through each of three tasks)."""
+    draw = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        1, 3)
+    split = (F.when(F.col("draw") < SPLIT_VAL_THR, "validation")
+             .when(F.col("draw") < SPLIT_TEST_THR, "test")
+             .otherwise("train"))
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id")
+            .withColumn("draw", draw)
+            .withColumn("split", split))
+    sizes = docs.groupBy("split").agg(F.count("*").alias("n_in_split"))
+    return (docs.join(F.broadcast(sizes), "split")
+            .select("doc_id", "draw", "split", "n_in_split")
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins (identical constants, interpolated from the same names)
 # ---------------------------------------------------------------------------
 
 SAMPLING_ORACLES = {
+    "split_assign": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 3)
+                     AS draw
+          FROM documents),
+        s AS (
+          SELECT doc_id, draw,
+                 CASE WHEN draw < '{SPLIT_VAL_THR}' THEN 'validation'
+                      WHEN draw < '{SPLIT_TEST_THR}' THEN 'test'
+                      ELSE 'train' END AS split
+          FROM d),
+        sz AS (SELECT split, count(*) AS n_in_split FROM s GROUP BY split)
+        SELECT doc_id, draw, split, n_in_split
+        FROM s JOIN sz USING (split)
+        ORDER BY doc_id
+    """,
     "mix_sample": f"""
         WITH c AS (SELECT lang, count(*) AS n_total
                    FROM documents GROUP BY lang),

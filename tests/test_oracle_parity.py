@@ -27,6 +27,7 @@ SUBSET = (
     "corpus_curation", "pii_redact", "decontaminate", "token_pack",
     "unicode_normalize", "unigram_logprob", "snapshot_diff",
     "mix_sample", "blocklist_filter", "source_terms",
+    "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
 )
 
 

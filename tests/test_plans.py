@@ -257,3 +257,59 @@ def test_source_terms_broadcasts_vocab_sides(spark):
     assert "SinglePartition" not in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_bm25_no_explode_and_topk(spark):
+    """BM25 with literal probe terms must never explode the corpus into
+    a (doc, term) table (no Generate), must take the 1-row corpus stats
+    in by BROADCAST nested-loop (crossJoin), and must plan the final
+    rank as TakeOrderedAndProject (per-partition heaps), not a total
+    sort. The only Exchange is the stats row's SinglePartition gather —
+    1 row per map task."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["bm25_search"](spark, SF))
+    assert "Generate" not in plan, plan          # no explode
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the only non-fixture Exchange is the 1-row stats gather: no hash or
+    # range partitioning of the corpus anywhere (widen()'s RoundRobin
+    # repartitions are fixture-parallelism artifacts, excluded)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("SinglePartition") >= 1, plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_quality_classifier_is_shuffle_free_scoring(spark):
+    """The hashed-linear scoring itself must be a scan-stage projection:
+    no explode, no join, no aggregation — the single Exchange in the plan
+    is the output ORDER BY (oracle determinism), not the scoring."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["quality_classifier"](spark, SF))
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan  # only the ORDER BY range
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_mojibake_repair_is_pure_catalyst(spark):
+    """Detect+repair must be one codegen'd projection over the scan —
+    the only Exchange is the output ORDER BY."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["mojibake_repair"](spark, SF))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan  # only the ORDER BY range
+
+
+def test_split_assign_broadcasts_split_sizes(spark):
+    """The 3-row per-split size table must come back by BROADCAST; the
+    draw/split assignment must stay a projection (no corpus shuffle on
+    the 3-value split key — a 3-partition anything at 10^12 rows is a
+    skew bomb)."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["split_assign"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan and "Arrow" not in plan

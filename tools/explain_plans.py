@@ -198,6 +198,20 @@ def main() -> None:
          "counts combine map-side (groups*64 rows/task), quantile "
          "interpolation over the tiny cumsum — exact percentiles would "
          "sort every group's values instead."),
+        ("bm25_search", "BM25 probe query: literal terms make tf a "
+         "codegen'd array-filter count — no Generate, no term-keyed "
+         "shuffle; 1-row corpus stats broadcast back; top-k is "
+         "TakeOrderedAndProject."),
+        ("quality_classifier", "hashed linear classifier: per-row HOF "
+         "fold over tokens, weights are a pure hash — zero joins, zero "
+         "aggregation, zero Python; the only Exchange is the output "
+         "ORDER BY."),
+        ("mojibake_repair", "mojibake detect+repair: literal-alternation "
+         "regexp_count + fixed replace chain, one codegen projection "
+         "over the scan."),
+        ("split_assign", "train/val/test split: salted-hash draw as a "
+         "scan-stage projection; 3-row split sizes broadcast back — "
+         "never a 3-partition window over the corpus."),
     ):
         add(name, note, queries[name](spark, SF))
 
