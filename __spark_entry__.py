@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sums via 20-bit weights)
         "bm25_search": _q_bm25_search,
         "quality_classifier": _q_quality_classifier,
+        # graph analytics (operators/graph.py): domain-level PageRank —
+        # 5 iterative rounds of join+groupBy(dst) with localCheckpoint
+        # lineage truncation; oracle unrolls the same rounds as a CTE chain
+        "domain_pagerank": _q_domain_pagerank,
         # multimodal binary columns — all three oracle-checked against
         # ground truth the fixture generator plants in meta (dimensions for
         # decode, frame digests for sampling, PCM stats for audio)
@@ -238,6 +242,11 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_quality_classifier,
     )
     return q_quality_classifier(spark, sf_dir)
+
+
+def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.graph import q_domain_pagerank
+    return q_domain_pagerank(spark, sf_dir)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,4 +598,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(SKETCH_ORACLES)
     from document_converter_api_spark.operators.search import SEARCH_ORACLES
     sql.update(SEARCH_ORACLES)
+    from document_converter_api_spark.operators.graph import GRAPH_ORACLES
+    sql.update(GRAPH_ORACLES)
     return sql

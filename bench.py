@@ -53,6 +53,7 @@ BENCH_QUERIES = (
     "hll_distinct", "kmv_distinct", "cms_topk", "bloom_filter",
     "histogram_quantiles",
     "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
+    "domain_pagerank",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

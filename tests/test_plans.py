@@ -313,3 +313,16 @@ def test_split_assign_broadcasts_split_sizes(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_domain_pagerank_round_is_join_plus_partial_agg(spark):
+    """The returned plan must be ONE round's shape (localCheckpoint
+    truncates lineage — without it the plan stacks five joins and
+    planning time grows per iteration), with a map-side partial sum
+    ahead of the groupBy(dst) shuffle and no nested-loop joins."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["domain_pagerank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan, plan  # checkpointed ranks, not lineage
+    assert plan.count("Join") < 8, plan      # one round, not five stacked

@@ -212,6 +212,10 @@ def main() -> None:
         ("split_assign", "train/val/test split: salted-hash draw as a "
          "scan-stage projection; 3-row split sizes broadcast back — "
          "never a 3-partition window over the corpus."),
+        ("domain_pagerank", "domain PageRank: per-round join + "
+         "groupBy(dst) partial-sum; edges pre-join out-degree ONCE; "
+         "localCheckpoint truncates lineage so the shown plan is one "
+         "round, not five stacked."),
     ):
         add(name, note, queries[name](spark, SF))
 
