@@ -217,13 +217,14 @@ _BLOOM_POS = (f"CAST(((instr({_NIBBLES}, substring(hj, 1, 1)) - 1) * 256 + "
               "AS INT)")
 
 
-def cms_table(df: DataFrame) -> DataFrame:
+def cms_table(df: DataFrame, key: str = "user_id") -> DataFrame:
     """The (r, col, counter) count-min state: d×w counters, each a plain
     SUM — map-side combinable, mergeable across corpora by addition, and
     the shuffle is bounded at d·w rows per task regardless of input."""
-    return (df.select("user_id", F.explode(
+    hr = _CMS_H.replace("user_id", key)
+    return (df.select(key, F.explode(
                 F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"))
-            .withColumn("hr", F.expr(_CMS_H))
+            .withColumn("hr", F.expr(hr))
             .select("r", F.expr(_CMS_COL).alias("col"))
             .groupBy("r", "col").agg(F.count("*").alias("counter")))
 

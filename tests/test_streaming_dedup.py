@@ -88,3 +88,45 @@ class TestStreamingCardinality:
         n_true = t.slice(0, 200).column("url").to_pandas().nunique()
         est = estimate_from_state(spark, outdir)
         assert abs(est - n_true) / n_true < 0.3  # m=256 -> ~6.5% stderr
+
+
+class TestStreamingFrequency:
+    def test_streamed_counters_equal_batch_sketch(self, spark, smoke_paths,
+                                                  tmp_path):
+        """Two file drops through the frequency monitor; the merged
+        count-min state must equal the BATCH sketch over the union —
+        counters are integers and the merge is addition, so stream and
+        batch agree EXACTLY (no tolerance)."""
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.operators.sketch import cms_table
+        from document_converter_api_spark.streaming.frequency import (
+            _latest_state, estimate_from_state, run_frequency_monitor,
+        )
+        pages_path, _ = smoke_paths
+        t = pq.read_table(pages_path)
+        indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(indir)
+        pq.write_table(t.slice(0, 120), os.path.join(indir, "d1.parquet"))
+        assert run_frequency_monitor(spark, indir, outdir) >= 1
+        pq.write_table(t.slice(120, 80), os.path.join(indir, "d2.parquet"))
+        run_frequency_monitor(spark, indir, outdir)
+
+        streamed = {(r.r, r.col): r.counter
+                    for r in _latest_state(spark, outdir).collect()}
+        allp = os.path.join(str(tmp_path), "all.parquet")
+        pq.write_table(t.slice(0, 200), allp)
+        batch = {(r.r, r.col): r.counter for r in cms_table(
+            spark.read.parquet(allp).select("url"), key="url").collect()}
+        assert streamed == batch
+
+        # CMS guarantee holds against the merged state: estimates never
+        # undercount the true frequency of any probed key
+        import collections
+        truth = collections.Counter(
+            t.slice(0, 200).column("url").to_pylist())
+        top5 = [u for u, _ in truth.most_common(5)]
+        probes = spark.createDataFrame([(u,) for u in top5], "url string")
+        est = {r.url: r.cms_estimate for r in
+               estimate_from_state(spark, outdir, probes).collect()}
+        for u in top5:
+            assert est[u] >= truth[u], (u, est[u], truth[u])
