@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join) so agreement cross-validates the plan, not just the code
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        # crawl-politeness audit: per-host lag-window fetch gaps in integer
+        # microseconds (exact parity), window + re-agg share one shuffle
+        "politeness_audit": _q_politeness_audit,
         # mergeable cardinality sketches (operators/sketch.py): HLL
         # registers + KMV bottom-k, every hash/register/estimate step the
         # SAME SQL fragment on both engines — an approximate operator
@@ -257,6 +260,13 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.temporal import q_range_join
     return q_range_join(spark, sf_dir)
+
+
+def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.temporal import (
+        q_politeness_audit,
+    )
+    return q_politeness_audit(spark, sf_dir)
 
 
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:

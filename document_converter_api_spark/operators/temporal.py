@@ -154,11 +154,68 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Crawl-politeness audit (per-host fetch-gap analysis)
+# ---------------------------------------------------------------------------
+
+MIN_DELAY_US = 120 * 1_000_000   # polite crawl delay: 2 minutes
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-spacing report over the event log (``user_id``
+    stands in for the host): fetch count, minimum and mean gap between
+    consecutive fetches, and how many gaps violate the 2-minute crawl
+    delay.
+
+    Plan: one hash Exchange on the host key, a per-host ``lag`` window
+    ordered by ``(ts, event_id)`` (the event_id tiebreak makes the gap
+    sequence deterministic under equal timestamps in BOTH engines), then
+    a map-side-combinable re-aggregation on the same key — the window
+    and the groupBy share the partitioning, so Catalyst plans a single
+    shuffle. Gaps are integer MICROSECONDS end to end (no float until
+    the final mean), so cross-engine parity is exact by construction.
+    A host hot enough to skew the window sort is exactly the host the
+    ``host_cap_sample`` / salting pre-passes exist for."""
+    ev = (widen(spark.read.parquet(f"{sf_dir}/events.parquet"))
+          .select(F.col("user_id").alias("host"), "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    w = Window.partitionBy("host").orderBy("us", "event_id")
+    gaps = (ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+            .filter(F.col("gap_us").isNotNull()))
+    return (gaps.groupBy("host")
+            .agg((F.count("*") + 1).alias("n_fetches"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.round(F.sum("gap_us") / F.count("*") / 1e6, 4)
+                 .alias("mean_gap_s"),
+                 F.sum((F.col("gap_us") < MIN_DELAY_US).cast("long"))
+                 .alias("n_violations"))
+            .orderBy("host"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins — different algorithms on purpose (native ASOF JOIN /
 # plain inequality join); identical constants.
 # ---------------------------------------------------------------------------
 
 TEMPORAL_ORACLES = {
+    "politeness_audit": f"""
+        WITH ev AS (
+          SELECT user_id AS host, event_id, epoch_us(ts) AS us
+          FROM events),
+        gaps AS (
+          SELECT host,
+                 us - lag(us) OVER (PARTITION BY host
+                                    ORDER BY us, event_id) AS gap_us
+          FROM ev)
+        SELECT host,
+               count(*) + 1 AS n_fetches,
+               min(gap_us) AS min_gap_us,
+               round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4)
+                   AS mean_gap_s,
+               CAST(sum(CASE WHEN gap_us < {MIN_DELAY_US} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY host ORDER BY host
+    """,
     "asof_join": """
         WITH probe AS (
           SELECT event_id, user_id, ts FROM events

@@ -326,3 +326,16 @@ def test_domain_pagerank_round_is_join_plus_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan, plan  # checkpointed ranks, not lineage
     assert plan.count("Join") < 8, plan      # one round, not five stacked
+
+
+def test_politeness_audit_single_keyed_shuffle(spark):
+    """The lag window and the per-host re-aggregation must SHARE one hash
+    Exchange on the host key — Catalyst reuses the window's partitioning
+    for the groupBy, so exactly one hashpartitioning appears (the final
+    ORDER BY adds a range partition; widen()'s RoundRobin is a fixture
+    artifact)."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["politeness_audit"](spark, SF))
+    assert plan.count("hashpartitioning(host") <= 2, plan  # 1 node + detail
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert "Python" not in plan and "Arrow" not in plan

@@ -216,6 +216,9 @@ def main() -> None:
          "groupBy(dst) partial-sum; edges pre-join out-degree ONCE; "
          "localCheckpoint truncates lineage so the shown plan is one "
          "round, not five stacked."),
+        ("politeness_audit", "per-host fetch gaps: lag window and the "
+         "re-aggregation share ONE hash Exchange on the host key; gaps "
+         "are integer microseconds end to end."),
     ):
         add(name, note, queries[name](spark, SF))
 
