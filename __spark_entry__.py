@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup (window-count mark on one digest shuffle, gaps-and-islands
         # span merge — no pair expansion anywhere)
         "span_dedup": D.q_span_dedup,
+        # incremental cross-crawl dedup: Bloom filter over historical
+        # fingerprints broadcast to the new crawl; only Bloom-positive
+        # candidates enter the exact semi-join (no-false-negative pinned)
+        "incremental_dedup": D.q_incremental_dedup,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,

@@ -880,3 +880,119 @@ DEDUP_ORACLES["span_dedup"] = f"""
     FROM spans GROUP BY doc_id, n_words
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 9. Incremental cross-crawl dedup (Bloom-prefilter join)
+# ---------------------------------------------------------------------------
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW crawl against the HISTORICAL corpus without ever
+    shuffling the two against each other: a Bloom filter over the
+    historical fingerprints (32 words of state, built with ``bit_or``
+    folds) broadcasts to the new side; only Bloom-POSITIVE candidates
+    enter the exact fingerprint semi-join. Bloom has no false negatives,
+    so the exact stage misses nothing — the filter only shrinks the join
+    input (by the true-negative fraction), never the answer.
+
+    Fixture split: historical = the ``documents`` table; new crawl = the
+    planted +10000 exact copies (every 5th doc — true duplicates) union
+    the +20000 near-duplicates (every 7th doc, one word appended — NOT
+    exact dups, so they must pass). Output per new doc: the Bloom verdict
+    and the exact verdict; ``is_dup <= is_candidate`` (no-false-negative)
+    is pinned in tests.
+
+    At 10^12 historical keys a single 1024-bit filter saturates — the
+    scale knob is BLOOM_BITS (~10 bits/key for ~1% FP), and past what one
+    broadcast holds (~billions of keys at GB-scale bitmaps) the same
+    shape shards the filter by fingerprint prefix into P broadcastable
+    pieces, or degrades to a bucketed semi-join against a
+    fingerprint-bucketed historical table (sources/bucketed.py). The
+    structure — prefilter to candidates, exact-check only candidates —
+    is unchanged; what it buys is that the daily crawl (10^9 docs) never
+    pays a shuffle proportional to the historical 10^12."""
+    from .sketch import (
+        _BLOOM_H, _BLOOM_POS, _BLOOM_WORD_BITS, BLOOM_K, bloom_words,
+    )
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text"))
+    old_fp = docs.select(F.md5("text").alias("fp"))
+    new = (docs.filter(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+           .unionAll(
+               docs.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 20000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" extraword"))
+                       .alias("text")))
+           .select("doc_id", F.md5("text").alias("fp")))
+    filt = bloom_words(old_fp, key="fp")
+    hj = _BLOOM_H.replace("user_id", "fp")
+    probes = (new.select("doc_id", "fp", F.explode(
+                  F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
+              .withColumn("hj", F.expr(hj))
+              .select("doc_id", "fp", F.expr(_BLOOM_POS).alias("pos"))
+              .select("doc_id", "fp",
+                      (F.col("pos") / _BLOOM_WORD_BITS).cast("int")
+                      .alias("word"),
+                      F.expr(f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) "
+                             "AS BIGINT)").alias("mask")))
+    cand = (probes.join(F.broadcast(filt), "word", "left")
+            .select("doc_id", "fp",
+                    ((F.coalesce(F.col("bits"), F.lit(0))
+                      .bitwiseAND(F.col("mask"))) == F.col("mask"))
+                    .alias("hit"))
+            .groupBy("doc_id", "fp")
+            .agg(F.bool_and("hit").alias("is_candidate")))
+    confirmed = (cand.filter(F.col("is_candidate"))
+                 .join(old_fp.distinct(), "fp", "left_semi")
+                 .select("doc_id", F.lit(1).alias("dup")))
+    return (cand.join(confirmed, "doc_id", "left")
+            .select("doc_id",
+                    F.col("is_candidate").cast("int").alias("is_candidate"),
+                    F.coalesce(F.col("dup"), F.lit(0)).cast("int")
+                    .alias("is_dup"))
+            .orderBy("doc_id"))
+
+
+def _incremental_dedup_oracle() -> str:
+    from .sketch import _BLOOM_H, _BLOOM_POS, _BLOOM_WORD_BITS
+
+    hj = _BLOOM_H.replace("user_id", "fp")
+    return f"""
+        WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        old_fp AS (SELECT md5(text) AS fp FROM documents),
+        new_ AS (
+          SELECT doc_id + 10000 AS doc_id, md5(text) AS fp
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, md5(text || ' extraword') AS fp
+          FROM documents WHERE doc_id % 7 = 0),
+        mrows AS (SELECT fp, j, {hj} AS hj FROM old_fp CROSS JOIN j),
+        mpos AS (SELECT {_BLOOM_POS} AS pos FROM mrows),
+        filt AS (
+          SELECT CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+                 bit_or(CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT))
+                   AS bits
+          FROM mpos GROUP BY 1),
+        prows AS (SELECT doc_id, fp, j, {hj} AS hj FROM new_ CROSS JOIN j),
+        ppos AS (SELECT doc_id, fp, {_BLOOM_POS} AS pos FROM prows),
+        pcell AS (
+          SELECT doc_id, fp, CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+                 CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT) AS mask
+          FROM ppos),
+        cand AS (
+          SELECT p.doc_id, p.fp,
+                 bool_and((COALESCE(f.bits, 0) & p.mask) = p.mask)
+                   AS is_candidate
+          FROM pcell p LEFT JOIN filt f ON p.word = f.word
+          GROUP BY p.doc_id, p.fp)
+        SELECT doc_id,
+               CASE WHEN is_candidate THEN 1 ELSE 0 END AS is_candidate,
+               CASE WHEN is_candidate
+                         AND fp IN (SELECT fp FROM old_fp)
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM cand ORDER BY doc_id
+    """
+
+
+DEDUP_ORACLES["incremental_dedup"] = _incremental_dedup_oracle()

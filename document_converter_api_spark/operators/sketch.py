@@ -251,13 +251,14 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
-def bloom_words(df: DataFrame) -> DataFrame:
+def bloom_words(df: DataFrame, key: str = "user_id") -> DataFrame:
     """The (word, bits) Bloom state: BLOOM_BITS bits as 32-bit-word
     ``bit_or`` folds — at most 32 rows leave each map task, and two
     filters merge by OR-ing words."""
-    return (df.select("user_id", F.explode(
+    hj = _BLOOM_H.replace("user_id", key)
+    return (df.select(key, F.explode(
                 F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
-            .withColumn("hj", F.expr(_BLOOM_H))
+            .withColumn("hj", F.expr(hj))
             .select(F.expr(_BLOOM_POS).alias("pos"))
             .select((F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word"),
                     F.expr(f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)")

@@ -735,3 +735,20 @@ class TestDomainPagerank:
         rows = q_domain_pagerank(spark, self.SF).collect()
         floor_rank = (1.0 - DAMPING) / N_DOMAINS
         assert all(r["pagerank"] >= floor_rank - 1e-12 for r in rows)
+
+
+class TestIncrementalDedup:
+    def test_no_false_negatives_and_verdicts(self, spark):
+        """Every exact duplicate must be a Bloom candidate (is_dup <=
+        is_candidate row-wise); all planted exact copies are caught and
+        no near-duplicate (one word appended) is ever an exact dup."""
+        from document_converter_api_spark.operators.dedup import (
+            q_incremental_dedup,
+        )
+        rows = q_incremental_dedup(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "fixture must yield new-crawl docs"
+        assert all(r.is_dup <= r.is_candidate for r in rows)
+        exact = [r for r in rows if r.doc_id < 20000]
+        near = [r for r in rows if r.doc_id >= 20000]
+        assert exact and all(r.is_dup == 1 for r in exact)
+        assert near and all(r.is_dup == 0 for r in near)

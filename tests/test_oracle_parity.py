@@ -28,7 +28,7 @@ SUBSET = (
     "unicode_normalize", "unigram_logprob", "snapshot_diff",
     "mix_sample", "blocklist_filter", "source_terms",
     "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
-    "domain_pagerank", "politeness_audit",
+    "domain_pagerank", "politeness_audit", "incremental_dedup",
 )
 
 

@@ -339,3 +339,17 @@ def test_politeness_audit_single_keyed_shuffle(spark):
     assert plan.count("hashpartitioning(host") <= 2, plan  # 1 node + detail
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_incremental_dedup_bloom_broadcasts_and_exact_join_is_filtered(spark):
+    """The 32-word Bloom state must reach the probe join by BROADCAST and
+    the exact fingerprint stage must be a semi-join fed only by
+    Bloom-positive candidates (a Filter on is_candidate sits under it) —
+    the new crawl must never shuffle against the full historical corpus
+    unfiltered."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["incremental_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "is_candidate" in plan, plan
+    assert "CartesianProduct" not in plan

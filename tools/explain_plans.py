@@ -219,6 +219,11 @@ def main() -> None:
         ("politeness_audit", "per-host fetch gaps: lag window and the "
          "re-aggregation share ONE hash Exchange on the host key; gaps "
          "are integer microseconds end to end."),
+        ("incremental_dedup", "cross-crawl dedup: 32-word Bloom filter "
+         "over historical fingerprints BROADCAST to the new crawl; only "
+         "Bloom-positive candidates enter the exact fingerprint "
+         "semi-join — the new crawl never shuffles against the full "
+         "historical corpus."),
     ):
         add(name, note, queries[name](spark, SF))
 
