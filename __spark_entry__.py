@@ -154,6 +154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan-stage projection; per-split sizes via 3-row broadcast (not
         # a 3-partition window)
         "split_assign": SA.q_split_assign,
+        # quality-weighted importance sampling: keep probability a pure
+        # function of (doc_id, n_chars), 52-bit exact draw — bit-identical
+        # keep decisions cross-engine
+        "weighted_sample": SA.q_weighted_sample,
+        # context-length bucketing: padded-waste report per training bin;
+        # <=5 partial rows per map task through the shuffle
+        "length_buckets": C.q_length_buckets,
         # relevance scoring (operators/search.py): BM25 with literal probe
         # terms (tf = codegen'd array-filter count — corpus never exploded
         # or shuffled on a term key) and a hashed-feature linear quality

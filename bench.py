@@ -53,7 +53,8 @@ BENCH_QUERIES = (
     "hll_distinct", "kmv_distinct", "cms_topk", "bloom_filter",
     "histogram_quantiles",
     "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
-    "domain_pagerank", "politeness_audit",
+    "domain_pagerank", "politeness_audit", "weighted_sample",
+    "length_buckets",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
 )
 

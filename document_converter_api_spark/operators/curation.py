@@ -265,6 +265,52 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Context-length bucketing (training-batch padding-waste report)
+# ---------------------------------------------------------------------------
+
+# Token-count bucket upper bounds, sized to the fixture's 10-99-token
+# distribution so all five bins (incl. overflow) populate; production
+# context-length edges (512/1k/2k/4k) drop in without code changes.
+LB_BUCKET_EDGES = (24, 48, 72, 96)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket documents by token count into training context-length bins
+    and report the padding waste of batching each bin to its upper bound
+    — the report that decides sequence-packing vs plain padded batching.
+
+    ``padding_waste_pct = (bucket_cap * n_docs - sum_tokens) /
+    (bucket_cap * n_docs)``; the top (unbounded) bin pads to its own max.
+    Pure Catalyst: one codegen'd bucket projection, one
+    map-side-combinable aggregation over <=5 groups (the partial rows per
+    task are bounded by the bin count, so a 10^12-doc corpus still moves
+    ~5 rows per map task through the shuffle)."""
+    edges = list(LB_BUCKET_EDGES)
+    nt = F.col("n_toks")
+    bucket = F.when(nt <= edges[0], F.lit(edges[0]))
+    for e in edges[1:]:
+        bucket = bucket.when(nt <= e, F.lit(e))
+    bucket = bucket.otherwise(F.lit(0))   # 0 = overflow bin, pads to max
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select(F.size(F.split("text", " ", -1)).cast("long")
+                    .alias("n_toks"))
+            .withColumn("bucket", bucket.cast("long")))
+    agg = (docs.groupBy("bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_toks").cast("long").alias("sum_tokens"),
+                F.max("n_toks").cast("long").alias("max_tokens")))
+    pad_cap = (F.when(F.col("bucket") > 0, F.col("bucket"))
+               .otherwise(F.col("max_tokens")))
+    waste = (pad_cap * F.col("n_docs") - F.col("sum_tokens"))
+    return (agg.select(
+        "bucket", "n_docs", "sum_tokens", "max_tokens",
+        waste.cast("long").alias("padded_waste_tokens"),
+        F.round(waste * 100.0 / (pad_cap * F.col("n_docs")), 4)
+        .alias("waste_pct"))
+        .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
 # Mojibake (double-encoded UTF-8) detection and repair
 # ---------------------------------------------------------------------------
 
@@ -407,6 +453,36 @@ CURATION_ORACLES = {
                round(sum(c * ln(cnt / t)) / sum(c), 4) AS avg_logp
         FROM dt JOIN vocab USING (tok) CROSS JOIN total
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    "length_buckets": f"""
+        WITH d AS (
+          SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        b AS (
+          SELECT n_toks,
+                 CASE WHEN n_toks <= {LB_BUCKET_EDGES[0]}
+                      THEN {LB_BUCKET_EDGES[0]}
+                      WHEN n_toks <= {LB_BUCKET_EDGES[1]}
+                      THEN {LB_BUCKET_EDGES[1]}
+                      WHEN n_toks <= {LB_BUCKET_EDGES[2]}
+                      THEN {LB_BUCKET_EDGES[2]}
+                      WHEN n_toks <= {LB_BUCKET_EDGES[3]}
+                      THEN {LB_BUCKET_EDGES[3]}
+                      ELSE 0 END AS bucket
+          FROM d),
+        agg AS (
+          SELECT bucket, count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+                 CAST(max(n_toks) AS BIGINT) AS max_tokens
+          FROM b GROUP BY bucket)
+        SELECT bucket, n_docs, sum_tokens, max_tokens,
+               CAST((CASE WHEN bucket > 0 THEN bucket ELSE max_tokens END)
+                    * n_docs - sum_tokens AS BIGINT) AS padded_waste_tokens,
+               round(((CASE WHEN bucket > 0 THEN bucket ELSE max_tokens END)
+                      * n_docs - sum_tokens) * 100.0
+                     / ((CASE WHEN bucket > 0 THEN bucket ELSE max_tokens END)
+                        * n_docs), 4) AS waste_pct
+        FROM agg ORDER BY bucket
     """,
     "mojibake_repair": f"""
         WITH planted AS (

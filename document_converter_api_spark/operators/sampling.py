@@ -235,10 +235,78 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling (importance sampling)
+# ---------------------------------------------------------------------------
+
+# Keep probability rises with document length up to a cap — the standard
+# "sample long documents preferentially" curation move, here as a pure
+# function of (doc_id, n_chars) so retries and resumes agree row-by-row.
+WS_CHAR_CAP = 400.0    # n_chars at which keep probability saturates
+WS_MIN_KEEP = 0.2      # floor keep probability
+
+# Draw in [0, 1): first 13 hex chars of a salted md5 = 52 bits, an exactly-
+# representable double (the KMV mantissa idiom, operators/sketch.py).
+# Shared verbatim by both engines.
+_WS_DRAW_SQL = (
+    "CAST(" + " + ".join(
+        f"CAST((instr('0123456789abcdef', substring(md5('ws:' || "
+        f"CAST(doc_id AS STRING)), {i + 1}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    ) + " AS DOUBLE) / 4503599627370496.0")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: each doc's keep probability is
+    ``max(WS_MIN_KEEP, min(1, n_chars / WS_CHAR_CAP))`` and the draw is
+    the md5 idiom of ``mix_sample`` mapped into [0, 1) — a scan-stage
+    projection, zero shuffle up to the report aggregation.
+
+    The draw uses the first 13 hex chars = 52 bits, an exactly-
+    representable double (the KMV mantissa trick, operators/sketch.py),
+    and the weight arithmetic is two exact comparisons plus one division
+    of small integers — both engines compute bit-identical keep
+    decisions, so the oracle checks per-row agreement, not just counts."""
+    did = F.col("doc_id")
+    w = F.greatest(
+        F.lit(WS_MIN_KEEP),
+        F.least(F.lit(1.0), F.col("n_chars") / F.lit(WS_CHAR_CAP)))
+    draw = F.expr(_WS_DRAW_SQL)
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "lang", "n_chars")
+            .withColumn("keep_p", F.round(w, 6))
+            .withColumn("kept", (draw < w).cast("int")))
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum("kept").cast("long").alias("n_kept"),
+                 F.round(F.sum("keep_p"), 4).alias("expected_kept"),
+                 F.sum(F.when(F.col("kept") == 1, F.col("n_chars"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("kept_chars"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins (identical constants, interpolated from the same names)
 # ---------------------------------------------------------------------------
 
 SAMPLING_ORACLES = {
+    "weighted_sample": f"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars,
+                 greatest({WS_MIN_KEEP},
+                          least(1.0, n_chars / {WS_CHAR_CAP})) AS w,
+                 {_WS_DRAW_SQL} AS draw
+          FROM documents)
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN draw < w THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(sum(round(w, 6)), 4) AS expected_kept,
+               CAST(sum(CASE WHEN draw < w THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM d GROUP BY lang ORDER BY lang
+    """,
     "split_assign": f"""
         WITH d AS (
           SELECT doc_id,

@@ -224,6 +224,13 @@ def main() -> None:
          "Bloom-positive candidates enter the exact fingerprint "
          "semi-join — the new crawl never shuffles against the full "
          "historical corpus."),
+        ("weighted_sample", "quality-weighted importance sampling: keep "
+         "decision is a scan-stage projection (52-bit exact draw vs "
+         "n_chars weight); the only shuffle is the per-language report "
+         "agg."),
+        ("length_buckets", "context-length bucketing: codegen'd bucket "
+         "CASE + 5-group map-side-combining agg — ~5 partial rows per "
+         "map task regardless of corpus size."),
     ):
         add(name, note, queries[name](spark, SF))
 
