@@ -1,0 +1,184 @@
+"""WARC source connector: read Common-Crawl-style WARC files into the
+pages schema (url, warc_ts, html).
+
+Reference parity note: the reference service (``/root/reference/app/
+main.py``) ingests documents one HTTP upload at a time; the batch
+equivalent over a web corpus is reading the crawl's native WARC archives
+(ISO 28500 — a public format) directly, so a user can point the pipeline
+at raw Common Crawl segments instead of pre-converted parquet.
+
+Format subset handled (the subset CC actually emits):
+
+* ``WARC/1.0`` / ``WARC/1.1`` records: header block (CRLF-terminated
+  ``Name: value`` lines) + blank line + exactly ``Content-Length`` bytes
+  of payload + CRLF CRLF separator.
+* ``WARC-Type: response`` (payload = HTTP response; the HTTP header
+  block is stripped so ``html`` is the body alone) and
+  ``WARC-Type: resource`` / ``conversion`` (payload used verbatim).
+  Other types (request, metadata, warcinfo) are skipped.
+* gzip members: CC gzips each record as its own member and concatenates;
+  Python's gzip handles multi-member streams transparently, so ``.gz``
+  files decompress in one pass.
+
+Scale notes:
+
+* Parallelism is PER FILE (``binaryFile`` source → one task per file):
+  a real crawl is ~10^5-10^6 segment files of ~1 GiB, far wider than any
+  cluster, so per-file tasks saturate it. Within a file, records are
+  parsed sequentially — WARC's length-prefixed framing has no record
+  index, so intra-file splitting would need the per-record-gzip-member
+  trick (seek to a member boundary, resync); per-file is the standard
+  and sufficient grain.
+* Memory is bounded by ONE decompressed file per task (the
+  ``binaryFile`` source materializes the file bytes; the parser then
+  walks offsets without copying payloads until the final slice). For
+  segments beyond executor memory, drop to a custom streaming
+  DataSource; the fixture-scale reader documents the bound instead of
+  hiding it.
+* Malformed records (bad Content-Length, truncated payload, missing
+  mandatory headers) terminate that FILE's parse at the failure offset
+  and are counted in the ``n_parse_errors`` column of the last emitted
+  row rather than raised — one corrupt segment must not kill a
+  100 TB ingest (the reference's per-doc error-capture semantics,
+  ``app/main.py:438-441``, applied at the file grain).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                     "warc_type string, source_file string, "
+                     "n_parse_errors long")
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
+    """Parse one WARC file's bytes into page dicts. Pure function (no
+    Spark) so the same code runs in tests, fixtures, and the executor."""
+    out: list[dict] = []
+    errors = 0
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            errors += 1
+            break
+        header_blob = data[pos:head_end]
+        if not header_blob.startswith(b"WARC/"):
+            errors += 1
+            break
+        headers: dict[str, str] = {}
+        for line in header_blob.split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip())
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            errors += 1
+            break
+        body_start = head_end + len(_CRLF2)
+        body_end = body_start + length
+        if body_end > n:
+            errors += 1
+            break
+        payload = data[body_start:body_end]
+        pos = body_end
+        wtype = headers.get("warc-type", "")
+        if wtype in ("response", "resource", "conversion"):
+            if wtype == "response" and payload[:5] == b"HTTP/":
+                http_end = payload.find(_CRLF2)
+                payload = payload[http_end + 4:] if http_end >= 0 else b""
+            ts = None
+            raw_ts = headers.get("warc-date", "")
+            try:
+                ts = datetime.strptime(
+                    raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+                        tzinfo=timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                errors += 1
+            out.append({
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": ts,
+                "html": payload,
+                "warc_type": wtype,
+                "source_file": source_file,
+                "n_parse_errors": 0,
+            })
+    if out:
+        out[-1]["n_parse_errors"] = errors
+    elif errors:
+        out.append({"url": "", "warc_ts": None, "html": b"",
+                    "warc_type": "error", "source_file": source_file,
+                    "n_parse_errors": errors})
+    return out
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files (optionally .gz, multi-member) → pages DataFrame.
+    One task per file via the binaryFile source; Arrow-batched parse."""
+    import pandas as pd
+
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if path.endswith(".gz"):
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError:
+                        rows.append({"url": "", "warc_ts": None,
+                                     "html": b"", "warc_type": "error",
+                                     "source_file": path,
+                                     "n_parse_errors": 1})
+                        continue
+                rows.extend(parse_warc_bytes(data, source_file=path))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "warc_type",
+                               "source_file", "n_parse_errors"])
+
+    return files.mapInPandas(parse, PAGES_WARC_SCHEMA)
+
+
+def write_warc(rows, path: str, compress: bool = False) -> None:
+    """Serialize (url, warc_ts, html) tuples as a WARC file — the fixture
+    generator's inverse of :func:`parse_warc_bytes` (resource records;
+    deterministic output for byte-stable fixtures). WARC-Date carries
+    second granularity, so sub-second timestamp precision is dropped on
+    the round trip — a property of the format, not the parser."""
+    buf = io.BytesIO()
+    for url, ts, html in rows:
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: resource\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+            + b"\r\n"
+            b"Content-Length: " + str(len(html)).encode() + b"\r\n"
+            b"\r\n")
+        buf.write(header)
+        buf.write(html)
+        buf.write(b"\r\n\r\n")
+    data = buf.getvalue()
+    if compress:
+        # mtime=0 for byte-stable output (zlib stamps current time otherwise)
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as f:
+        f.write(data)

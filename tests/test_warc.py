@@ -1,0 +1,111 @@
+"""WARC source connector: byte-exact round-trip against the pages
+fixture, HTTP-header stripping for response records, record-type
+filtering, and file-grain error capture (a corrupt segment yields an
+error row, never an exception)."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import os
+
+import pyarrow.parquet as pq
+
+from document_converter_api_spark.sources.warc import (
+    parse_warc_bytes, read_warc, write_warc,
+)
+
+PAGES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "fixtures", "data", "pages_smoke.parquet")
+
+
+def _fixture_rows():
+    t = pq.read_table(PAGES)
+    return list(zip(t.column("url").to_pylist(),
+                    t.column("warc_ts").to_pylist(),
+                    t.column("html").to_pylist()))
+
+
+class TestWarcRoundTrip:
+    def test_plain_and_gzip_segments_round_trip(self, spark, tmp_path):
+        """Write the smoke corpus as one plain + one gzipped segment;
+        read_warc must return every url with byte-identical html and the
+        second-granularity timestamp (WARC-Date carries no sub-second
+        precision — a format property, not a parser loss)."""
+        rows = _fixture_rows()
+        d = str(tmp_path)
+        write_warc(rows[:250], os.path.join(d, "seg-00000.warc"))
+        write_warc(rows[250:], os.path.join(d, "seg-00001.warc.gz"),
+                   compress=True)
+        got = {r.url: (r.warc_ts, bytes(r.html), r.n_parse_errors)
+               for r in read_warc(spark, d + "/*").collect()}
+        assert len(got) == len(rows)
+        for url, ts, html in rows:
+            w_ts, w_html, errs = got[url]
+            assert w_html == bytes(html)
+            assert w_ts == ts.replace(microsecond=0)
+            assert errs == 0
+
+    def test_gzip_fixture_is_byte_stable(self, tmp_path):
+        """Two writes of the same rows must be byte-identical (mtime=0 in
+        the gzip header) — fixtures must not churn per run."""
+        rows = _fixture_rows()[:10]
+        a, b = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+        write_warc(rows, a, compress=True)
+        write_warc(rows, b, compress=True)
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+
+class TestWarcRecordHandling:
+    TS = datetime.datetime(2025, 1, 2, 3, 4, 5)
+
+    def _record(self, wtype: str, uri: str, payload: bytes) -> bytes:
+        return (b"WARC/1.0\r\n"
+                b"WARC-Type: " + wtype.encode() + b"\r\n"
+                b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+                b"WARC-Date: 2025-01-02T03:04:05Z\r\n"
+                b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+                b"\r\n" + payload + b"\r\n\r\n")
+
+    def test_response_strips_http_headers(self):
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                   b"<p>body</p>")
+        recs = parse_warc_bytes(
+            self._record("response", "https://x/", payload))
+        assert len(recs) == 1
+        assert recs[0]["html"] == b"<p>body</p>"
+        assert recs[0]["warc_ts"] == self.TS
+
+    def test_non_page_types_skipped(self):
+        data = (self._record("warcinfo", "", b"software: test")
+                + self._record("request", "https://x/", b"GET / HTTP/1.1")
+                + self._record("resource", "https://x/", b"<p>keep</p>")
+                + self._record("metadata", "https://x/", b"k: v"))
+        recs = parse_warc_bytes(data)
+        assert [r["url"] for r in recs] == ["https://x/"]
+        assert recs[0]["html"] == b"<p>keep</p>"
+
+    def test_truncated_record_is_error_row_not_exception(self, spark,
+                                                         tmp_path):
+        bad = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"Content-Length: 99999\r\n\r\nshort")
+        p = str(tmp_path / "bad.warc")
+        open(p, "wb").write(bad)
+        rows = read_warc(spark, p).collect()
+        assert len(rows) == 1
+        assert rows[0].warc_type == "error"
+        assert rows[0].n_parse_errors == 1
+
+    def test_corrupt_gzip_is_error_row(self, spark, tmp_path):
+        p = str(tmp_path / "bad.warc.gz")
+        open(p, "wb").write(b"\x1f\x8bnot really gzip")
+        rows = read_warc(spark, p).collect()
+        assert len(rows) == 1
+        assert rows[0].warc_type == "error"
+
+    def test_parse_error_after_good_records_is_counted(self):
+        data = (self._record("resource", "https://a/", b"ok")
+                + b"garbage that is not a WARC header")
+        recs = parse_warc_bytes(data)
+        assert [r["url"] for r in recs] == ["https://a/"]
+        assert recs[-1]["n_parse_errors"] == 1
