@@ -108,24 +108,39 @@ def run_extraction_job(
     max_bytes: int = MAX_FILE_SIZE,
     shuffle_partitions: int | None = None,
     fail_after_commits: int | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
     ``fail_after_commits`` injects a crash after N commit groups — the resume
     test's kill switch (SURVEY.md §5.2.4).
+
+    ``input_format='warc'`` reads raw Common-Crawl-style WARC segments
+    (``sources/warc.py``) instead of a pages parquet table — the rest of
+    the pipeline (gates, salting, lineage, resume) is format-agnostic
+    because ``prepare_pages`` only needs (url, html).
     """
     t_start = time.time()
     results_table = ManifestTable(os.path.join(output_root, "results"))
     rejects_table = ManifestTable(os.path.join(output_root, "rejects"))
     lineage = LineageStore(os.path.join(output_root, "_lineage", "lineage.json"))
 
-    layout_p = _prepartitioned_p(input_path)
-    if layout_p is not None:
-        # prepartitioned layout: P comes from the layout (a mismatched
-        # caller value would silently mark directories it never read as
-        # completed), and commit-group filters prune at the scan
-        num_partitions = layout_p
-    pages = spark.read.parquet(input_path)
+    if input_format == "warc":
+        from ..sources.warc import read_warc
+        # the pages-table columns WARC doesn't carry (lang is a crawl-side
+        # annotation; the rejects side-output projects it) ride as NULLs
+        pages = (read_warc(spark, input_path)
+                 .filter(F.col("warc_type") != "error")
+                 .withColumn("lang", F.lit(None).cast("string"))
+                 .withColumn("text", F.lit(None).cast("string")))
+    else:
+        layout_p = _prepartitioned_p(input_path)
+        if layout_p is not None:
+            # prepartitioned layout: P comes from the layout (a mismatched
+            # caller value would silently mark directories it never read as
+            # completed), and commit-group filters prune at the scan
+            num_partitions = layout_p
+        pages = spark.read.parquet(input_path)
     valid, rejects = prepare_pages(pages, max_bytes=max_bytes,
                                    num_partitions=num_partitions)
 

@@ -35,6 +35,10 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser(description="webtext extraction job (spark-submit)")
     ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="'warc' ingests raw Common-Crawl segments "
+                         "(sources/warc.py) instead of a pages table")
     ap.add_argument("--output", required=True, help="output root (results/rejects/_lineage)")
     ap.add_argument("--partitions", type=int, default=64,
                     help="lineage granules = pmod(xxhash64(url), P)")
@@ -69,6 +73,7 @@ def main() -> None:
         partitions_per_commit=args.partitions_per_commit,
         max_bytes=args.max_bytes or MAX_FILE_SIZE,
         shuffle_partitions=args.shuffle_partitions,
+        input_format=args.input_format,
     )
     print(json.dumps(stats))
     spark.stop()

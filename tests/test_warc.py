@@ -109,3 +109,38 @@ class TestWarcRecordHandling:
         recs = parse_warc_bytes(data)
         assert [r["url"] for r in recs] == ["https://a/"]
         assert recs[-1]["n_parse_errors"] == 1
+
+
+class TestWarcPipeline:
+    def test_extraction_job_over_warc_matches_goldens(self, spark,
+                                                      tmp_path):
+        """End-to-end: raw WARC segments through the FULL extraction job
+        (gates, salting, lineage) must produce the identical markdown per
+        url as the parquet path — the goldens are the shared oracle."""
+        from document_converter_api_spark.plans.pipeline import (
+            run_extraction_job,
+        )
+        from document_converter_api_spark.sources.tableio import (
+            ManifestTable,
+        )
+        rows = _fixture_rows()
+        indir = tmp_path / "warc"
+        indir.mkdir()
+        write_warc(rows[:250], str(indir / "seg-00000.warc"))
+        write_warc(rows[250:], str(indir / "seg-00001.warc.gz"),
+                   compress=True)
+        outdir = str(tmp_path / "out")
+        stats = run_extraction_job(
+            spark, str(indir) + "/*", outdir,
+            num_partitions=8, partitions_per_commit=8,
+            input_format="warc")
+        assert stats["docs"] > 0
+
+        gold = pq.read_table(PAGES.replace("pages_smoke", "goldens_smoke"))
+        golden = dict(zip(gold.column("url").to_pylist(),
+                          gold.column("markdown").to_pylist()))
+        got = {r.url: r.markdown
+               for r in ManifestTable(os.path.join(outdir, "results"))
+               .read(spark).select("url", "markdown").collect()}
+        assert got, "warc job produced no results"
+        assert all(golden[u] == md for u, md in got.items())
