@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join) so agreement cross-validates the plan, not just the code
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        # variable-width interval join: sequence bucket explode keeps the
+        # plan a plain equi-join even when widths vary row to row
+        "range_join_variable": _q_range_join_variable,
         # crawl-politeness audit: per-host lag-window fetch gaps in integer
         # microseconds (exact parity), window + re-agg share one shuffle
         "politeness_audit": _q_politeness_audit,
@@ -271,6 +274,13 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.temporal import q_range_join
     return q_range_join(spark, sf_dir)
+
+
+def _q_range_join_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.temporal import (
+        q_range_join_variable,
+    )
+    return q_range_join_variable(spark, sf_dir)
 
 
 def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

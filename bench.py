@@ -49,7 +49,7 @@ BENCH_QUERIES = (
     "url_normalize", "crawl_rate",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
     "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
-    "asof_join", "range_join", "span_dedup",
+    "asof_join", "range_join", "range_join_variable", "span_dedup",
     "hll_distinct", "kmv_distinct", "cms_topk", "bloom_filter",
     "histogram_quantiles",
     "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",

@@ -154,6 +154,53 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Variable-width interval join (sequence bucket explode)
+# ---------------------------------------------------------------------------
+
+# Per-window width: 1..12 hours derived from the window's user — widths
+# vary row to row, which is exactly what the fixed-width trick can't do.
+VW_HOUR_US = 3600 * 1_000_000
+
+
+def q_range_join_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalization ``q_range_join``'s docstring promises: windows
+    of VARYING width ``[ts, ts + (1 + user_id % 12) hours)`` still join
+    clicks by plain EQUI-join — each window explodes into
+    ``sequence(floor(s/W), floor(e/W))`` covering base buckets (W = the
+    fixed-width operator's 6 h), cost proportional to span/W (≤ 3 rows
+    here), never quadratic, and never an inequality/nested-loop plan.
+    A click matches a window through exactly one bucket (its own), so no
+    dedup is needed; the exact half-open range filter runs post-match."""
+    ev = widen(spark.read.parquet(f"{sf_dir}/events.parquet")
+               .select("event_id", "user_id", "ts", "event_type"))
+    width_us = ((F.col("user_id") % 12 + 1) * F.lit(VW_HOUR_US))
+    s_us = F.unix_micros(F.col("w_start").cast("timestamp"))
+    wins = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("window_id"), "user_id",
+                    F.col("ts").alias("w_start"))
+            .withColumn("w_us", width_us)
+            .withColumn("bkt", F.explode(F.sequence(
+                F.floor(s_us / F.lit(WINDOW_US)),
+                F.floor((s_us + F.col("w_us") - 1) / F.lit(WINDOW_US))))))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+           .withColumn("bkt", _bucket(F.col("ts"))))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ws = F.unix_micros(F.col("w_start").cast("timestamp"))
+    return (wins.join(clk, ["user_id", "bkt"])
+            .filter((us >= ws) & (us < ws + F.col("w_us")))
+            .groupBy("window_id", "user_id", "w_start", "w_us")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.min("click_id").alias("first_click"),
+                 F.max("click_id").alias("last_click"))
+            .select("window_id", "user_id",
+                    (F.col("w_us") / VW_HOUR_US).cast("long")
+                    .alias("width_hours"),
+                    "n_clicks", "first_click", "last_click")
+            .orderBy("window_id"))
+
+
+# ---------------------------------------------------------------------------
 # Crawl-politeness audit (per-host fetch-gap analysis)
 # ---------------------------------------------------------------------------
 
@@ -197,6 +244,27 @@ def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TEMPORAL_ORACLES = {
+    "range_join_variable": f"""
+        WITH wins AS (
+          SELECT event_id AS window_id, user_id,
+                 ts AS w_start,
+                 (user_id % 12 + 1) * {VW_HOUR_US} AS w_us
+          FROM events WHERE event_type = 'purchase'),
+        clk AS (
+          SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+        SELECT w.window_id, w.user_id,
+               CAST(w.w_us / {VW_HOUR_US} AS BIGINT) AS width_hours,
+               count(*) AS n_clicks,
+               min(c.click_id) AS first_click,
+               max(c.click_id) AS last_click
+        FROM wins w JOIN clk c
+          ON w.user_id = c.user_id
+         AND epoch_us(c.ts) >= epoch_us(w.w_start)
+         AND epoch_us(c.ts) < epoch_us(w.w_start) + w.w_us
+        GROUP BY w.window_id, w.user_id, w.w_us
+        ORDER BY w.window_id
+    """,
     "politeness_audit": f"""
         WITH ev AS (
           SELECT user_id AS host, event_id, epoch_us(ts) AS us

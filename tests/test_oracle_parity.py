@@ -29,7 +29,7 @@ SUBSET = (
     "mix_sample", "blocklist_filter", "source_terms",
     "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
     "domain_pagerank", "politeness_audit", "incremental_dedup",
-    "weighted_sample", "length_buckets",
+    "weighted_sample", "length_buckets", "range_join_variable",
 )
 
 

@@ -353,3 +353,15 @@ def test_incremental_dedup_bloom_broadcasts_and_exact_join_is_filtered(spark):
     assert "LeftSemi" in plan, plan
     assert "is_candidate" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_variable_is_equi_join(spark):
+    """Varying window widths must not degrade the plan to an inequality
+    (nested-loop) join: the match stays a keyed equi-join on
+    (user_id, bucket) with the exact range predicate as a post-filter."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["range_join_variable"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan

@@ -181,6 +181,10 @@ def main() -> None:
          "to its <=2 covering time buckets, the match is a plain "
          "EQUI-join on (key,bucket) + exact range filter — no "
          "nested-loop node anywhere."),
+        ("range_join_variable", "variable-width interval join: windows "
+         "explode to sequence(floor(s/W), floor(e/W)) base buckets "
+         "(cost span/W, <=3 here) — still a plain equi-join, widths "
+         "varying row to row."),
         ("hll_distinct", "HyperLogLog: groupBy(register)->max(rho) "
          "combines map-side, so the shuffle carries <=256 rows per task "
          "regardless of corpus size — the distributed sketch-union."),
