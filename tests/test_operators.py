@@ -752,3 +752,63 @@ class TestIncrementalDedup:
         near = [r for r in rows if r.doc_id >= 20000]
         assert exact and all(r.is_dup == 1 for r in exact)
         assert near and all(r.is_dup == 0 for r in near)
+
+
+class TestAnnRecall:
+    """Recall of the approximate ANN tiers against the exact brute-force
+    baseline — the quality metric an ANN deployment is judged by. The
+    fixture is deterministic, so recall is a fixed number: assert a floor
+    rather than pin the exact value (parameter changes shouldn't need a
+    test edit unless they genuinely degrade recall)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _truth(self, spark):
+        from document_converter_api_spark.operators.similarity import (
+            q_ann_cosine_topk,
+        )
+        exact = {}
+        for r in q_ann_cosine_topk(spark, self.SF).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return exact
+
+    def _recall(self, truth, approx_rows):
+        got = {}
+        for r in approx_rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        return hits / total
+
+    def test_ivf_recall_floor(self, spark):
+        from document_converter_api_spark.operators.similarity import (
+            q_ann_ivf,
+        )
+        truth = self._truth(spark)
+        rows = q_ann_ivf(spark, self.SF).collect()
+        assert self._recall(truth, rows) >= 0.5, (
+            "IVF nprobe-probing should recover at least half the exact "
+            "neighbors on the fixture")
+
+    def test_lsh_recall_scales_with_bucket_coarseness(self, spark):
+        """Single-table sign-LSH on this 500-vector fixture has recall 0
+        at the default 8 planes (256 buckets ≈ 2 vectors each — true
+        neighbors land in other buckets; the documented weakness of one
+        hash table without multi-probe). The n_planes knob IS the fix:
+        4 planes (16 buckets ≈ 31 vectors each) must recover real
+        recall. The test pins the tradeoff direction, which is the
+        property a deployment tunes."""
+        from document_converter_api_spark.operators.similarity import (
+            q_ann_lsh_bucketed,
+        )
+        truth = self._truth(spark)
+        rec = {
+            np_: self._recall(truth,
+                              q_ann_lsh_bucketed(spark, self.SF,
+                                                 n_planes=np_).collect())
+            for np_ in (8, 4, 2)}
+        # measured sweep on this fixture: 8→0/15, 4→2/15, 2→5/15 — the
+        # near-random synthetic embeddings are weakly clustered, so even
+        # coarse buckets cap low; what must hold is the DIRECTION
+        assert rec[2] > rec[4] > rec[8], rec
+        assert rec[2] >= 0.3, rec

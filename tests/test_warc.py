@@ -144,3 +144,67 @@ class TestWarcPipeline:
                .read(spark).select("url", "markdown").collect()}
         assert got, "warc job produced no results"
         assert all(golden[u] == md for u, md in got.items())
+
+
+class TestWarcFuzz:
+    def test_parser_never_raises_on_arbitrary_bytes(self):
+        """parse_warc_bytes is total: ANY byte string yields a row list
+        (possibly one error row), never an exception — a corrupt segment
+        must not kill a 100 TB ingest."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=4096))
+        def run(data):
+            recs = parse_warc_bytes(data)
+            assert isinstance(recs, list)
+            for r in recs:
+                assert set(r) == {"url", "warc_ts", "html", "warc_type",
+                                  "source_file", "n_parse_errors"}
+
+        run()
+
+    def test_random_round_trip(self):
+        """Random (url, ts, payload) sets survive write_warc →
+        parse_warc_bytes byte-exactly, including payloads containing the
+        record separator and WARC magic — Content-Length framing, not
+        delimiters, drives the parse."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        payloads = st.binary(max_size=512)  # may contain \r\n\r\n, WARC/1.0
+        ts = st.datetimes(
+            min_value=datetime.datetime(1990, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0))
+        urls = st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                                   exclude_characters="\r\n"),
+            min_size=1, max_size=60)
+        rows = st.lists(st.tuples(urls, ts, payloads), min_size=1,
+                        max_size=8)
+
+        @settings(max_examples=150, deadline=None)
+        @given(rows)
+        def run(rs):
+            import io
+            buf = io.BytesIO()
+            for url, t, html in rs:
+                rec = (b"WARC/1.0\r\n"
+                       b"WARC-Type: resource\r\n"
+                       b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                       b"WARC-Date: "
+                       + t.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+                       b"Content-Length: " + str(len(html)).encode()
+                       + b"\r\n\r\n" + html + b"\r\n\r\n")
+                buf.write(rec)
+            recs = parse_warc_bytes(buf.getvalue())
+            assert len(recs) == len(rs)
+            for (url, t, html), r in zip(rs, recs):
+                assert r["url"] == url
+                assert r["html"] == html
+                assert r["warc_ts"] == t
+                assert r["n_parse_errors"] == 0
+
+        run()
