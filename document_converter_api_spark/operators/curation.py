@@ -170,7 +170,12 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``split(text)`` over the full corpus (measured 2x the query cost at
     sf0.1). The persisted form is three longs per doc — ~24 bytes/doc, so
     even at 10^12 docs it is ~24 TB spread across the fleet's
-    MEMORY_AND_DISK tiers, vs re-scanning 100 TB of text."""
+    MEMORY_AND_DISK tiers, vs re-scanning 100 TB of text. The cache is
+    deliberately left for LRU/session end rather than unpersisted here:
+    the returned DataFrame still references it lazily, and an eager
+    unpersist would silently reintroduce the double text scan; a
+    long-lived session running many jobs should unpersist after the
+    consuming action completes."""
     docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .select("doc_id",
                     F.size(F.split("text", " ", -1)).cast("long")

@@ -895,12 +895,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact stage misses nothing — the filter only shrinks the join
     input (by the true-negative fraction), never the answer.
 
-    Fixture split: historical = the ``documents`` table; new crawl = the
-    planted +10000 exact copies (every 5th doc — true duplicates) union
-    the +20000 near-duplicates (every 7th doc, one word appended — NOT
-    exact dups, so they must pass). Output per new doc: the Bloom verdict
-    and the exact verdict; ``is_dup <= is_candidate`` (no-false-negative)
-    is pinned in tests.
+    Fixture split: historical = the ``documents`` table; new crawl =
+    planted exact copies (every 5th doc, new id ``2*doc_id`` — true
+    duplicates) union near-duplicates (every 7th doc, one word appended,
+    new id ``2*doc_id + 1`` — NOT exact dups, so they must pass). The
+    even/odd id split keeps the two planted sets disjoint AT ANY CORPUS
+    SIZE (additive offsets like +10000/+20000 collide once doc_ids cross
+    the offset gap, and a colliding id would cross-contaminate the final
+    per-doc join). Output per new doc: the Bloom verdict and the exact
+    verdict; ``is_dup <= is_candidate`` (no-false-negative) is pinned in
+    tests.
 
     At 10^12 historical keys a single 1024-bit filter saturates — the
     scale knob is BLOOM_BITS (~10 bits/key for ~1% FP), and past what one
@@ -911,31 +915,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure — prefilter to candidates, exact-check only candidates —
     is unchanged; what it buys is that the daily crawl (10^9 docs) never
     pays a shuffle proportional to the historical 10^12."""
-    from .sketch import (
-        _BLOOM_H, _BLOOM_POS, _BLOOM_WORD_BITS, BLOOM_K, bloom_words,
-    )
+    from .sketch import bloom_probe_cells, bloom_words
     docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .select("doc_id", "text"))
     old_fp = docs.select(F.md5("text").alias("fp"))
     new = (docs.filter(F.col("doc_id") % 5 == 0)
-           .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+           .select((F.col("doc_id") * 2).alias("doc_id"), "text")
            .unionAll(
                docs.filter(F.col("doc_id") % 7 == 0)
-               .select((F.col("doc_id") + 20000).alias("doc_id"),
+               .select((F.col("doc_id") * 2 + 1).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" extraword"))
                        .alias("text")))
            .select("doc_id", F.md5("text").alias("fp")))
     filt = bloom_words(old_fp, key="fp")
-    hj = _BLOOM_H.replace("user_id", "fp")
-    probes = (new.select("doc_id", "fp", F.explode(
-                  F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
-              .withColumn("hj", F.expr(hj))
-              .select("doc_id", "fp", F.expr(_BLOOM_POS).alias("pos"))
-              .select("doc_id", "fp",
-                      (F.col("pos") / _BLOOM_WORD_BITS).cast("int")
-                      .alias("word"),
-                      F.expr(f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) "
-                             "AS BIGINT)").alias("mask")))
+    probes = bloom_probe_cells(new, key="fp")
     cand = (probes.join(F.broadcast(filt), "word", "left")
             .select("doc_id", "fp",
                     ((F.coalesce(F.col("bits"), F.lit(0))
@@ -962,10 +955,10 @@ def _incremental_dedup_oracle() -> str:
         WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j),
         old_fp AS (SELECT md5(text) AS fp FROM documents),
         new_ AS (
-          SELECT doc_id + 10000 AS doc_id, md5(text) AS fp
+          SELECT doc_id * 2 AS doc_id, md5(text) AS fp
           FROM documents WHERE doc_id % 5 = 0
           UNION ALL
-          SELECT doc_id + 20000 AS doc_id, md5(text || ' extraword') AS fp
+          SELECT doc_id * 2 + 1 AS doc_id, md5(text || ' extraword') AS fp
           FROM documents WHERE doc_id % 7 = 0),
         mrows AS (SELECT fp, j, {hj} AS hj FROM old_fp CROSS JOIN j),
         mpos AS (SELECT {_BLOOM_POS} AS pos FROM mrows),

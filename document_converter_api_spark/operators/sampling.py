@@ -267,7 +267,6 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the weight arithmetic is two exact comparisons plus one division
     of small integers — both engines compute bit-identical keep
     decisions, so the oracle checks per-row agreement, not just counts."""
-    did = F.col("doc_id")
     w = F.greatest(
         F.lit(WS_MIN_KEEP),
         F.least(F.lit(1.0), F.col("n_chars") / F.lit(WS_CHAR_CAP)))

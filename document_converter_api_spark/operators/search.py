@@ -173,7 +173,10 @@ def _bm25_oracle() -> str:
           FROM t)
         SELECT doc_id, dl, {tf_list}, round({score}, 6) AS bm25
         FROM t, s
-        ORDER BY {score} DESC, doc_id
+        -- order by the ROUNDED score exactly as the Spark side does:
+        -- ordering one engine by raw and the other by rounded could pick
+        -- different members when near-ties straddle the LIMIT boundary
+        ORDER BY round({score}, 6) DESC, doc_id
         LIMIT {BM25_TOP_K}
     """
 

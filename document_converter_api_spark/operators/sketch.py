@@ -266,6 +266,24 @@ def bloom_words(df: DataFrame, key: str = "user_id") -> DataFrame:
             .groupBy("word").agg(F.bit_or("mask").alias("bits")))
 
 
+def bloom_probe_cells(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key probe cells: each key explodes into its BLOOM_K (word,
+    mask) positions. The single source of the probe-side hash scheme —
+    a filter built by :func:`bloom_words` answers a probe iff every one
+    of these cells has its bit set, and keeping build and probe in one
+    module is what makes the no-false-negative invariant a structural
+    property rather than a convention."""
+    hj = _BLOOM_H.replace("user_id", key)
+    return (df.select("*", F.explode(
+                F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
+            .withColumn("hj", F.expr(hj))
+            .withColumn("pos", F.expr(_BLOOM_POS))
+            .withColumn("word", (F.col("pos") / _BLOOM_WORD_BITS).cast("int"))
+            .withColumn("mask", F.expr(
+                f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)"))
+            .drop("j", "hj", "pos"))
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over the EVEN user ids, probe every distinct
     user: no false negatives (pinned as ``n_false_neg`` must be 0) and a
@@ -275,14 +293,7 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id").distinct())
     members = users.filter(F.col("user_id") % 2 == 0)
     filt = bloom_words(members)
-    probes = (users.select("user_id", F.explode(
-                  F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j"))
-              .withColumn("hj", F.expr(_BLOOM_H))
-              .select("user_id", F.expr(_BLOOM_POS).alias("pos"))
-              .select("user_id",
-                      (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word"),
-                      F.expr(f"CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)")
-                      .alias("mask")))
+    probes = bloom_probe_cells(users)
     hits = (probes.join(F.broadcast(filt), "word", "left")
             .select("user_id",
                     ((F.coalesce(F.col("bits"), F.lit(0))

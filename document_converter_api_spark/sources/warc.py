@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,12 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
         except (KeyError, ValueError):
             errors += 1
             break
+        if length < 0:
+            # a negative length would move the cursor BACKWARD (body_end
+            # before the header end) — without this guard a crafted record
+            # whose header embeds 'WARC/' re-parses itself forever
+            errors += 1
+            break
         body_start = head_end + len(_CRLF2)
         body_end = body_start + length
         if body_end > n:
@@ -104,11 +111,16 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
                 payload = payload[http_end + 4:] if http_end >= 0 else b""
             ts = None
             raw_ts = headers.get("warc-date", "")
-            try:
-                ts = datetime.strptime(
-                    raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+            # WARC/1.0 dates are second-granular; WARC/1.1 allows a
+            # fractional part — accept both
+            for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+                try:
+                    ts = datetime.strptime(raw_ts, fmt).replace(
                         tzinfo=timezone.utc).replace(tzinfo=None)
-            except ValueError:
+                    break
+                except ValueError:
+                    continue
+            if ts is None:
                 errors += 1
             out.append({
                 "url": headers.get("warc-target-uri", ""),
@@ -143,7 +155,12 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                 if path.endswith(".gz"):
                     try:
                         data = gzip.decompress(data)
-                    except OSError:
+                    # gzip.decompress raises BadGzipFile/OSError on bad
+                    # magic, EOFError on truncation (the canonical
+                    # interrupted-upload corruption), and zlib.error on
+                    # corrupt deflate bytes — ALL must become error rows,
+                    # not task failures
+                    except (OSError, EOFError, zlib.error):
                         rows.append({"url": "", "warc_ts": None,
                                      "html": b"", "warc_type": "error",
                                      "source_file": path,

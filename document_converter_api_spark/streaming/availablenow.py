@@ -15,9 +15,11 @@ to the batch pipeline over the same files.
 
 from __future__ import annotations
 
+import inspect
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, StringType, StructField, StructType, TimestampType,
 )
@@ -44,9 +46,12 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
     and failure semantics).
 
     ``batch_outputs(batch_df) -> dict[subdir, DataFrame]`` maps each
-    micro-batch to its output tables. Writes are **idempotent under
-    micro-batch replay** (foreachBatch is at-least-once): every epoch owns
-    its ``subdir/batch_id=N`` partition directory and overwrites it
+    micro-batch to its output tables; a two-parameter callback
+    ``batch_outputs(batch_df, batch_id)`` also receives the epoch id —
+    REQUIRED for stateful folds whose merge is not idempotent (see
+    :func:`latest_state`). Writes are **idempotent under micro-batch
+    replay** (foreachBatch is at-least-once): every epoch owns its
+    ``subdir/batch_id=N`` partition directory and overwrites it
     wholesale if the epoch replays after a crash — readers see the
     ``batch_id`` partition column. On timeout the query is stopped and a
     TimeoutError raised (earlier revisions returned silently); rerunning
@@ -77,8 +82,12 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
                 "legacy files into a batch_id=-1/ subdir (or point "
                 "output_dir at a fresh directory) before draining.")
 
+    wants_batch_id = len(inspect.signature(batch_outputs).parameters) >= 2
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for subdir, df in batch_outputs(batch_df).items():
+        outs = (batch_outputs(batch_df, batch_id) if wants_batch_id
+                else batch_outputs(batch_df))
+        for subdir, df in outs.items():
             _reject_legacy_flat_layout(subdir)
             (df.write.mode("overwrite")
              .parquet(os.path.join(output_dir, subdir,
@@ -97,6 +106,33 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
             f"{label} exceeded {timeout_sec}s; query stopped — "
             "rerun to resume from the checkpoint")
     return batches["n"]
+
+
+def latest_state(spark: SparkSession, output_dir: str, subdir: str,
+                 cols: list[str],
+                 before_batch: int | None = None) -> DataFrame | None:
+    """Most recent committed fold state under ``output_dir/subdir``
+    (shared by the cardinality and frequency monitors).
+
+    ``before_batch`` is load-bearing for NON-idempotent merges: a fold
+    epoch must read the state strictly BEFORE its own batch_id, because
+    under foreachBatch's at-least-once replay epoch N may re-run AFTER
+    its own ``batch_id=N`` partition was written — reading max(batch_id)
+    would then fold batch N in twice. Register-max (HLL) survives that
+    by idempotence; counter-sum (CMS) does not. With ``before_batch=N``
+    the replay recomputes from state N-1 and overwrites an identical
+    partition, which is the idempotence contract."""
+    d = os.path.join(output_dir, subdir)
+    try:
+        state = spark.read.parquet(d)
+    except Exception:
+        return None
+    if before_batch is not None:
+        state = state.filter(F.col("batch_id") < before_batch)
+    mx = state.agg(F.max("batch_id")).collect()[0][0]
+    if mx is None:
+        return None
+    return state.filter(F.col("batch_id") == mx).select(*cols)
 
 
 def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,

@@ -21,28 +21,21 @@ twin registered with the driver is ``hll_distinct`` itself.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import M_REGISTERS, _ALPHA_M2, hll_register_table
-from .availablenow import PAGES_SCHEMA, drain_available_now
+from .availablenow import PAGES_SCHEMA, drain_available_now, latest_state
 
 _SUBDIR = "registers"
+_COLS = ["register", "rho_max"]
 
 
-def _latest_state(spark: SparkSession, output_dir: str) -> DataFrame | None:
-    d = os.path.join(output_dir, _SUBDIR)
-    try:
-        state = spark.read.parquet(d)
-    except Exception:
-        return None
-    mx = state.agg(F.max("batch_id")).collect()[0][0]
-    if mx is None:
-        return None
-    return (state.filter(F.col("batch_id") == mx)
-            .select("register", "rho_max"))
+def _latest_state(spark: SparkSession, output_dir: str,
+                  before_batch: int | None = None) -> DataFrame | None:
+    return latest_state(spark, output_dir, _SUBDIR, _COLS,
+                        before_batch=before_batch)
 
 
 def merge_registers(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -59,9 +52,12 @@ def run_cardinality_monitor(spark: SparkSession, input_dir: str,
     registers into the running state.  Returns micro-batches processed;
     re-triggering after new files land merges only the new files."""
 
-    def outputs(batch_df: DataFrame) -> dict[str, DataFrame]:
+    def outputs(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
+        # register-wise max is idempotent, so folding from max(batch_id)
+        # would survive replay too — reading strictly-before state anyway
+        # keeps both monitors on the one replay-safe contract
         batch_regs = hll_register_table(batch_df.select(key), key=key)
-        prev = _latest_state(spark, output_dir)
+        prev = _latest_state(spark, output_dir, before_batch=batch_id)
         merged = batch_regs if prev is None else merge_registers(prev, batch_regs)
         return {_SUBDIR: merged}
 

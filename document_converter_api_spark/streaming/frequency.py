@@ -18,34 +18,40 @@ twin registered with the driver is ``cms_topk``.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import CMS_D, _CMS_COL, _CMS_H, cms_table
-from .availablenow import PAGES_SCHEMA, drain_available_now
+from .availablenow import PAGES_SCHEMA, drain_available_now, latest_state
 
 _SUBDIR = "counters"
+_COLS = ["r", "col", "counter"]
 
 
-def _latest_state(spark: SparkSession, output_dir: str) -> DataFrame | None:
-    d = os.path.join(output_dir, _SUBDIR)
-    try:
-        state = spark.read.parquet(d)
-    except Exception:
-        return None
-    mx = state.agg(F.max("batch_id")).collect()[0][0]
-    if mx is None:
-        return None
-    return (state.filter(F.col("batch_id") == mx)
-            .select("r", "col", "counter"))
+def _latest_state(spark: SparkSession, output_dir: str,
+                  before_batch: int | None = None) -> DataFrame | None:
+    return latest_state(spark, output_dir, _SUBDIR, _COLS,
+                        before_batch=before_batch)
 
 
 def merge_counters(a: DataFrame, b: DataFrame) -> DataFrame:
     """Counter-wise sum — the CMS union. d×w-row inputs and output."""
     return (a.unionByName(b)
             .groupBy("r", "col").agg(F.sum("counter").alias("counter")))
+
+
+def fold_batch(spark: SparkSession, output_dir: str, batch_df: DataFrame,
+               batch_id: int, key: str = "url") -> DataFrame:
+    """Epoch ``batch_id``'s merged state: prior state (strictly BEFORE
+    this epoch — counter addition is NOT idempotent, so a replayed epoch
+    must re-fold from state N-1, never from its own partially-committed
+    output; see ``availablenow.latest_state``) plus this batch's
+    counters. A pure function of (prior state, batch), so replay
+    overwrites an identical ``batch_id=N`` partition."""
+    batch_cms = cms_table(batch_df.select(key), key=key)
+    prev = _latest_state(spark, output_dir, before_batch=batch_id)
+    return batch_cms if prev is None else merge_counters(prev, batch_cms)
 
 
 def run_frequency_monitor(spark: SparkSession, input_dir: str,
@@ -55,11 +61,9 @@ def run_frequency_monitor(spark: SparkSession, input_dir: str,
     """Drain available page files, folding each micro-batch's count-min
     counters into the running state. Returns micro-batches processed."""
 
-    def outputs(batch_df: DataFrame) -> dict[str, DataFrame]:
-        batch_cms = cms_table(batch_df.select(key), key=key)
-        prev = _latest_state(spark, output_dir)
-        merged = batch_cms if prev is None else merge_counters(prev, batch_cms)
-        return {_SUBDIR: merged}
+    def outputs(batch_df: DataFrame, batch_id: int) -> dict[str, DataFrame]:
+        return {_SUBDIR: fold_batch(spark, output_dir, batch_df,
+                                    batch_id, key=key)}
 
     stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
               .select(key))

@@ -748,8 +748,10 @@ class TestIncrementalDedup:
         rows = q_incremental_dedup(spark, "/root/testdata/sf0.001").collect()
         assert rows, "fixture must yield new-crawl docs"
         assert all(r.is_dup <= r.is_candidate for r in rows)
-        exact = [r for r in rows if r.doc_id < 20000]
-        near = [r for r in rows if r.doc_id >= 20000]
+        # planted ids: even = exact copy of doc_id/2, odd = near-dup —
+        # disjoint at any corpus size (see operator docstring)
+        exact = [r for r in rows if r.doc_id % 2 == 0]
+        near = [r for r in rows if r.doc_id % 2 == 1]
         assert exact and all(r.is_dup == 1 for r in exact)
         assert near and all(r.is_dup == 0 for r in near)
 

@@ -130,3 +130,39 @@ class TestStreamingFrequency:
                estimate_from_state(spark, outdir, probes).collect()}
         for u in top5:
             assert est[u] >= truth[u], (u, est[u], truth[u])
+
+    def test_replayed_epoch_does_not_double_count(self, spark, smoke_paths,
+                                                  tmp_path):
+        """Regression: foreachBatch is at-least-once — if epoch N crashes
+        AFTER writing its batch_id=N partition but BEFORE the checkpoint
+        commit, the epoch replays. Counter addition is not idempotent, so
+        the fold must read the state strictly BEFORE its own batch_id;
+        re-running the fold for the last epoch must reproduce the
+        committed state exactly, not double it."""
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.streaming.frequency import (
+            _latest_state, fold_batch, run_frequency_monitor,
+        )
+        pages_path, _ = smoke_paths
+        t = pq.read_table(pages_path)
+        indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(indir)
+        pq.write_table(t.slice(0, 120), os.path.join(indir, "d1.parquet"))
+        run_frequency_monitor(spark, indir, outdir)
+        pq.write_table(t.slice(120, 80), os.path.join(indir, "d2.parquet"))
+        run_frequency_monitor(spark, indir, outdir)
+
+        committed = {(r.r, r.col): r.counter
+                     for r in _latest_state(spark, outdir).collect()}
+        last_batch = max(
+            int(r.batch_id) for r in spark.read.parquet(
+                os.path.join(outdir, "counters")).select("batch_id")
+            .distinct().collect())
+        # simulate the replay: fold the SAME batch df at the SAME epoch id
+        d2p = os.path.join(str(tmp_path), "d2_replay.parquet")
+        pq.write_table(t.slice(120, 80), d2p)
+        replayed = {(r.r, r.col): r.counter
+                    for r in fold_batch(
+                        spark, outdir, spark.read.parquet(d2p),
+                        last_batch).collect()}
+        assert replayed == committed

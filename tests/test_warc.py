@@ -208,3 +208,40 @@ class TestWarcFuzz:
                 assert r["n_parse_errors"] == 0
 
         run()
+
+
+class TestWarcAdversarial:
+    def test_negative_content_length_terminates(self):
+        """Regression: a record whose header both embeds 'WARC/' and
+        declares a NEGATIVE Content-Length used to move the cursor
+        backward onto the embedded magic and loop forever; it must
+        terminate as a parse error."""
+        data = b"WARC/1.0\r\nA: WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+        recs = parse_warc_bytes(data)
+        assert recs[-1]["n_parse_errors"] >= 1
+
+    def test_truncated_gzip_member_is_error_row(self, spark, tmp_path):
+        """Regression: gzip.decompress raises EOFError (not OSError) on a
+        stream truncated mid-member — the canonical interrupted-upload
+        corruption — and zlib.error on corrupt deflate bytes; both must
+        become error rows, not task failures."""
+        rows = _fixture_rows()[:20]
+        full = str(tmp_path / "full.warc.gz")
+        write_warc(rows, full, compress=True)
+        blob = open(full, "rb").read()
+        open(str(tmp_path / "trunc.warc.gz"), "wb").write(blob[:len(blob) // 2])
+        os.remove(full)
+        out = read_warc(spark, str(tmp_path) + "/*").collect()
+        assert len(out) == 1
+        assert out[0].warc_type == "error"
+
+    def test_warc11_fractional_date_parses(self):
+        data = (b"WARC/1.1\r\n"
+                b"WARC-Type: resource\r\n"
+                b"WARC-Target-URI: https://x/\r\n"
+                b"WARC-Date: 2025-01-02T03:04:05.123456Z\r\n"
+                b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+        recs = parse_warc_bytes(data)
+        assert recs[0]["n_parse_errors"] == 0
+        assert recs[0]["warc_ts"] == datetime.datetime(
+            2025, 1, 2, 3, 4, 5, 123456)
