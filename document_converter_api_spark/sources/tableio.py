@@ -47,9 +47,24 @@ class ManifestTable:
 
     def _load(self) -> dict:
         if not os.path.exists(self.manifest_path):
-            return {"snapshot_id": 0, "commits": {}}
+            return {"snapshot_id": 0, "commits": {}, "snapshots": []}
         with open(self.manifest_path, encoding="utf-8") as f:
-            return json.load(f)
+            man = json.load(f)
+        man.setdefault("snapshots", [])   # manifests written before time travel
+        return man
+
+    def _publish(self, man: dict) -> None:
+        """Bump the snapshot id, log the new snapshot's commits map (the
+        time-travel history — Iceberg's snapshot log), and atomically
+        publish. Every mutation goes through here so history is complete."""
+        man["snapshot_id"] += 1
+        man["committed_at"] = time.time()
+        man["snapshots"].append({
+            "id": man["snapshot_id"],
+            "ts": man["committed_at"],
+            "commits": dict(man["commits"]),
+        })
+        _atomic_write_json(self.manifest_path, man)
 
     def commits(self) -> dict[str, str]:
         """commit_key -> data subdirectory (published commits only)."""
@@ -62,10 +77,8 @@ class ManifestTable:
         out = os.path.join(self.root, "data", subdir)
         df.write.mode("overwrite").parquet(out)
         man = self._load()
-        man["snapshot_id"] += 1
         man["commits"][key] = subdir
-        man["committed_at"] = time.time()
-        _atomic_write_json(self.manifest_path, man)
+        self._publish(man)
         return key
 
     def replace_group(self, df: DataFrame, commit_key: str) -> None:
@@ -73,12 +86,30 @@ class ManifestTable:
         partition group after a kill between data write and lineage merge)."""
         self.append(df, commit_key)
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession,
+             as_of_snapshot: int | None = None) -> DataFrame:
+        """Read the current table, or — Iceberg time travel — the table
+        exactly as published at ``as_of_snapshot``. An expired or unknown
+        snapshot id raises (same contract as Iceberg: time travel only
+        reaches snapshots retained by ``expire_snapshots``)."""
         man = self._load()
-        paths = [os.path.join(self.root, "data", d) for d in man["commits"].values()]
+        if as_of_snapshot is None:
+            commits = man["commits"]
+        else:
+            match = [s for s in man["snapshots"] if s["id"] == as_of_snapshot]
+            if not match:
+                raise LookupError(
+                    f"snapshot {as_of_snapshot} not found at {self.root} "
+                    "(never existed, or expired by expire_snapshots)")
+            commits = match[0]["commits"]
+        paths = [os.path.join(self.root, "data", d) for d in commits.values()]
         if not paths:
             raise FileNotFoundError(f"empty table at {self.root}")
         return spark.read.parquet(*paths)
+
+    def snapshots(self) -> list[dict]:
+        """The retained snapshot log (id, ts, commits), oldest first."""
+        return list(self._load()["snapshots"])
 
     def is_empty(self) -> bool:
         return not self._load()["commits"]
@@ -102,20 +133,28 @@ class ManifestTable:
             keep.write.mode("overwrite").parquet(
                 os.path.join(self.root, "data", new_subdir))
             man["commits"][key] = new_subdir
-        man["snapshot_id"] += 1
-        _atomic_write_json(self.manifest_path, man)
+        self._publish(man)
         return deleted
 
 
-    def expire_snapshots(self) -> int:
-        """Iceberg ``expire_snapshots`` analog: physically remove data
-        directories no longer referenced by the published manifest (left
-        behind by ``replace_group``/``delete_where`` rewrites — readers
-        never see them, but they hold disk). Returns directories removed.
-        Safe against concurrent readers of PUBLISHED commits only, exactly
-        like Iceberg's: a reader pinned to an expired snapshot loses it."""
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg ``expire_snapshots`` analog: trim the snapshot log to
+        the most recent ``keep_last`` entries (the CURRENT snapshot is
+        always retained) and physically remove data directories no longer
+        referenced by any retained snapshot (left behind by
+        ``replace_group``/``delete_where`` rewrites). Returns directories
+        removed. ``keep_last=1`` keeps only the live table (the
+        maintenance-job default); larger values preserve a time-travel
+        horizon. Safe against concurrent readers of RETAINED snapshots
+        only, exactly like Iceberg's: a reader pinned to an expired
+        snapshot loses it."""
         import shutil
-        live = set(self._load()["commits"].values())
+        man = self._load()
+        man["snapshots"] = man["snapshots"][-max(1, keep_last):]
+        live = set(man["commits"].values())
+        for s in man["snapshots"]:
+            live.update(s["commits"].values())
+        _atomic_write_json(self.manifest_path, man)
         data_dir = os.path.join(self.root, "data")
         removed = 0
         for d in os.listdir(data_dir):
