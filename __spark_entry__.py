@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # alternation regexp_count + fixed replace chain, all codegen,
         # zero shuffle
         "mojibake_repair": C.q_mojibake_repair,
+        # Gopher line-grain repetition: duplicate-line + duplicate-char
+        # fractions; integer counts, two final divisions — exact parity
+        "doc_repetition": T.q_doc_repetition,
         # corpus selection (operators/sampling.py): deterministic
         # hash-thresholded stratified sampling (reproducible under task
         # retry/resume — no rand()), registered-domain deny-list as a

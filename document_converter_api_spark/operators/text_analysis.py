@@ -294,6 +294,75 @@ TEXT_ORACLES["gopher_rules"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher line-grain repetition signals)
+# ---------------------------------------------------------------------------
+
+REP_LINE = "repeated boilerplate nav line"   # planted into every 4th doc
+REP_COPIES = 3
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's line-grain repetition signals per document:
+    duplicate-line fraction (occurrences beyond each line's first) and
+    the character fraction those duplicate occurrences hold — the signal
+    that catches nav/footer boilerplate stamped through a page.
+
+    Plan: one explode into (doc_id, line) counts — the shuffle key
+    carries doc_id, so a boilerplate line hot across the corpus is
+    spread over its documents (corpus-level hotness is line_dedup's
+    keeper-table problem, not this one's) — then a per-doc re-agg on
+    uniform doc_id. Counts and char sums are integers; the two divisions
+    at the end are the only float ops, so cross-engine parity is exact
+    by construction."""
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0,
+               F.lit(("\n" + REP_LINE) * REP_COPIES)).otherwise(F.lit("")))
+    lines = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+             .select("doc_id", planted.alias("text"))
+             .select("doc_id",
+                     F.explode(F.split("text", "\n", -1)).alias("line"))
+             .filter(F.trim("line") != ""))
+    per_line = (lines.groupBy("doc_id", "line")
+                .agg(F.count("*").alias("c"),
+                     F.length("line").alias("len")))
+    return (per_line.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_lines"),
+                 F.sum(F.col("c") - 1).cast("long").alias("n_dup_lines"),
+                 F.round(F.sum(F.col("c") - 1) / F.sum("c"), 6)
+                 .alias("dup_line_frac"),
+                 F.round(F.sum((F.col("c") - 1) * F.col("len"))
+                         / F.sum(F.col("c") * F.col("len")), 6)
+                 .alias("dup_char_frac"))
+            .orderBy("doc_id"))
+
+
+TEXT_ORACLES["doc_repetition"] = f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN repeat('\n{REP_LINE}', {REP_COPIES})
+                          ELSE '' END AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(str_split(text, chr(10))) AS line
+      FROM planted),
+    nonempty AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
+    per_line AS (
+      SELECT doc_id, line, count(*) AS c, length(line) AS len
+      FROM nonempty GROUP BY doc_id, line)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+           round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6) AS dup_line_frac,
+           round(CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len), 6)
+               AS dup_char_frac
+    FROM per_line GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (webtext-pipeline staple: dedup by canonical url)
 # ---------------------------------------------------------------------------
 

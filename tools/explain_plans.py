@@ -235,6 +235,10 @@ def main() -> None:
         ("length_buckets", "context-length bucketing: codegen'd bucket "
          "CASE + 5-group map-side-combining agg — ~5 partial rows per "
          "map task regardless of corpus size."),
+        ("doc_repetition", "line-grain repetition: (doc_id, line) counts "
+         "spread corpus-hot boilerplate lines across their docs; per-doc "
+         "re-agg on uniform doc_id; integer math until two final "
+         "divisions."),
     ):
         add(name, note, queries[name](spark, SF))
 
