@@ -1,0 +1,124 @@
+"""spark-submit entry point for the corpus-curation pipeline.
+
+The production composition of the curation tier — what
+``__spark_entry__``'s ``corpus_curation`` query reports on, turned into
+a job that actually WRITES the curated corpus::
+
+    spark-submit --master yarn --py-files dist/pipeline.zip \
+        jobs/curate.py --input s3://bucket/documents \
+        --output s3://bucket/curated --langs en,es
+
+Stages, all single-pass Catalyst over one dedup shuffle:
+
+1. exact dedup — canonical (min doc_id) document per md5(text); lang and
+   text ride the struct-min, so no join-back;
+2. Gopher quality gate (word-count / word-length / alpha-fraction /
+   duplicate-2-gram bounds);
+3. language-ID filter — keep documents whose PREDICTED language is in
+   ``--langs`` (the upstream label is not trusted);
+4. PII redaction (email / NANP phone / IPv4 → placeholders);
+5. deterministic train/val/test split assignment (salted md5 draw — the
+   same row lands in the same split on every rerun/retry);
+6. write: ManifestTable per split under ``<output>/curated/<split>``
+   plus a JSON stats line on stdout.
+
+Deterministic end to end: a pure function of the input table, verified
+by the rerun test in ``tests/test_curate_job.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(docs: DataFrame, langs: tuple[str, ...]) -> DataFrame:
+    """The curation DAG over a (doc_id, lang, text) table; returns the
+    curated rows with ``split`` and ``redacted`` columns."""
+    from document_converter_api_spark.operators.curation import (
+        EMAIL_RE, IP_RE, PHONE_RE,
+    )
+    from document_converter_api_spark.operators.sampling import (
+        SPLIT_TEST_THR, SPLIT_VAL_THR,
+    )
+    from document_converter_api_spark.operators.scan import widen
+    from document_converter_api_spark.operators.text_analysis import (
+        with_gopher_signals, with_lang_pred,
+    )
+
+    canon = (widen(docs)
+             .groupBy(F.md5("text").alias("h"))
+             .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
+             .select("s.doc_id", "s.lang", "s.text"))
+    sig = with_lang_pred(with_gopher_signals(canon))
+    kept = (sig.filter((F.col("keep") == 1)
+                       & F.col("pred_lang").isin(*langs)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+    draw = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        1, 3)
+    split = (F.when(draw < SPLIT_VAL_THR, "validation")
+             .when(draw < SPLIT_TEST_THR, "test")
+             .otherwise("train"))
+    return kept.select(
+        "doc_id", "lang", "pred_lang", "n_words",
+        redacted.alias("redacted"), split.alias("split"))
+
+
+def run_curation_job(spark: SparkSession, input_path: str,
+                     output_root: str,
+                     langs: tuple[str, ...] = ("en",)) -> dict:
+    from document_converter_api_spark.sources.tableio import ManifestTable
+
+    docs = (spark.read.parquet(input_path)
+            .select("doc_id", "lang", "text"))
+    n_input = docs.count()
+    curated = curate(docs, langs)
+    stats = {"input_docs": n_input, "langs": list(langs), "splits": {}}
+    for split_name in ("train", "validation", "test"):
+        part = curated.filter(F.col("split") == split_name).drop("split")
+        table = ManifestTable(
+            os.path.join(output_root, "curated", split_name))
+        # commit_key fixed per split: reruns REPLACE the split atomically
+        # instead of appending a second copy (idempotent job semantics)
+        table.replace_group(part, commit_key=split_name)
+        agg = part.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("w")).collect()[0]
+        stats["splits"][split_name] = {"docs": agg.n, "words": int(agg.w)}
+    stats["curated_docs"] = sum(s["docs"] for s in stats["splits"].values())
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="corpus curation job")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--langs", default="en",
+                    help="comma-separated predicted languages to keep")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    builder = (SparkSession.builder.appName("corpus-curate")
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.session.timeZone", "UTC"))
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+    stats = run_curation_job(spark, args.input, args.output,
+                             tuple(args.langs.split(",")))
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
