@@ -85,18 +85,21 @@ _CORPUS_SQL = """
 def _shingles_of_words(words):
     """Distinct 3-word shingles from a materialized words ARRAY column.
 
-    ``words`` MUST be a real column (see with_shingles), never an inline
-    ``split(lower(text))`` subtree: higher-order lambdas are evaluated
-    interpreted (no codegen, no common-subexpression elimination), so an
-    inline subtree would re-split the WHOLE text once per produced shingle —
-    O(words²) per document. Measured 5x on the sf0.1 corpus."""
+    ``words`` SHOULD be a real column (see with_shingles) — and the gram
+    build is ``zip_with`` over slices rather than
+    ``transform(sequence, i -> element_at(words, i))`` so that even if a
+    later optimizer pass inlines the split subtree (CollapseProject does
+    this when the input is an aggregate, not a scan — observed as a
+    1,300-CPU-second task in the curation 2-gram twin), each array
+    ARGUMENT is evaluated once per row and the worst case stays
+    O(words), never O(words²) interpreted re-splits."""
     n = F.greatest(F.size(words) - F.lit(2), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.element_at(words, i),
-                              F.element_at(words, i + 1),
-                              F.element_at(words, i + 2)),
-    )
+    tail_pairs = F.zip_with(
+        F.slice(words, 2, n), F.slice(words, 3, n),
+        lambda b, c: F.concat_ws(" ", b, c))
+    grams = F.zip_with(
+        F.slice(words, 1, n), tail_pairs,
+        lambda a, bc: F.concat_ws(" ", a, bc))
     return F.array_distinct(F.when(n > 0, grams).otherwise(F.array()))
 
 

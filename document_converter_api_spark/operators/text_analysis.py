@@ -214,7 +214,17 @@ def with_gopher_signals(docs: DataFrame) -> DataFrame:
     """+ ``n_words``, ``mean_word_len``, ``alpha_frac``, ``dup_2gram_frac``,
     ``keep`` columns. The words array is materialized once — every signal
     reads the column instead of re-splitting (HOF subtrees get no
-    codegen/CSE)."""
+    codegen/CSE).
+
+    The 2-gram build is ``zip_with`` over two slices, NOT
+    ``transform(sequence(...), i -> element_at(words, i))``: when this
+    helper sits over a non-scan subtree (the curation job feeds it an
+    aggregate), CollapseProject can inline ``split(text)`` into the
+    lambda, and element-at-indexed access then re-splits the WHOLE text
+    once per gram — O(words²) interpreted evals (observed: one 1,300-
+    CPU-second task on extracted markdown). ``zip_with`` evaluates each
+    array ARGUMENT once per row regardless of inlining, so the worst
+    case stays O(words)."""
     docs = (docs
             .withColumn("words", F.split(F.col("text"), " ", -1))
             .withColumn("n_words", F.size("words"))
@@ -222,10 +232,10 @@ def with_gopher_signals(docs: DataFrame) -> DataFrame:
                 F.filter(F.col("words"), lambda w: w.rlike("[A-Za-z]"))))
             .withColumn("grams", F.when(
                 F.col("n_words") >= 2,
-                F.transform(F.sequence(F.lit(1), F.col("n_words") - 1),
-                            lambda i: F.concat_ws(
-                                " ", F.element_at("words", i),
-                                F.element_at("words", i + 1))))
+                F.zip_with(
+                    F.slice(F.col("words"), 1, F.col("n_words") - 1),
+                    F.slice(F.col("words"), 2, F.col("n_words") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b)))
                 .otherwise(F.array())))
     n = F.col("n_words")
     mean_wl = F.round((F.length("text") - (n - 1)) / n, 4)

@@ -60,3 +60,52 @@ class TestCurationJob:
         # replace_group semantics: the rerun REPLACES each split, so the
         # table holds one copy, byte-identical to the first run
         assert rows1 == rows2
+
+
+class TestFullChain:
+    def test_warc_to_extraction_to_curation(self, spark, tmp_path):
+        """The whole production path in one pass: raw WARC segments →
+        extraction job (gates, salting, lineage) → curation job (dedup,
+        quality gate, lang filter, redaction, split) — raw crawl bytes in,
+        per-split curated tables out."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from document_converter_api_spark.plans.pipeline import (
+            run_extraction_job,
+        )
+        from document_converter_api_spark.sources.tableio import (
+            ManifestTable,
+        )
+        from document_converter_api_spark.sources.warc import write_warc
+
+        fixtures = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures", "data", "pages_smoke.parquet")
+        t = pq.read_table(fixtures)
+        rows = list(zip(t.column("url").to_pylist(),
+                        t.column("warc_ts").to_pylist(),
+                        t.column("html").to_pylist()))
+        indir = tmp_path / "warc"
+        indir.mkdir()
+        write_warc(rows, str(indir / "seg-00000.warc.gz"), compress=True)
+
+        exdir = str(tmp_path / "extracted")
+        stats = run_extraction_job(spark, str(indir) + "/*", exdir,
+                                   num_partitions=8, partitions_per_commit=8,
+                                   input_format="warc")
+        assert stats["docs"] > 0
+
+        # extraction results -> the curation job's documents shape
+        docs = (ManifestTable(os.path.join(exdir, "results")).read(spark)
+                .select(F.xxhash64("url").alias("doc_id"),
+                        F.lit("en").alias("lang"),
+                        F.col("markdown").alias("text")))
+        docsdir = str(tmp_path / "docs.parquet")
+        docs.write.mode("overwrite").parquet(docsdir)
+
+        from jobs.curate import run_curation_job
+        cstats = run_curation_job(spark, docsdir, str(tmp_path / "curated"),
+                                  langs=("en",))
+        assert cstats["input_docs"] == stats["docs"]
+        assert 0 < cstats["curated_docs"] <= cstats["input_docs"]
