@@ -365,3 +365,44 @@ def test_range_join_variable_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def _lambda_bodies(plan_str: str):
+    out = []
+    for m in re.finditer(r"lambdafunction\(", plan_str):
+        i, depth = m.end(), 1
+        while depth and i < len(plan_str):
+            if plan_str[i] == "(":
+                depth += 1
+            elif plan_str[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(plan_str[m.end():i])
+    return out
+
+
+def test_no_split_inside_any_lambda(spark):
+    """Regression for the O(words^2) class: `split(text)` must never be
+    inlined INSIDE a higher-order lambda body — there it re-evaluates per
+    ELEMENT (observed: a 1,300-CPU-second task when with_gopher_signals
+    sat over an aggregate and CollapseProject inlined the split into the
+    2-gram lambda). Checked on the optimized plans of every gram-heavy
+    query AND the curation job's DAG (the composition that triggered
+    it)."""
+    import __spark_entry__ as entrymod
+    from jobs.curate import curate
+    targets = {}
+    qs = entrymod.queries()
+    for name in ("gopher_rules", "corpus_curation", "decontaminate",
+                 "span_dedup", "dedup_simhash", "lang_id",
+                 "doc_repetition"):
+        targets[name] = qs[name](spark, SF)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "lang", "text"))
+    targets["curate_dag"] = curate(docs, ("en",))
+    for name, df in targets.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for body in _lambda_bodies(plan):
+            assert "split(" not in body, (
+                f"{name}: split() inlined into a lambda "
+                f"(per-element re-eval): {body[:200]}")
