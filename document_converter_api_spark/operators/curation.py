@@ -76,22 +76,28 @@ def _plant_pii(docs: DataFrame) -> DataFrame:
     ))
 
 
+def redact_expr(col) -> "F.Column":
+    """The PII redaction chain — the ONE definition both the oracled
+    query and the production curation job apply. Replacement order is
+    significant and pinned (email first — its local part may contain
+    digits; the ``<EMAIL>``/``<PHONE>`` placeholders contain no digits,
+    so later patterns cannot match across an earlier redaction)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count and redact emails / NANP phones / IPv4 addresses.
 
-    Pure Catalyst: three ``regexp_count`` + a three-stage ``regexp_replace``
-    chain, all inside one codegen stage. Replacement order is significant
-    and pinned (email first — its local part may contain digits; the
-    ``<EMAIL>``/``<PHONE>`` placeholders contain no digits, so later
-    patterns cannot match across an earlier redaction)."""
+    Pure Catalyst: three ``regexp_count`` + the shared ``redact_expr``
+    chain, all inside one codegen stage."""
     docs = _plant_pii(
         widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
         .select("doc_id", "text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
-            PHONE_RE, "<PHONE>"),
-        IP_RE, "<IP>")
+    redacted = redact_expr(F.col("text"))
     return (docs.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),

@@ -208,6 +208,19 @@ SPLIT_VAL_THR = "029"
 SPLIT_TEST_THR = "052"
 
 
+def split_expr(doc_id) -> "tuple[F.Column, F.Column]":
+    """(draw, split) columns for a doc_id column — the ONE definition of
+    the salted-hash split both the oracled query and the production
+    curation job apply (a diverging copy would silently re-split the
+    corpus across deployments)."""
+    draw = F.substring(
+        F.md5(F.concat(F.lit("split:"), doc_id.cast("string"))), 1, 3)
+    split = (F.when(draw < SPLIT_VAL_THR, "validation")
+             .when(draw < SPLIT_TEST_THR, "test")
+             .otherwise("train"))
+    return draw, split
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document to train/validation/test by hash.
 
@@ -218,12 +231,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split size report joins back via a 3-row broadcast, NOT a window
     partitioned by split (a 3-partition window at 10^12 rows would put a
     third of the corpus through each of three tasks)."""
-    draw = F.substring(
-        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-        1, 3)
-    split = (F.when(F.col("draw") < SPLIT_VAL_THR, "validation")
-             .when(F.col("draw") < SPLIT_TEST_THR, "test")
-             .otherwise("train"))
+    draw, split = split_expr(F.col("doc_id"))
     docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .select("doc_id")
             .withColumn("draw", draw)

@@ -45,12 +45,28 @@ class ManifestTable:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         self.manifest_path = os.path.join(root, "manifest.json")
 
+    # inline snapshot-log bound: each log entry copies the full commits
+    # map, so an unbounded log grows the manifest quadratically with
+    # commit count (Iceberg avoids this by writing snapshots as separate
+    # manifest FILES — the real-catalog swap documented in the module
+    # header). Beyond the bound the OLDEST entries roll off; their data
+    # dirs stay until expire_snapshots reclaims them.
+    MAX_INLINE_SNAPSHOTS = 64
+
     def _load(self) -> dict:
         if not os.path.exists(self.manifest_path):
             return {"snapshot_id": 0, "commits": {}, "snapshots": []}
         with open(self.manifest_path, encoding="utf-8") as f:
             man = json.load(f)
-        man.setdefault("snapshots", [])   # manifests written before time travel
+        if "snapshots" not in man:
+            # manifest written before time travel: seed the log with the
+            # CURRENT state so read(as_of=<live id>) resolves instead of
+            # claiming the published table never existed
+            man["snapshots"] = [] if not man["commits"] else [{
+                "id": man["snapshot_id"],
+                "ts": man.get("committed_at", 0.0),
+                "commits": dict(man["commits"]),
+            }]
         return man
 
     def _publish(self, man: dict) -> None:
@@ -64,6 +80,7 @@ class ManifestTable:
             "ts": man["committed_at"],
             "commits": dict(man["commits"]),
         })
+        man["snapshots"] = man["snapshots"][-self.MAX_INLINE_SNAPSHOTS:]
         _atomic_write_json(self.manifest_path, man)
 
     def commits(self) -> dict[str, str]:
@@ -133,6 +150,11 @@ class ManifestTable:
             keep.write.mode("overwrite").parquet(
                 os.path.join(self.root, "data", new_subdir))
             man["commits"][key] = new_subdir
+        if deleted == 0:
+            # nothing changed: publishing would append a no-op snapshot
+            # (log churn that pushes real history out of a keep_last
+            # horizon) — nightly sweeps with empty matches stay invisible
+            return 0
         self._publish(man)
         return deleted
 

@@ -82,7 +82,15 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
                 "legacy files into a batch_id=-1/ subdir (or point "
                 "output_dir at a fresh directory) before draining.")
 
-    wants_batch_id = len(inspect.signature(batch_outputs).parameters) >= 2
+    # count only REQUIRED positional params: a legacy one-arg callback
+    # with an extra defaulted param (e.g. subdir='results') must not have
+    # the epoch id silently bound into its default
+    _params = inspect.signature(batch_outputs).parameters.values()
+    wants_batch_id = sum(
+        1 for p in _params
+        if p.default is p.empty and p.kind in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD)) >= 2
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         outs = (batch_outputs(batch_df, batch_id) if wants_batch_id
@@ -122,10 +130,16 @@ def latest_state(spark: SparkSession, output_dir: str, subdir: str,
     by idempotence; counter-sum (CMS) does not. With ``before_batch=N``
     the replay recomputes from state N-1 and overwrites an identical
     partition, which is the idempotence contract."""
+    from pyspark.errors import AnalysisException
+
     d = os.path.join(output_dir, subdir)
     try:
         state = spark.read.parquet(d)
-    except Exception:
+    except AnalysisException:
+        # missing path = genuinely no prior state (first epoch). Anything
+        # else (corrupt footers, FS errors) must PROPAGATE: for the
+        # non-idempotent CMS fold, treating a transient read failure as
+        # "no history" would silently zero every historical count.
         return None
     if before_batch is not None:
         state = state.filter(F.col("batch_id") < before_batch)

@@ -39,12 +39,8 @@ from pyspark.sql import functions as F
 def curate(docs: DataFrame, langs: tuple[str, ...]) -> DataFrame:
     """The curation DAG over a (doc_id, lang, text) table; returns the
     curated rows with ``split`` and ``redacted`` columns."""
-    from document_converter_api_spark.operators.curation import (
-        EMAIL_RE, IP_RE, PHONE_RE,
-    )
-    from document_converter_api_spark.operators.sampling import (
-        SPLIT_TEST_THR, SPLIT_VAL_THR,
-    )
+    from document_converter_api_spark.operators.curation import redact_expr
+    from document_converter_api_spark.operators.sampling import split_expr
     from document_converter_api_spark.operators.scan import widen
     from document_converter_api_spark.operators.text_analysis import (
         with_gopher_signals, with_lang_pred,
@@ -57,20 +53,14 @@ def curate(docs: DataFrame, langs: tuple[str, ...]) -> DataFrame:
     sig = with_lang_pred(with_gopher_signals(canon))
     kept = (sig.filter((F.col("keep") == 1)
                        & F.col("pred_lang").isin(*langs)))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
-            PHONE_RE, "<PHONE>"),
-        IP_RE, "<IP>")
-    draw = F.substring(
-        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-        1, 3)
-    split = (F.when(draw < SPLIT_VAL_THR, "validation")
-             .when(draw < SPLIT_TEST_THR, "test")
-             .otherwise("train"))
+    # redaction and split come from the SAME oracled expressions the
+    # operator tier checks (q_pii_redact / q_split_assign) — a diverging
+    # copy here would silently re-split or under-redact the corpus
+    _, split = split_expr(F.col("doc_id"))
     return kept.select(
         "doc_id", "lang", "pred_lang", "n_words",
-        redacted.alias("redacted"), split.alias("split"))
+        redact_expr(F.col("text")).alias("redacted"),
+        split.alias("split"))
 
 
 def run_curation_job(spark: SparkSession, input_path: str,
@@ -81,19 +71,27 @@ def run_curation_job(spark: SparkSession, input_path: str,
     docs = (spark.read.parquet(input_path)
             .select("doc_id", "lang", "text"))
     n_input = docs.count()
-    curated = curate(docs, langs)
+    # persist: the DAG below it (dedup shuffle + HOF-heavy signal
+    # projections) would otherwise re-execute for every per-split write
+    # and stats pass — 4 recomputations of the dominant shuffle
+    curated = curate(docs, langs).persist()
     stats = {"input_docs": n_input, "langs": list(langs), "splits": {}}
-    for split_name in ("train", "validation", "test"):
-        part = curated.filter(F.col("split") == split_name).drop("split")
-        table = ManifestTable(
-            os.path.join(output_root, "curated", split_name))
-        # commit_key fixed per split: reruns REPLACE the split atomically
-        # instead of appending a second copy (idempotent job semantics)
-        table.replace_group(part, commit_key=split_name)
-        agg = part.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("n_words"), F.lit(0)).alias("w")).collect()[0]
-        stats["splits"][split_name] = {"docs": agg.n, "words": int(agg.w)}
+    try:
+        for split_name in ("train", "validation", "test"):
+            part = curated.filter(F.col("split") == split_name).drop("split")
+            table = ManifestTable(
+                os.path.join(output_root, "curated", split_name))
+            # commit_key fixed per split: reruns REPLACE the split
+            # atomically instead of appending a second copy
+            table.replace_group(part, commit_key=split_name)
+            stats["splits"][split_name] = {"docs": 0, "words": 0}
+        # one stats pass over the persisted result, not one agg per split
+        for r in (curated.groupBy("split")
+                  .agg(F.count("*").alias("n"),
+                       F.sum("n_words").alias("w")).collect()):
+            stats["splits"][r.split] = {"docs": r.n, "words": int(r.w)}
+    finally:
+        curated.unpersist()
     stats["curated_docs"] = sum(s["docs"] for s in stats["splits"].values())
     return stats
 
@@ -114,8 +112,9 @@ def main() -> None:
         builder = builder.config("spark.sql.shuffle.partitions",
                                  str(args.shuffle_partitions))
     spark = builder.getOrCreate()
-    stats = run_curation_job(spark, args.input, args.output,
-                             tuple(args.langs.split(",")))
+    stats = run_curation_job(
+        spark, args.input, args.output,
+        tuple(s.strip() for s in args.langs.split(",") if s.strip()))
     print(json.dumps(stats))
     spark.stop()
 

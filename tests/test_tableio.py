@@ -176,3 +176,25 @@ class TestTimeTravel:
         # retained horizon still time-travels; live read unaffected
         assert t.read(spark, as_of_snapshot=s3) is not None
         assert {r.url for r in t.read(spark).collect()} == {"c"}
+
+    def test_pre_timetravel_manifest_resolves_live_snapshot(self, spark,
+                                                            tmp_path):
+        """A manifest written before the snapshot log existed must still
+        resolve read(as_of=<live id>): _load seeds the log with the
+        current published state instead of claiming it never existed."""
+        import json
+        import os as _os
+        from document_converter_api_spark.sources.tableio import (
+            ManifestTable,
+        )
+        t = ManifestTable(str(tmp_path / "legacy"))
+        t.append(spark.createDataFrame([("a", 1)], "url string, v int"))
+        # strip the snapshot log, simulating the legacy format
+        man = json.load(open(t.manifest_path))
+        live_id = man["snapshot_id"]
+        del man["snapshots"]
+        json.dump(man, open(t.manifest_path, "w"))
+        t2 = ManifestTable(str(tmp_path / "legacy"))
+        assert [s["id"] for s in t2.snapshots()] == [live_id]
+        assert {r.url for r in
+                t2.read(spark, as_of_snapshot=live_id).collect()} == {"a"}
