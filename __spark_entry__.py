@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher line-grain repetition: duplicate-line + duplicate-char
         # fractions; integer counts, two final divisions — exact parity
         "doc_repetition": T.q_doc_repetition,
+        # BPE-training inner loop: adjacent-pair corpus counts + doc
+        # frequency, vocabulary-sized shuffle, top-k
+        "bpe_pair_stats": T.q_bpe_pair_stats,
         # corpus selection (operators/sampling.py): deterministic
         # hash-thresholded stratified sampling (reproducible under task
         # retry/resume — no rand()), registered-domain deny-list as a

@@ -46,7 +46,7 @@ BENCH_QUERIES = (
     "dedup_simhash", "line_dedup", "incremental_dedup",
     "ann_cosine_topk", "ann_lsh_bucketed",
     "lang_id", "quality_score", "token_count", "fingerprint",
-    "url_normalize", "crawl_rate", "doc_repetition",
+    "url_normalize", "crawl_rate", "doc_repetition", "bpe_pair_stats",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
     "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
     "asof_join", "range_join", "range_join_variable", "span_dedup",

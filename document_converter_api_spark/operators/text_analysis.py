@@ -373,6 +373,61 @@ TEXT_ORACLES["doc_repetition"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# BPE-style pair statistics (the tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent token pairs by corpus frequency — the counting step
+    BPE/WordPiece training iterates (count pairs → merge the argmax →
+    recount). The merge itself is a greedy sequential rewrite (at scale:
+    broadcast the chosen merge and re-tokenize in the Arrow stage); the
+    COUNTING is the relational hot loop and is what this operator pins.
+
+    Plan: pairs build as ``zip_with`` over two slices (the O(words)
+    idiom — see with_gopher_signals), explode to (pair) rows, ONE
+    map-side-combinable groupBy for (corpus count, doc frequency), then
+    ``TakeOrderedAndProject`` top-k. The shuffle carries one partial row
+    per distinct pair per task — vocabulary-sized, not corpus-sized."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", F.split(F.lower("text"), " ", -1).alias("w"))
+            .withColumn("n", F.size("w"))
+            .filter(F.col("n") >= 2))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice("w", 1, F.col("n") - 1),
+            F.slice("w", 2, F.col("n") - 1),
+            lambda a, b: F.concat_ws(" ", a, b))).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count("*").alias("pair_count"),
+                 F.countDistinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(BPE_TOP_PAIRS))
+
+
+TEXT_ORACLES["bpe_pair_stats"] = f"""
+    WITH w AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS w,
+             len(str_split(lower(text), ' ')) AS n
+      FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n),
+                    i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM w WHERE n >= 2)
+    SELECT pair,
+           count(*) AS pair_count,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (webtext-pipeline staple: dedup by canonical url)
 # ---------------------------------------------------------------------------
 

@@ -239,6 +239,9 @@ def main() -> None:
          "spread corpus-hot boilerplate lines across their docs; per-doc "
          "re-agg on uniform doc_id; integer math until two final "
          "divisions."),
+        ("bpe_pair_stats", "BPE-training inner loop: zip_with pair build "
+         "(O(words)), one map-side-combinable groupBy (vocabulary-sized "
+         "shuffle), TakeOrderedAndProject top-k."),
     ):
         add(name, note, queries[name](spark, SF))
 
