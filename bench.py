@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "url_normalize", "crawl_rate", "doc_repetition", "bpe_pair_stats",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
     "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
+    "chunk_overlap",
     "asof_join", "range_join", "range_join_variable", "span_dedup",
     "hll_distinct", "kmv_distinct", "cms_topk", "bloom_filter",
     "histogram_quantiles",

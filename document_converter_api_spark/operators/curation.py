@@ -322,6 +322,46 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Overlapping chunking (RAG-prep sliding windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 40      # words per chunk
+CHUNK_STRIDE = 30 # stride < width -> 25% overlap between neighbors
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval-prep cousin
+    of the reference's contiguous ``chunk_text`` (F4): windows of
+    ``CHUNK_W`` words every ``CHUNK_STRIDE``, so neighboring chunks share
+    ``CHUNK_W - CHUNK_STRIDE`` words of context. One row per chunk.
+
+    Plan: the chunk index set is ``sequence(0, n_chunks-1)`` — a few
+    dozen elements per doc, NOT per-word — and each lambda invocation
+    slices the materialized words column, so the build is O(words) per
+    doc. Explode fans out to chunk rows; everything stays JVM-side."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", F.split("text", " ", -1).alias("w"))
+            .withColumn("n", F.size("w")))
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_W, F.lit(1)
+    ).otherwise(
+        F.ceil((F.col("n") - CHUNK_W) / F.lit(float(CHUNK_STRIDE))) + 1)
+    chunks = docs.select(
+        "doc_id", "n",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.array_join(
+                F.slice("w", i * CHUNK_STRIDE + 1, CHUNK_W), " ")))
+        .alias("chunk_idx", "chunk"))
+    return (chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.split("chunk", " ", -1)).cast("long").alias("chunk_words"),
+        F.md5("chunk").alias("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+# ---------------------------------------------------------------------------
 # Mojibake (double-encoded UTF-8) detection and repair
 # ---------------------------------------------------------------------------
 
@@ -494,6 +534,32 @@ CURATION_ORACLES = {
                      / ((CASE WHEN bucket > 0 THEN bucket ELSE max_tokens END)
                         * n_docs), 4) AS waste_pct
         FROM agg ORDER BY bucket
+    """,
+    "chunk_overlap": f"""
+        WITH d AS (
+          SELECT doc_id, str_split(text, ' ') AS w,
+                 len(str_split(text, ' ')) AS n
+          FROM documents),
+        nc AS (
+          SELECT doc_id, w, n,
+                 CASE WHEN n <= {CHUNK_W} THEN 1
+                      ELSE CAST(ceil((n - {CHUNK_W})
+                                     / {float(CHUNK_STRIDE)}) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM d),
+        idx AS (
+          SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM nc),
+        chunks AS (
+          SELECT doc_id,
+                 i AS chunk_idx,
+                 array_to_string(list_slice(
+                     w, i * {CHUNK_STRIDE} + 1,
+                     i * {CHUNK_STRIDE} + {CHUNK_W}), ' ') AS chunk
+          FROM idx)
+        SELECT doc_id, chunk_idx,
+               CAST(len(str_split(chunk, ' ')) AS BIGINT) AS chunk_words,
+               md5(chunk) AS chunk_md5
+        FROM chunks ORDER BY doc_id, chunk_idx
     """,
     "mojibake_repair": f"""
         WITH planted AS (

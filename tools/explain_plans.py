@@ -242,6 +242,10 @@ def main() -> None:
         ("bpe_pair_stats", "BPE-training inner loop: zip_with pair build "
          "(O(words)), one map-side-combinable groupBy (vocabulary-sized "
          "shuffle), TakeOrderedAndProject top-k."),
+        ("chunk_overlap", "RAG-prep sliding windows: chunk-index "
+         "sequence is dozens of elements per doc (not per word), each "
+         "slicing the materialized words column — O(words) per doc, "
+         "zero Python."),
     ):
         add(name, note, queries[name](spark, SF))
 
