@@ -185,11 +185,26 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .select("doc_id",
                     F.size(F.split("text", " ", -1)).cast("long")
-                    .alias("n_toks"))
-            .withColumn("grp", F.floor(F.col("doc_id") / PACK_GROUP))
-            .persist())
+                    .alias("n_toks")))
+    return (assign_shards(docs)
+            .select("doc_id", "n_toks", "cum_toks", "shard_id")
+            .orderBy("doc_id"))
+
+
+def assign_shards(docs: DataFrame, budget: int = PACK_BUDGET,
+                  group: int = PACK_GROUP) -> DataFrame:
+    """Two-phase global prefix sum over a (doc_id, n_toks) table; adds
+    ``cum_toks`` and ``shard_id`` columns. Shared by the oracled
+    ``token_pack`` query and the curation job's --pack stage — the shard
+    assignment both produce for the same input is identical by
+    construction. Persists its grouped projection (see q_token_pack's
+    docstring for the cache-lifecycle contract)."""
+    spark = docs.sparkSession
+    grouped = (docs
+               .withColumn("grp", F.floor(F.col("doc_id") / group))
+               .persist())
     grp_rows = sorted(
-        docs.groupBy("grp").agg(F.sum("n_toks").alias("t")).collect(),
+        grouped.groupBy("grp").agg(F.sum("n_toks").alias("t")).collect(),
         key=lambda r: r["grp"])
     offsets, acc = [], 0
     for r in grp_rows:
@@ -199,13 +214,11 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("grp").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (F.sum("n_toks").over(w) + F.col("grp_offset")).alias("cum_toks")
-    out = (docs.join(F.broadcast(off), "grp")
-           .select("doc_id", "n_toks", cum))
-    return (out.select(
-        "doc_id", "n_toks", "cum_toks",
-        F.floor((F.col("cum_toks") - F.col("n_toks")) / F.lit(float(PACK_BUDGET)))
-        .cast("long").alias("shard_id"))
-        .orderBy("doc_id"))
+    out = grouped.join(F.broadcast(off), "grp").withColumn("cum_toks", cum)
+    return out.withColumn(
+        "shard_id",
+        F.floor((F.col("cum_toks") - F.col("n_toks")) / F.lit(float(budget)))
+        .cast("long")).drop("grp", "grp_offset")
 
 
 # ---------------------------------------------------------------------------

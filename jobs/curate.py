@@ -65,7 +65,13 @@ def curate(docs: DataFrame, langs: tuple[str, ...]) -> DataFrame:
 
 def run_curation_job(spark: SparkSession, input_path: str,
                      output_root: str,
-                     langs: tuple[str, ...] = ("en",)) -> dict:
+                     langs: tuple[str, ...] = ("en",),
+                     pack_budget: int | None = None) -> dict:
+    """``pack_budget`` additionally assigns the TRAIN split to
+    fixed-token-budget shards (the oracled ``token_pack`` two-phase
+    prefix sum via the shared ``assign_shards``) and writes ``shard_id``
+    with the rows — the layout a training loader reads directly."""
+    from document_converter_api_spark.operators.curation import assign_shards
     from document_converter_api_spark.sources.tableio import ManifestTable
 
     docs = (spark.read.parquet(input_path)
@@ -79,6 +85,11 @@ def run_curation_job(spark: SparkSession, input_path: str,
     try:
         for split_name in ("train", "validation", "test"):
             part = curated.filter(F.col("split") == split_name).drop("split")
+            if pack_budget and split_name == "train":
+                part = (assign_shards(
+                    part.withColumn("n_toks", F.col("n_words")),
+                    budget=pack_budget)
+                    .drop("n_toks", "cum_toks"))
             table = ManifestTable(
                 os.path.join(output_root, "curated", split_name))
             # commit_key fixed per split: reruns REPLACE the split
@@ -102,6 +113,9 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--langs", default="en",
                     help="comma-separated predicted languages to keep")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="tokens per training shard; assigns shard_id on "
+                         "the train split via the token_pack prefix sum")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -114,7 +128,8 @@ def main() -> None:
     spark = builder.getOrCreate()
     stats = run_curation_job(
         spark, args.input, args.output,
-        tuple(s.strip() for s in args.langs.split(",") if s.strip()))
+        tuple(s.strip() for s in args.langs.split(",") if s.strip()),
+        pack_budget=args.pack_budget)
     print(json.dumps(stats))
     spark.stop()
 

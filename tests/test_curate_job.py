@@ -109,3 +109,28 @@ class TestFullChain:
                                   langs=("en",))
         assert cstats["input_docs"] == stats["docs"]
         assert 0 < cstats["curated_docs"] <= cstats["input_docs"]
+
+
+class TestPackedTrainSplit:
+    def test_shard_assignment_matches_reference_cumsum(self, spark,
+                                                       tmp_path):
+        """--pack-budget writes shard_id on the train split; the
+        assignment must equal the reference doc_id-ordered cumulative-sum
+        rule exactly (floor(tokens_before / budget))."""
+        from document_converter_api_spark.sources.tableio import (
+            ManifestTable,
+        )
+        root = str(tmp_path / "out")
+        budget = 500
+        run_curation_job(spark, f"{SF}/documents.parquet", root,
+                         langs=("en", "es", "de"), pack_budget=budget)
+        rows = sorted(
+            ManifestTable(os.path.join(root, "curated", "train"))
+            .read(spark).collect(), key=lambda r: r.doc_id)
+        assert rows and "shard_id" in rows[0].asDict()
+        acc = 0
+        for r in rows:
+            assert r.shard_id == acc // budget, (r.doc_id, r.shard_id, acc)
+            acc += r.n_words
+        # shard ids are dense and non-decreasing in doc order
+        assert rows[0].shard_id == 0
