@@ -192,17 +192,24 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assign_shards(docs: DataFrame, budget: int = PACK_BUDGET,
-                  group: int = PACK_GROUP) -> DataFrame:
+                  group: int = PACK_GROUP,
+                  persist: bool = True) -> DataFrame:
     """Two-phase global prefix sum over a (doc_id, n_toks) table; adds
     ``cum_toks`` and ``shard_id`` columns. Shared by the oracled
     ``token_pack`` query and the curation job's --pack stage — the shard
     assignment both produce for the same input is identical by
-    construction. Persists its grouped projection (see q_token_pack's
-    docstring for the cache-lifecycle contract)."""
+    construction.
+
+    ``persist`` caches the grouped projection so the two phases don't
+    recompute the upstream DAG twice (see q_token_pack's cache-lifecycle
+    note). Pass ``persist=False`` when the INPUT is already persisted
+    (the curate job's case): caching again would pin a second full copy
+    of the rows — including text payloads — that no finally block
+    releases."""
     spark = docs.sparkSession
-    grouped = (docs
-               .withColumn("grp", F.floor(F.col("doc_id") / group))
-               .persist())
+    grouped = docs.withColumn("grp", F.floor(F.col("doc_id") / group))
+    if persist:
+        grouped = grouped.persist()
     grp_rows = sorted(
         grouped.groupBy("grp").agg(F.sum("n_toks").alias("t")).collect(),
         key=lambda r: r["grp"])

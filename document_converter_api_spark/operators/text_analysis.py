@@ -210,6 +210,18 @@ GOPHER_MIN_ALPHA_FRAC = 0.8   # fraction of words containing a letter
 GOPHER_MAX_DUP_2GRAM = 0.35   # duplicated-2-gram character-free fraction
 
 
+def adjacent_bigrams(words, n_words):
+    """Adjacent word pairs ("a b") from a words array — the safe O(words)
+    build (``zip_with`` over two slices). The ONE definition the gopher
+    duplicate-2-gram signal and the BPE pair counter share; see
+    ``with_gopher_signals`` for why this must never be written as
+    ``transform(sequence, i -> element_at(words, i))``."""
+    return F.zip_with(
+        F.slice(words, 1, n_words - 1),
+        F.slice(words, 2, n_words - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+
+
 def with_gopher_signals(docs: DataFrame) -> DataFrame:
     """+ ``n_words``, ``mean_word_len``, ``alpha_frac``, ``dup_2gram_frac``,
     ``keep`` columns. The words array is materialized once — every signal
@@ -232,10 +244,7 @@ def with_gopher_signals(docs: DataFrame) -> DataFrame:
                 F.filter(F.col("words"), lambda w: w.rlike("[A-Za-z]"))))
             .withColumn("grams", F.when(
                 F.col("n_words") >= 2,
-                F.zip_with(
-                    F.slice(F.col("words"), 1, F.col("n_words") - 1),
-                    F.slice(F.col("words"), 2, F.col("n_words") - 1),
-                    lambda a, b: F.concat_ws(" ", a, b)))
+                adjacent_bigrams(F.col("words"), F.col("n_words")))
                 .otherwise(F.array())))
     n = F.col("n_words")
     mean_wl = F.round((F.length("text") - (n - 1)) / n, 4)
@@ -397,10 +406,7 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n") >= 2))
     pairs = docs.select(
         "doc_id",
-        F.explode(F.zip_with(
-            F.slice("w", 1, F.col("n") - 1),
-            F.slice("w", 2, F.col("n") - 1),
-            lambda a, b: F.concat_ws(" ", a, b))).alias("pair"))
+        F.explode(adjacent_bigrams(F.col("w"), F.col("n"))).alias("pair"))
     return (pairs.groupBy("pair")
             .agg(F.count("*").alias("pair_count"),
                  F.countDistinct("doc_id").alias("doc_freq"))

@@ -82,15 +82,22 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
                 "legacy files into a batch_id=-1/ subdir (or point "
                 "output_dir at a fresh directory) before draining.")
 
-    # count only REQUIRED positional params: a legacy one-arg callback
-    # with an extra defaulted param (e.g. subdir='results') must not have
-    # the epoch id silently bound into its default
-    _params = inspect.signature(batch_outputs).parameters.values()
-    wants_batch_id = sum(
-        1 for p in _params
-        if p.default is p.empty and p.kind in (
-            inspect.Parameter.POSITIONAL_ONLY,
-            inspect.Parameter.POSITIONAL_OR_KEYWORD)) >= 2
+    # Pass batch_id iff the callback can take it AND plausibly means to:
+    # a second REQUIRED positional, a second positional literally named
+    # batch_id (even defaulted — a fold unit-tested with batch_id=0 must
+    # still receive real epoch ids, or it reads before_batch=0 forever
+    # and silently drops all history), or *args. A defaulted second
+    # param with an unrelated name (subdir='results') does NOT get the
+    # epoch id bound into it.
+    _ps = list(inspect.signature(batch_outputs).parameters.values())
+    _pos = [p for p in _ps if p.kind in (
+        inspect.Parameter.POSITIONAL_ONLY,
+        inspect.Parameter.POSITIONAL_OR_KEYWORD)]
+    wants_batch_id = (
+        any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in _ps)
+        or (len(_pos) >= 2
+            and (_pos[1].default is inspect.Parameter.empty
+                 or _pos[1].name == "batch_id")))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         outs = (batch_outputs(batch_df, batch_id) if wants_batch_id

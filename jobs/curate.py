@@ -86,9 +86,12 @@ def run_curation_job(spark: SparkSession, input_path: str,
         for split_name in ("train", "validation", "test"):
             part = curated.filter(F.col("split") == split_name).drop("split")
             if pack_budget and split_name == "train":
+                # persist=False: 'curated' above is already cached — a
+                # second persist here would pin a full extra copy of the
+                # train rows (with text) that the finally never releases
                 part = (assign_shards(
                     part.withColumn("n_toks", F.col("n_words")),
-                    budget=pack_budget)
+                    budget=pack_budget, persist=False)
                     .drop("n_toks", "cum_toks"))
             table = ManifestTable(
                 os.path.join(output_root, "curated", split_name))
