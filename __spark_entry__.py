@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE-training inner loop: adjacent-pair corpus counts + doc
         # frequency, vocabulary-sized shuffle, top-k
         "bpe_pair_stats": T.q_bpe_pair_stats,
+        # token-distribution Shannon entropy (+normalized): the language-
+        # agnostic keyword-stuffing / gibberish signal
+        "token_entropy": T.q_token_entropy,
         # RAG-prep sliding-window chunking with overlap (stride < width);
         # chunk build is O(words) per doc, all JVM-side
         "chunk_overlap": C.q_chunk_overlap,

@@ -47,6 +47,7 @@ BENCH_QUERIES = (
     "ann_cosine_topk", "ann_lsh_bucketed",
     "lang_id", "quality_score", "token_count", "fingerprint",
     "url_normalize", "crawl_rate", "doc_repetition", "bpe_pair_stats",
+    "token_entropy",
     "pii_redact", "decontaminate", "token_pack", "unigram_logprob",
     "corpus_curation", "mix_sample", "blocklist_filter", "source_terms",
     "chunk_overlap",

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .scan import widen
 
@@ -378,6 +379,71 @@ TEXT_ORACLES["doc_repetition"] = f"""
            round(CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len), 6)
                AS dup_char_frac
     FROM per_line GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (gibberish / low-diversity detector)
+# ---------------------------------------------------------------------------
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution, in bits,
+    plus its normalized form (entropy / log2(n_distinct)) — the
+    language-agnostic quality signal that flags both keyword-stuffed
+    pages (low entropy: few tokens dominate) and random-gibberish pages
+    (normalized entropy ~= 1 with huge vocabularies).
+
+    Plan: one explode to (doc_id, tok) counts — doc_id in the key, so
+    corpus-hot tokens spread — then a per-doc re-agg on uniform doc_id;
+    both aggregations combine map-side. Float ops are ln on identical
+    count ratios, mirrored term-for-term in DuckDB (the unigram_logprob
+    precedent), rounded at 4."""
+    toks = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ", -1)).alias("tok")))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    ln2 = 0.6931471805599453
+    ent = (-F.sum((F.col("c") / F.col("n"))
+                  * F.log(F.col("c") / F.col("n"))) / F.lit(ln2))
+    return (per_tok
+            .withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.max("n").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 F.round(ent, 4).alias("entropy_bits"))
+            .withColumn(
+                "norm_entropy",
+                F.when(F.col("n_distinct") > 1,
+                       F.round(F.col("entropy_bits")
+                               / (F.log(F.col("n_distinct").cast("double"))
+                                  / F.lit(ln2)), 4))
+                .otherwise(F.lit(0.0)))
+            .orderBy("doc_id"))
+
+
+TEXT_ORACLES["token_entropy"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+      FROM documents),
+    per_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    with_n AS (
+      SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      FROM per_tok),
+    ent AS (
+      SELECT doc_id,
+             CAST(max(n) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             round(-sum((c / n) * ln(c / n)) / 0.6931471805599453, 4)
+                 AS entropy_bits
+      FROM with_n GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, entropy_bits,
+           CASE WHEN n_distinct > 1
+                THEN round(entropy_bits
+                           / (ln(CAST(n_distinct AS DOUBLE))
+                              / 0.6931471805599453), 4)
+                ELSE 0.0 END AS norm_entropy
+    FROM ent ORDER BY doc_id
 """
 
 

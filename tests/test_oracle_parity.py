@@ -30,7 +30,7 @@ SUBSET = (
     "bm25_search", "quality_classifier", "mojibake_repair", "split_assign",
     "domain_pagerank", "politeness_audit", "incremental_dedup",
     "weighted_sample", "length_buckets", "range_join_variable",
-    "doc_repetition", "bpe_pair_stats", "chunk_overlap",
+    "doc_repetition", "bpe_pair_stats", "chunk_overlap", "token_entropy",
 )
 
 

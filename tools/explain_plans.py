@@ -246,6 +246,9 @@ def main() -> None:
          "sequence is dozens of elements per doc (not per word), each "
          "slicing the materialized words column — O(words) per doc, "
          "zero Python."),
+        ("token_entropy", "token-distribution entropy: (doc_id, tok) "
+         "counts spread corpus-hot tokens; per-doc window + re-agg on "
+         "uniform doc_id; map-side combine both stages."),
     ):
         add(name, note, queries[name](spark, SF))
 
