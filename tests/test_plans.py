@@ -406,3 +406,31 @@ def test_no_split_inside_any_lambda(spark):
             assert "split(" not in body, (
                 f"{name}: split() inlined into a lambda "
                 f"(per-element re-eval): {body[:200]}")
+
+
+def test_bpe_pair_stats_topk_and_vocab_shuffle(spark):
+    """Pair counting must end in TakeOrderedAndProject (per-partition
+    heaps) and stay JVM-side; the explode is the intended fan-out."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["bpe_pair_stats"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_token_entropy_two_keyed_shuffles_max(spark):
+    """(doc_id, tok) counts then per-doc window + re-agg: the window and
+    the final groupBy share the doc_id partitioning, so at most two hash
+    Exchanges appear; zero Python."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["token_entropy"](spark, SF))
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 2, plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_chunk_overlap_is_pure_catalyst(spark):
+    """Sliding-window chunking: posexplode fan-out over a JVM transform,
+    no Python anywhere, no join."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["chunk_overlap"](spark, SF))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan, plan
