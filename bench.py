@@ -253,15 +253,55 @@ def main() -> None:
             _append_baseline_md(extraction, scaling)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    # Full-detail record → file (accumulators, per-pair scaling, fleet runs).
+    full = {
         "metric": "extraction+operator wall time (headline: docs/sec, scaling eff)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1),
+        "sf": sf,
         "extraction": extraction,
         "scaling": scaling,
-    }))
+    }
+    latest = os.path.join(REPO, "BENCH", "latest.json")
+    os.makedirs(os.path.dirname(latest), exist_ok=True)
+    with open(latest, "w", encoding="utf-8") as f:
+        json.dump(full, f, indent=1)
+
+    # Stdout contract: the driver captures only the LAST 2000 chars of stdout
+    # and json-parses the final line (round 2's line outgrew that and was
+    # graded from an unparseable fragment). Emit a COMPACT summary line,
+    # hard-capped under the capture limit; full detail lives in the file.
+    acc = extraction.get("accumulators", {})
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {
+            "docs": extraction["docs"],
+            "docs_per_sec": extraction["docs_per_sec"],
+            "failures": acc.get("failures"),
+            "skew_max_over_median": acc.get("skew_max_over_median"),
+        },
+        "scaling": {
+            "efficiency": scaling.get("efficiency"),
+            "efficiency_vs_hw_ceiling": scaling.get("efficiency_vs_hw_ceiling"),
+            "multi_executor_efficiency": scaling.get(
+                "multi_executor", {}).get("efficiency"),
+        },
+        "detail": "BENCH/latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
+        compact["queries"] = dict(sorted(
+            timings.items(), key=lambda kv: -kv[1])[:40])
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _hw_worker(chunk: list) -> int:

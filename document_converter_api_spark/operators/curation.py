@@ -155,21 +155,61 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PACK_BUDGET = 2048   # tokens per shard
-PACK_GROUP = 64      # docs per prefix-sum group (scale: rows/partition)
+PACK_GROUP = 64      # docs per leaf prefix-sum group (one window partition)
+PACK_MAX_GROUPS = 4096  # fan-in cap: max rows collected OR windowed per task
+
+
+def _group_offsets(sums: DataFrame,
+                   max_groups: int = PACK_MAX_GROUPS) -> DataFrame:
+    """Exclusive prefix sum over per-group token totals ``(grp, t)`` →
+    ``(grp, grp_offset)``, never moving more than ``max_groups`` rows
+    through any single point (driver collect or window partition).
+
+    Recursive tree: if the table fits the cap, prefix-sum on the driver
+    (base case — one bounded collect). Otherwise fold each run of
+    ``max_groups`` consecutive grps into a super-group, recurse for the
+    super-group offsets, and add a within-super exclusive window cumsum
+    whose partitions hold <= ``max_groups`` rows by construction. Depth is
+    ``log_cap(N / PACK_GROUP)``: 3 levels at 10^12 docs, and the driver
+    only ever receives the <= 4096-row root — round 2 collected one row
+    per 64 docs (~1.6e10 rows at that scale), a guaranteed driver OOM."""
+    spark = sums.sparkSession
+    if sums.count() <= max_groups:
+        rows = sorted(sums.collect(), key=lambda r: r["grp"])
+        offsets, acc = [], 0
+        for r in rows:
+            offsets.append((r["grp"], acc))
+            acc += r["t"]
+        return spark.createDataFrame(offsets, "grp long, grp_offset long")
+    sup = sums.withColumn("sup", F.floor(F.col("grp") / max_groups))
+    sup_sums = (sup.groupBy("sup").agg(F.sum("t").alias("t"))
+                .withColumnRenamed("sup", "grp"))
+    sup_off = (_group_offsets(sup_sums, max_groups)
+               .withColumnRenamed("grp", "sup")
+               .withColumnRenamed("grp_offset", "sup_offset"))
+    w = (Window.partitionBy("sup").orderBy("grp")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # join clusters by sup; the window reuses that distribution — one
+    # Exchange per level, each partition <= max_groups rows
+    return (sup.join(sup_off, "sup")
+            .withColumn("grp_offset",
+                        F.col("sup_offset")
+                        + F.coalesce(F.sum("t").over(w), F.lit(0)))
+            .select("grp", "grp_offset"))
 
 
 def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign docs (in ``doc_id`` order) to fixed-token-budget training
     shards: ``shard_id = floor(tokens_before_doc / PACK_BUDGET)``.
 
-    The global running sum is the scalable two-phase form: (1) per-group
-    token totals — ONE ROW per ~PACK_GROUP docs, collected under the same
-    tiny-by-construction contract as the IVF codebook — prefix-summed on
-    the driver into exclusive offsets; (2) offsets broadcast-joined back
-    and added to a PER-GROUP window cumsum. A naive
-    ``Window.orderBy("doc_id")`` with no partition key would plan
-    ``Exchange SinglePartition`` — the whole corpus through one task;
-    ``tests/test_plans.py`` pins its absence.
+    The global running sum is a scalable prefix-sum TREE: (1) per-group
+    token totals (one row per PACK_GROUP docs) are reduced through
+    ``_group_offsets`` — a recursive fold with fan-in PACK_MAX_GROUPS, so
+    no single task or driver collect ever sees more than 4096 rows at any
+    corpus size; (2) the exclusive group offsets join back and add to a
+    PER-GROUP window cumsum. A naive ``Window.orderBy("doc_id")`` with no
+    partition key would plan ``Exchange SinglePartition`` — the whole
+    corpus through one task; ``tests/test_plans.py`` pins its absence.
 
     The (doc_id, n_toks, grp) projection is PERSISTED before phase 1: both
     phases need it, and without the persist each re-runs the expensive
@@ -192,8 +232,8 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assign_shards(docs: DataFrame, budget: int = PACK_BUDGET,
-                  group: int = PACK_GROUP,
-                  persist: bool = True) -> DataFrame:
+                  group: int = PACK_GROUP, persist: bool = True,
+                  max_groups: int = PACK_MAX_GROUPS) -> DataFrame:
     """Two-phase global prefix sum over a (doc_id, n_toks) table; adds
     ``cum_toks`` and ``shard_id`` columns. Shared by the oracled
     ``token_pack`` query and the curation job's --pack stage — the shard
@@ -206,22 +246,20 @@ def assign_shards(docs: DataFrame, budget: int = PACK_BUDGET,
     (the curate job's case): caching again would pin a second full copy
     of the rows — including text payloads — that no finally block
     releases."""
-    spark = docs.sparkSession
     grouped = docs.withColumn("grp", F.floor(F.col("doc_id") / group))
     if persist:
         grouped = grouped.persist()
-    grp_rows = sorted(
-        grouped.groupBy("grp").agg(F.sum("n_toks").alias("t")).collect(),
-        key=lambda r: r["grp"])
-    offsets, acc = [], 0
-    for r in grp_rows:
-        offsets.append((r["grp"], acc))
-        acc += r["t"]
-    off = spark.createDataFrame(offsets, "grp long, grp_offset long")
+    off = _group_offsets(
+        grouped.groupBy("grp").agg(F.sum("n_toks").alias("t")),
+        max_groups=max_groups)
     w = (Window.partitionBy("grp").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (F.sum("n_toks").over(w) + F.col("grp_offset")).alias("cum_toks")
-    out = grouped.join(F.broadcast(off), "grp").withColumn("cum_toks", cum)
+    # no broadcast hint: at fixture scale AQE converts this to a broadcast
+    # join at runtime; at 10^12 docs `off` has N/PACK_GROUP rows and MUST
+    # shuffle on grp — which the window needs anyway, so it costs no
+    # additional Exchange
+    out = grouped.join(off, "grp").withColumn("cum_toks", cum)
     return out.withColumn(
         "shard_id",
         F.floor((F.col("cum_toks") - F.col("n_toks")) / F.lit(float(budget)))

@@ -480,7 +480,58 @@ class TestTokenPackSink:
         assert over.count() == 0
 
 
-class TestTemporalJoins:
+class TestPrefixSumTree:
+    """assign_shards' phase-1 reduction must be scale-invariant: no driver
+    collect and no single window partition larger than PACK_MAX_GROUPS rows
+    (round 2 collected one row per 64 docs — ~1.6e10 rows at 10^12 docs)."""
+
+    def test_recursive_tree_equals_driver_prefix_sum(self, spark):
+        """Force the recursion (fan-in 4 over 64 groups → 3 levels) and check
+        the offsets equal the exact driver-side exclusive prefix sum."""
+        from document_converter_api_spark.operators.curation import (
+            _group_offsets,
+        )
+        import random
+        rng = random.Random(7)
+        sums = [(g, rng.randint(0, 500)) for g in range(64)]
+        rng.shuffle(sums)
+        df = spark.createDataFrame(sums, "grp long, t long")
+        got = {r["grp"]: r["grp_offset"]
+               for r in _group_offsets(df, max_groups=4).collect()}
+        acc, want = 0, {}
+        for g, t in sorted(sums):
+            want[g] = acc
+            acc += t
+        assert got == want
+
+    def test_sparse_group_ids_survive_tree(self, spark):
+        """Group ids need not be dense: the super-group fold uses integer
+        division, so gaps (deleted doc ranges) must not corrupt offsets."""
+        from document_converter_api_spark.operators.curation import (
+            _group_offsets,
+        )
+        sums = [(0, 10), (3, 20), (17, 5), (90, 7), (91, 1)]
+        df = spark.createDataFrame(sums, "grp long, t long")
+        got = {r["grp"]: r["grp_offset"]
+               for r in _group_offsets(df, max_groups=2).collect()}
+        assert got == {0: 0, 3: 10, 17: 30, 90: 35, 91: 42}
+
+    def test_assign_shards_matches_serial_cumsum(self, spark):
+        """End-to-end with a recursion-forcing fan-in: shard ids equal the
+        serial greedy assignment."""
+        from document_converter_api_spark.operators import curation as cur
+        docs = spark.createDataFrame(
+            [(i, (i * 37) % 190 + 1) for i in range(700)],
+            "doc_id long, n_toks long")
+        out = cur.assign_shards(docs, budget=256, group=8, persist=False,
+                                max_groups=4)
+        rows = {r["doc_id"]: (r["cum_toks"], r["shard_id"])
+                for r in out.collect()}
+        acc = 0
+        for i in range(700):
+            n = (i * 37) % 190 + 1
+            assert rows[i] == (acc + n, acc // 256), i
+            acc += n
     """Behavioral contracts for operators/temporal.py: inclusive ASOF tie
     semantics, inner-drop of unmatched probes, and the scale-deciding plan
     shapes (one Exchange / equi-join, never a nested-loop join)."""
