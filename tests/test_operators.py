@@ -532,6 +532,75 @@ class TestPrefixSumTree:
             n = (i * 37) % 190 + 1
             assert rows[i] == (acc + n, acc // 256), i
             acc += n
+
+
+class TestAnnBroadcastCodebook:
+    """The ANN tier's production-K path: codebooks as broadcast variables
+    consumed by numpy mapInPandas stages. Contracts: (1) results equal the
+    literal-expression path; (2) plan size is FLAT in K — the literal plan
+    grows O(K·DIM) and at production K≈sqrt(N) the analyzer becomes the
+    bottleneck (r2 verdict 'What's wrong #2')."""
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_ivf_arrow_equals_literal(self, spark):
+        from document_converter_api_spark.operators.similarity import q_ann_ivf
+        lit = q_ann_ivf(spark, "/root/testdata/sf0.001")
+        arw = q_ann_ivf(spark, "/root/testdata/sf0.001", codebook="arrow")
+        assert self._rows(lit) == self._rows(arw)
+
+    def test_pq_arrow_equals_literal(self, spark):
+        from document_converter_api_spark.operators.similarity import q_ann_pq
+        lit = q_ann_pq(spark, "/root/testdata/sf0.001")
+        arw = q_ann_pq(spark, "/root/testdata/sf0.001", codebooks="arrow")
+        assert self._rows(lit) == self._rows(arw)
+
+    def test_ivf_arrow_plan_flat_at_k1024(self, spark):
+        """At K=1024 the arrow plan is the same size as at K=16 (no
+        per-centroid expressions), while the literal plan at a mere K=64
+        is already bigger than the arrow plan at K=1024 — and the K=1024
+        arrow query actually runs."""
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators.similarity import q_ann_ivf
+        sf = "/root/testdata/sf0.1"  # 2000 vectors >= 1024 centroids
+        p16 = plan_of(q_ann_ivf(spark, sf, codebook="arrow"))
+        p1024 = plan_of(q_ann_ivf(spark, sf, k_centroids=1024,
+                                  codebook="arrow"))
+        p64_lit = plan_of(q_ann_ivf(spark, sf, k_centroids=64))
+        assert len(p1024) < 1.5 * len(p16), (len(p16), len(p1024))
+        assert len(p64_lit) > len(p1024), (len(p64_lit), len(p1024))
+        out = q_ann_ivf(spark, sf, k_centroids=1024, codebook="arrow")
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2}
+        assert all(r["rank"] <= 3 for r in rows)
+
+    def test_pq_arrow_plan_flat_at_larger_k(self, spark):
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators import similarity as sim
+        sf = "/root/testdata/sf0.1"
+        p_arrow = plan_of(sim.q_ann_pq(spark, sf, codebooks="arrow"))
+        p_lit = plan_of(sim.q_ann_pq(spark, sf))
+        assert len(p_arrow) < len(p_lit), (len(p_arrow), len(p_lit))
+        rows = sim.q_ann_pq(spark, sf, codebooks="arrow").collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2}
+
+    def test_pq_batched_queries_single_scan(self, spark):
+        """r2 unioned Q per-query scans; the LUT table now joins once —
+        no Union in the plan, exactly one broadcast join of the Q-row LUT."""
+        import re
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators.similarity import q_ann_pq
+        plan = plan_of(q_ann_pq(spark, "/root/testdata/sf0.001"))
+        assert "Union" not in plan, plan
+        # formatted explain repeats node names in the details section —
+        # count unique node ids, not string occurrences
+        joins = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        assert len(joins) == 1, plan
+
+
+class TestTemporalJoins:
     """Behavioral contracts for operators/temporal.py: inclusive ASOF tie
     semantics, inner-drop of unmatched probes, and the scale-deciding plan
     shapes (one Exchange / equi-join, never a nested-loop join)."""
