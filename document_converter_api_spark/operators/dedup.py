@@ -342,6 +342,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (q_dedup_minhash_lsh(spark, sf_dir)
              .select("id_a", "id_b")
              .localCheckpoint(eager=True))
+    return (cc_min_labels(pairs)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+def cc_min_labels(pairs: DataFrame,
+                  max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation over an undirected pair graph ``(id_a, id_b)``
+    → ``(id, label)`` where label is the component's minimum node id.
+    Raises if the fixpoint is not reached within ``max_iters`` rounds — a
+    component of diameter > max_iters would otherwise get wrong canonical
+    ids SILENTLY (label 0 travels one hop per round)."""
     # undirected: propagate labels both ways
     edges = pairs.unionAll(pairs.select(F.col("id_b").alias("id_a"),
                                         F.col("id_a").alias("id_b")))
@@ -350,7 +363,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
+    converged = False
+    for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges.id_b == labels.id)
                    .groupBy("id_a")
                    .agg(F.min("label").alias("nbr_label")))
@@ -362,11 +376,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .localCheckpoint(eager=True))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    return (labels.select(F.col("id").alias("doc_id"),
-                          F.col("label").alias("cluster_id"))
-            .orderBy("doc_id"))
+    if not converged:
+        raise RuntimeError(
+            f"cc_min_labels: label propagation did not reach a fixpoint "
+            f"in {max_iters} rounds (sum(label) still decreasing); the "
+            f"pair graph has a component of diameter > {max_iters} — "
+            f"raise max_iters or switch to large-star/small-star rounds")
+    return labels
 
 
 # the oracle resolves the same fixpoint with a recursive CTE: min reachable
@@ -966,14 +985,14 @@ def _incremental_dedup_oracle() -> str:
         mrows AS (SELECT fp, j, {hj} AS hj FROM old_fp CROSS JOIN j),
         mpos AS (SELECT {_BLOOM_POS} AS pos FROM mrows),
         filt AS (
-          SELECT CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+          SELECT CAST(pos // {_BLOOM_WORD_BITS} AS INT) AS word,
                  bit_or(CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT))
                    AS bits
           FROM mpos GROUP BY 1),
         prows AS (SELECT doc_id, fp, j, {hj} AS hj FROM new_ CROSS JOIN j),
         ppos AS (SELECT doc_id, fp, {_BLOOM_POS} AS pos FROM prows),
         pcell AS (
-          SELECT doc_id, fp, CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+          SELECT doc_id, fp, CAST(pos // {_BLOOM_WORD_BITS} AS INT) AS word,
                  CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT) AS mask
           FROM ppos),
         cand AS (

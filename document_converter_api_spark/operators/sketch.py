@@ -122,7 +122,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k minimum values) estimate of distinct ``user_id``: keep the
-    k smallest distinct hash points in [0,1), estimate (k-1)/h_(k)."""
+    k smallest distinct hash points in [0,1), estimate (k-1)/h_(k).
+    When fewer than KMV_K distinct keys exist the bottom-k set IS the
+    whole population and (k-1)/h_k is biased — the estimate there is
+    exactly k (same guard in the oracle)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
     pts = (ev.select(F.expr(_H).alias("h"))
            .select(F.expr(_KMV_U).alias("u"))
@@ -131,14 +134,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pts.agg(F.count("*").alias("k"), F.max("u").alias("hk"))
     exact = (ev.agg(F.count_distinct("user_id").alias("n_exact"))
              .withColumn("one", F.lit(1)))
+    kmv_est = F.round(
+        F.when(F.col("k") < KMV_K, F.col("k").cast("double"))
+        .otherwise((F.col("k") - 1) / F.col("hk")), 4)
     return (est.withColumn("one", F.lit(1)).join(exact, "one")
             .select(F.col("k").cast("long").alias("k"),
                     F.round("hk", 9).alias("kth_min"),
-                    F.round((F.col("k") - 1) / F.col("hk"), 4)
-                    .alias("kmv_estimate"),
+                    kmv_est.alias("kmv_estimate"),
                     "n_exact",
-                    F.round((F.round((F.col("k") - 1) / F.col("hk"), 4)
-                             - F.col("n_exact")) * 100.0 / F.col("n_exact"), 2)
+                    F.round((kmv_est - F.col("n_exact")) * 100.0
+                            / F.col("n_exact"), 2)
                     .alias("err_pct")))
 
 
@@ -181,9 +186,11 @@ SKETCH_ORACLES = {
         est AS (
           SELECT count(*) AS k, max(u) AS hk FROM pts)
         SELECT CAST(k AS BIGINT) AS k, round(hk, 9) AS kth_min,
-               round((k - 1) / hk, 4) AS kmv_estimate,
+               round(CASE WHEN k < {KMV_K} THEN CAST(k AS DOUBLE)
+                          ELSE (k - 1) / hk END, 4) AS kmv_estimate,
                (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
-               round((round((k - 1) / hk, 4)
+               round((round(CASE WHEN k < {KMV_K} THEN CAST(k AS DOUBLE)
+                                 ELSE (k - 1) / hk END, 4)
                       - (SELECT count(DISTINCT user_id) FROM events)) * 100.0
                      / (SELECT count(DISTINCT user_id) FROM events), 2)
                  AS err_pct
@@ -202,6 +209,9 @@ CMS_D = 4         # count-min hash rows
 CMS_W = 256       # counters per row
 BLOOM_BITS = 1024  # 32 words x 32 bits
 BLOOM_K = 4        # hash functions
+# Oracles word-index with `pos // 32` (floor), never `CAST(pos / 32 AS INT)`:
+# DuckDB's float->int cast rounds HALF-TO-EVEN, so tie positions (pos%32==16)
+# would collapse into the wrong word while Spark's cast truncates.
 _BLOOM_WORD_BITS = 32
 
 # Column index for count-min row r: first two nibbles of a per-row keyed md5.
@@ -344,14 +354,14 @@ SKETCH_ORACLES["bloom_filter"] = f"""
       FROM (SELECT user_id FROM users WHERE user_id % 2 = 0) CROSS JOIN j),
     mpos AS (SELECT {_BLOOM_POS} AS pos FROM mrows),
     filt AS (
-      SELECT CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+      SELECT CAST(pos // {_BLOOM_WORD_BITS} AS INT) AS word,
              bit_or(CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT)) AS bits
       FROM mpos GROUP BY 1),
     prows AS (
       SELECT user_id, j, {_BLOOM_H} AS hj FROM users CROSS JOIN j),
     ppos AS (SELECT user_id, {_BLOOM_POS} AS pos FROM prows),
     pcell AS (
-      SELECT user_id, CAST(pos / {_BLOOM_WORD_BITS} AS INT) AS word,
+      SELECT user_id, CAST(pos // {_BLOOM_WORD_BITS} AS INT) AS word,
              CAST(power(2, pos % {_BLOOM_WORD_BITS}) AS BIGINT) AS mask
       FROM ppos),
     hits AS (

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import inspect
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,7 +41,8 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
                         checkpoint_dir: str | None = None,
                         output_mode: str = "append",
                         timeout_sec: int = 600,
-                        label: str = "drain") -> int:
+                        label: str = "drain",
+                        keep_state_epochs: int | None = None) -> int:
     """Shared AvailableNow drain harness (used by extraction, windowed,
     sessionize, and url-dedup wrappers — one place for the orchestration
     and failure semantics).
@@ -62,9 +64,24 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
     ``subdir/``; Spark's partition discovery refuses to mix those with
     ``batch_id=N`` subdirectories ("Conflicting directory structures"), so
     a flat legacy layout is detected up front and rejected with a
-    migration message instead of producing an unreadable directory."""
+    migration message instead of producing an unreadable directory.
+
+    ``keep_state_epochs``: for FOLDED-STATE outputs (each epoch's
+    partition holds the complete merged state, e.g. the HLL/CMS
+    monitors), older ``batch_id=M`` partitions are pure history and a
+    long-running monitor's state dir grows one full sketch copy per
+    micro-batch forever. Passing K prunes partitions older than the K
+    most recent after each epoch commit (K >= 2: epoch N's replay reads
+    state N-1, so the previous epoch must survive). Leave ``None`` —
+    the default — for DATA outputs like the extraction drain, where
+    every epoch's partition holds that batch's rows and pruning would
+    delete results."""
     checkpoint = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
     batches = {"n": 0}
+    if keep_state_epochs is not None and keep_state_epochs < 2:
+        raise ValueError(
+            "keep_state_epochs must be >= 2: a replayed epoch N re-folds "
+            "from state N-1, which pruning to fewer than 2 would delete")
 
     def _reject_legacy_flat_layout(subdir: str) -> None:
         d = os.path.join(output_dir, subdir)
@@ -99,6 +116,23 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
             and (_pos[1].default is inspect.Parameter.empty
                  or _pos[1].name == "batch_id")))
 
+    def _prune_old_epochs(subdir: str, committed_batch_id: int) -> None:
+        cutoff = committed_batch_id - (keep_state_epochs - 1)
+        d = os.path.join(output_dir, subdir)
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            return
+        for e in entries:
+            if not e.startswith("batch_id="):
+                continue
+            try:
+                bid = int(e.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < cutoff:
+                shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         outs = (batch_outputs(batch_df, batch_id) if wants_batch_id
                 else batch_outputs(batch_df))
@@ -107,6 +141,10 @@ def drain_available_now(stream_df: DataFrame, output_dir: str,
             (df.write.mode("overwrite")
              .parquet(os.path.join(output_dir, subdir,
                                    f"batch_id={batch_id}")))
+            # prune only AFTER this epoch's write committed, so a crash
+            # mid-epoch never leaves fewer surviving states than promised
+            if keep_state_epochs is not None:
+                _prune_old_epochs(subdir, batch_id)
         batches["n"] += 1
 
     q = (stream_df.writeStream

@@ -63,10 +63,13 @@ def run_cardinality_monitor(spark: SparkSession, input_dir: str,
 
     stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
               .select(key))
+    # each epoch partition is a COMPLETE merged register table — prune
+    # old epochs so state stays O(256 rows × keep), not O(epochs)
     return drain_available_now(stream, output_dir, outputs,
                                checkpoint_dir=checkpoint_dir,
                                timeout_sec=timeout_sec,
-                               label="cardinality monitor")
+                               label="cardinality monitor",
+                               keep_state_epochs=3)
 
 
 def estimate_from_state(spark: SparkSession, output_dir: str) -> float:

@@ -67,10 +67,14 @@ def run_frequency_monitor(spark: SparkSession, input_dir: str,
 
     stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
               .select(key))
+    # each epoch partition is a COMPLETE merged sketch — older epochs are
+    # pure history, so prune them or a long-running monitor's state dir
+    # grows one d×w copy per micro-batch forever (keep 3 for replay)
     return drain_available_now(stream, output_dir, outputs,
                                checkpoint_dir=checkpoint_dir,
                                timeout_sec=timeout_sec,
-                               label="frequency monitor")
+                               label="frequency monitor",
+                               keep_state_epochs=3)
 
 
 def estimate_from_state(spark: SparkSession, output_dir: str,

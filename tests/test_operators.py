@@ -934,3 +934,62 @@ class TestAnnRecall:
         # coarse buckets cap low; what must hold is the DIRECTION
         assert rec[2] > rec[4] > rec[8], rec
         assert rec[2] >= 0.3, rec
+
+
+class TestAdviceHardeningR3:
+    """Round-3 advisory fixes: KMV small-population bias guard, bloom
+    oracle floor-division parity, and loud CC non-convergence."""
+
+    def test_kmv_small_population_estimate_is_exact_k(self, spark):
+        """With fewer distinct keys than KMV_K the bottom-k set IS the
+        population; (k-1)/h_k is biased there and the correct estimate is
+        exactly k. sf0.001 has 15 distinct users < KMV_K=128; both engines
+        must take the guard branch and agree."""
+        import duckdb
+        from document_converter_api_spark.operators.sketch import (
+            KMV_K, SKETCH_ORACLES, q_kmv_distinct,
+        )
+        row = q_kmv_distinct(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row.k < KMV_K
+        assert row.kmv_estimate == float(row.k) == 15.0
+        assert row.err_pct == 0.0
+        con = duckdb.connect()
+        con.execute("CREATE VIEW events AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/events.parquet'")
+        orow = con.execute(SKETCH_ORACLES["kmv_distinct"]).fetchone()
+        assert (row.k, row.kth_min, row.kmv_estimate, row.n_exact,
+                row.err_pct) == orow
+
+    def test_bloom_oracle_word_index_floors_on_ties(self):
+        """DuckDB `CAST(pos / 32 AS INT)` rounds HALF-TO-EVEN (48/32 and
+        80/32 both -> 2), diverging from Spark's truncating cast on tie
+        positions (pos%32 == 16). The oracles must use floor division;
+        pin both the arithmetic and that no oracle still uses the cast."""
+        import duckdb
+        import inspect
+        from document_converter_api_spark.operators import dedup, sketch
+        rows = duckdb.sql(
+            "SELECT pos // 32, CAST(pos / 32 AS INT) FROM "
+            "(SELECT unnest([16, 48, 80]) AS pos)").fetchall()
+        assert [r[0] for r in rows] == [0, 1, 2]      # floor: correct
+        assert [r[1] for r in rows] == [0, 2, 2]      # half-even: collides
+        for mod in (dedup, sketch):
+            src = inspect.getsource(mod)
+            assert "CAST(pos / {_BLOOM_WORD_BITS} AS INT)" not in src
+            assert "pos // {_BLOOM_WORD_BITS}" in src
+
+    def test_cc_raises_on_diameter_beyond_max_iters(self, spark):
+        """Min-label propagation moves the minimum one hop per round; a
+        path graph of n nodes needs n-1 rounds. Exceeding max_iters used
+        to exit SILENTLY with wrong canonical ids — it must raise."""
+        import pytest
+        from document_converter_api_spark.operators.dedup import (
+            cc_min_labels,
+        )
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+        ok = cc_min_labels(chain, max_iters=10)
+        assert {(r.id, r.label) for r in ok.collect()} == {
+            (i, 0) for i in range(9)}
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            cc_min_labels(chain, max_iters=3)

@@ -203,3 +203,79 @@ def test_drain_callback_batch_id_classification():
     # contains the batch_id-name and VAR_POSITIONAL clauses
     src = inspect.getsource(AN.drain_available_now)
     assert "VAR_POSITIONAL" in src and '"batch_id"' in src
+
+
+class TestStateEpochPruning:
+    """A long-running monitor writes one COMPLETE merged sketch per
+    micro-batch; without pruning the state dir grows one full copy per
+    epoch forever (r3 advisory). The drain harness prunes folded-state
+    outputs to the last ``keep_state_epochs`` partitions — and only
+    AFTER each epoch's write commits, so replay (which reads state N-1)
+    always finds what it needs."""
+
+    def test_old_epochs_pruned_state_still_exact(self, spark, smoke_paths,
+                                                 tmp_path):
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.operators.sketch import cms_table
+        from document_converter_api_spark.streaming.frequency import (
+            _latest_state, run_frequency_monitor,
+        )
+        pages_path, _ = smoke_paths
+        t = pq.read_table(pages_path)
+        indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(indir)
+        # five separate drains -> five epochs (batch_id 0..4)
+        for i in range(5):
+            pq.write_table(t.slice(i * 40, 40),
+                           os.path.join(indir, f"d{i}.parquet"))
+            run_frequency_monitor(spark, indir, outdir)
+
+        kept = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(os.path.join(outdir, "counters"))
+            if e.startswith("batch_id="))
+        assert kept == [2, 3, 4], kept  # keep_state_epochs=3
+
+        # the surviving latest state is still the exact batch sketch over
+        # the full union — pruning removed history, not information
+        streamed = {(r.r, r.col): r.counter
+                    for r in _latest_state(spark, outdir).collect()}
+        allp = os.path.join(str(tmp_path), "all.parquet")
+        pq.write_table(t.slice(0, 200), allp)
+        batch = {(r.r, r.col): r.counter for r in cms_table(
+            spark.read.parquet(allp).select("url"), key="url").collect()}
+        assert streamed == batch
+
+    def test_data_outputs_never_pruned(self, spark, smoke_paths, tmp_path):
+        """The extraction drain's epochs are DATA (each batch's results),
+        not folded state — the default keep_state_epochs=None must leave
+        every epoch partition in place."""
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.streaming.availablenow import (
+            run_available_now,
+        )
+        pages_path, _ = smoke_paths
+        t = pq.read_table(pages_path)
+        indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(indir)
+        for i in range(4):
+            pq.write_table(t.slice(i * 30, 30),
+                           os.path.join(indir, f"d{i}.parquet"))
+            run_available_now(spark, indir, outdir)
+        kept = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(os.path.join(outdir, "results"))
+            if e.startswith("batch_id="))
+        assert kept == [0, 1, 2, 3], kept
+
+    def test_keep_fewer_than_two_rejected(self, spark, tmp_path):
+        import pytest
+        from document_converter_api_spark.streaming.availablenow import (
+            drain_available_now, PAGES_SCHEMA,
+        )
+        os.makedirs(str(tmp_path / "in"))
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(
+            str(tmp_path / "in"))
+        with pytest.raises(ValueError, match="keep_state_epochs"):
+            drain_available_now(stream, str(tmp_path / "out"),
+                                lambda df: {}, keep_state_epochs=1)
