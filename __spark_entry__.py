@@ -41,6 +41,34 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy("lang"))
 
 
+# The round driver's correctness gate covers only the FIRST 50 entries of
+# queries(). Rotate the least-proven operators into that window: the 36
+# queries no driver artifact has ever covered (r2 checked them only via the
+# local comparator replica), then the dedup/ANN tier touched this round.
+# The long-stable §2.8 scalar / TPC-H queries take the tail — they have two
+# rounds of green driver rows already. All 86 stay covered locally by
+# tools/check_oracle.py either way.
+_GATE_WINDOW_FIRST = [
+    # never driver-checked (past r2's 50-entry window)
+    "decontaminate", "token_pack", "unicode_normalize", "unigram_logprob",
+    "snapshot_diff", "mojibake_repair", "doc_repetition", "bpe_pair_stats",
+    "token_entropy", "chunk_overlap", "mix_sample", "blocklist_filter",
+    "source_terms", "split_assign", "weighted_sample", "length_buckets",
+    "bm25_search", "quality_classifier", "domain_pagerank",
+    "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_audio_features", "asof_join", "range_join",
+    "range_join_variable", "politeness_audit", "hll_distinct",
+    "kmv_distinct", "cms_topk", "bloom_filter", "histogram_quantiles",
+    "host_stats_salted", "host_cap_sample", "sessionize", "crawl_rate",
+    "bucketed_join",
+    # dedup/ANN tier — operators changed in round 3
+    "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
+    "ann_pq", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "line_dedup",
+    "ann_cosine_topk", "ann_lsh_bucketed", "corpus_curation",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from document_converter_api_spark.plans import queries as Q
     from document_converter_api_spark.operators import curation as C
@@ -51,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from document_converter_api_spark.operators import similarity as S
     from document_converter_api_spark.operators import text_analysis as T
 
-    return {
+    reg = {
         # aggregations (A1/A2)
         "status_counts": Q.q_status_counts,
         "stats_conditional": Q.q_stats_conditional,
@@ -232,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join; the zero-Exchange plan property is pinned in test_plans.py
         "bucketed_join": _q_bucketed_join,
     }
+    front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
+    front.update((k, v) for k, v in reg.items() if k not in front)
+    return front
 
 
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -812,14 +812,18 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * positional shingles are md5 DIGESTS — the shuffle never carries
       text, and each occurrence is ONE row (doc_id, pos, h);
-    * the duplicate mark is a window ``count(*) over (partition by h)``
-      riding a single Exchange on h — a boolean per row, NO pair
-      expansion, so a corpus-wide boilerplate span costs its occurrence
-      count, never occurrences² (contrast: Jaccard's posting lists need
-      the DF cap precisely because they DO expand pairs);
+    * the duplicate mark is TWO-PHASE: ``groupBy(h).count()`` (map-side
+      partial combine — the reduce side of a corpus-ubiquitous span
+      receives one row per map partition, not per occurrence) filtered
+      to cnt > 1, LEFT-SEMI joined back on h. No pair expansion
+      (contrast: Jaccard's posting lists need the DF cap precisely
+      because they DO expand pairs), and — unlike the round-2 window
+      ``count(*) over (partition by h)``, which pinned every occurrence
+      of one hot digest into a single task — the join is a shuffle AQE's
+      skew-join split can divide, so a 10^9-occurrence boilerplate span
+      cannot straggle one task;
     * island merging is a per-doc window over marked positions only —
-      second Exchange on doc_id, rows already reduced to duplicated
-      positions.
+      Exchange on doc_id, rows already reduced to duplicated positions.
 
     Exactly mirrored in DuckDB (same split convention, same md5 keys,
     same merge rule: spans [p, p+K-1] merge when p <= prev_end + 1)."""
@@ -836,8 +840,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, k)))
                   )).alias("p0", "h"))
           .select("doc_id", "n_words", (F.col("p0") + 1).alias("pos"), "h"))
-    marked = (sh.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
-              .filter(F.col("cnt") > 1)
+    dup_h = (sh.groupBy("h").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") > 1).select("h"))
+    marked = (sh.join(dup_h, "h", "left_semi")
               .select("doc_id", "n_words", "pos"))
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(

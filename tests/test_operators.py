@@ -993,3 +993,51 @@ class TestAdviceHardeningR3:
             (i, 0) for i in range(9)}
         with pytest.raises(RuntimeError, match="fixpoint"):
             cc_min_labels(chain, max_iters=3)
+
+
+class TestSpanDedupTwoPhase:
+    """span_dedup's duplicate mark is a groupBy(h).count() + LEFT-SEMI
+    join-back, not a window over h: a window partition cannot be split,
+    so round 2 routed every occurrence of one corpus-ubiquitous span
+    into a single task; the join shuffle is AQE-skew-splittable and the
+    count's map-side combine bounds the reduce rows by map partitions."""
+
+    def test_plan_marks_via_semi_join_not_window_over_h(self, spark):
+        import re
+        import __spark_entry__ as entrymod
+        from .test_plans import plan_of
+        plan = plan_of(entrymod.queries()["span_dedup"](
+            spark, "/root/testdata/sf0.001"))
+        assert "LeftSemi" in plan, plan
+        # every remaining Window is the per-doc island merge: its spec
+        # must partition by doc_id, never by the digest h
+        specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        assert specs and all(s.startswith("doc_id") for s in specs), specs
+        # partial aggregation before the h-shuffle (map-side combine)
+        assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+    def test_hot_span_marked_correctly(self, spark, tmp_path):
+        """Skew fixture: one 8-word span planted in 200 docs (plus unique
+        filler) — the corpus-ubiquitous-boilerplate shape. Every planted
+        doc must report exactly the K duplicated words; a control doc
+        with unique text reports none (absent from output)."""
+        from document_converter_api_spark.operators.dedup import (
+            SPAN_K, q_span_dedup,
+        )
+        hot = " ".join(f"w{j}" for j in range(SPAN_K))
+        rows = [(i, f"{hot} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+                for i in range(1, 201)]
+        rows.append((999, " ".join(f"solo{j}" for j in range(SPAN_K * 2))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        out = {r.doc_id: r for r in
+               q_span_dedup(spark, str(tmp_path)).collect()}
+        assert 999 not in out
+        # docs NOT divisible by 5 or 7 mark exactly the hot K-word span
+        for i in (1, 2, 3, 199):
+            assert out[i].n_spans == 1 and out[i].dup_words == SPAN_K, out[i]
+        # _corpus plants whole-doc copies for doc_id%5==0 (and %7==0 with
+        # a suffix), so those docs' ENTIRE text is duplicated — including
+        # the unique filler
+        for i in (100, 10005):
+            assert out[i].dup_words == out[i].n_words == 16, out[i]
