@@ -534,11 +534,147 @@ def _page_text(objs: dict[int, tuple[bytes, bytes | None]],
     return _stream_to_text(b"\n".join(bodies), _page_fonts(objs, page_params))
 
 
-def _check_encrypted(data: bytes) -> None:
-    """/Encrypt in the trailer dict (classic) or an XRef stream dict."""
+_ENC_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+
+
+def _dict_int(params: bytes, name: bytes, default: int | None = None):
+    m = re.search(name + rb"\s+(-?\d+)", params)
+    return int(m.group(1)) if m else default
+
+
+def _dict_string(params: bytes, name: bytes) -> bytes | None:
+    """Value of ``/name`` as a PDF string: hex ``<...>`` or literal
+    ``(...)`` with backslash escapes (O/U entries are arbitrary bytes)."""
+    m = re.search(name + rb"\s*", params)
+    if not m:
+        return None
+    i = m.end()
+    if i >= len(params):
+        return None
+    if params[i:i + 1] == b"<":
+        j = params.find(b">", i)
+        if j < 0:
+            return None
+        return bytes.fromhex(params[i + 1:j].decode("ascii", "ignore"))
+    if params[i:i + 1] != b"(":
+        return None
+    out, depth, i = bytearray(), 1, i + 1
+    esc = {b"n"[0]: 10, b"r"[0]: 13, b"t"[0]: 9, b"b"[0]: 8, b"f"[0]: 12,
+           b"("[0]: 40, b")"[0]: 41, b"\\"[0]: 92}
+    while i < len(params) and depth:
+        c = params[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(params):
+                break
+            c2 = params[i]
+            if 0x30 <= c2 <= 0x37:  # octal, up to 3 digits
+                oct_s, k = "", 0
+                while k < 3 and i < len(params) and 0x30 <= params[i] <= 0x37:
+                    oct_s += chr(params[i])
+                    i += 1
+                    k += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                continue
+            out.append(esc.get(c2, c2))
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return bytes(out)
+
+
+def _find_encrypt_dict(data: bytes, objs) -> tuple[int, bytes] | None:
+    """(object number, trailer-ish region holding /ID) when encrypted."""
     t = data.rfind(b"trailer")
-    if t >= 0 and b"/Encrypt" in data[t:t + 2048]:
-        raise PdfEncryptedError("PDF is encrypted (trailer /Encrypt)")
+    if t >= 0:
+        m = _ENC_REF_RE.search(data, t)
+        if m:
+            return int(m.group(1)), data[t:]
+    for _num, (params, _body) in objs.items():
+        if b"/Type" in params and b"/XRef" in params \
+                and b"/Encrypt" in params:
+            m = _ENC_REF_RE.search(params)
+            if m:
+                return int(m.group(1)), params
+    # /Encrypt present but not resolvable (malformed) — still encrypted
+    if (t >= 0 and b"/Encrypt" in data[t:t + 2048]):
+        raise PdfEncryptedError("PDF is encrypted (unresolvable /Encrypt)")
+    return None
+
+
+def _build_decryptor(data: bytes, objs):
+    """Empty-user-password Standard-handler decryptor, or None when the
+    file is not encrypted. Raises :class:`PdfEncryptedError` when the file
+    IS encrypted but needs a real password or an unsupported scheme —
+    exactly the cases that stay tagged ``encrypted``."""
+    from .pdf_crypt import StandardDecryptor, compute_key, \
+        verify_user_password
+
+    found = _find_encrypt_dict(data, objs)
+    if found is None:
+        return None, -1
+    enc_num, id_region = found
+    if enc_num not in objs:
+        raise PdfEncryptedError("encrypt dict object missing")
+    enc = objs[enc_num][0]
+    if b"/Standard" not in enc:
+        raise PdfEncryptedError("non-Standard security handler")
+    v = _dict_int(enc, rb"/V", 0)
+    r = _dict_int(enc, rb"/R", 2)
+    p = _dict_int(enc, rb"/P", -1)
+    length = _dict_int(enc, rb"/Length", 40)
+    o_entry = _dict_string(enc, rb"/O")
+    u_entry = _dict_string(enc, rb"/U")
+    if o_entry is None or u_entry is None or len(o_entry) < 32:
+        raise PdfEncryptedError("malformed /O//U entries")
+    aes = False
+    if v == 4:
+        if b"/AESV2" in enc:
+            aes = True
+        elif b"/V2" not in enc:
+            raise PdfEncryptedError("unsupported V4 crypt filter")
+    elif v not in (1, 2) or r not in (2, 3):
+        # V5/R5-6 = AES-256 (AESV3) and anything newer/odder
+        raise PdfEncryptedError(f"unsupported encryption V={v} R={r}")
+    encrypt_metadata = b"/EncryptMetadata false" not in enc \
+        and b"/EncryptMetadata  false" not in enc
+    m = _ID_HEX_RE.search(id_region)
+    id0 = bytes.fromhex(m.group(1).decode("ascii", "ignore")) if m else b""
+    key = compute_key(o_entry, p, id0, r, max(length, 40) // 8,
+                      password=b"", encrypt_metadata=encrypt_metadata)
+    if not verify_user_password(key, u_entry, id0, r):
+        raise PdfEncryptedError(
+            "password-protected (non-empty user password)")
+    return StandardDecryptor(key, aes), enc_num
+
+
+def _decrypt_objects(objs, dec, enc_num: int):
+    """Decrypt every object's stream body with its per-object key.
+
+    Generation numbers are taken as 0 — the linear indexer keeps the first
+    occurrence of each object number, and gen>0 appears only in
+    incrementally-updated files (a body that fails AES padding is dropped
+    rather than emitted as noise). XRef streams are NEVER encrypted per
+    spec; the encrypt dict itself is likewise plaintext."""
+    out = {}
+    for num, (params, body) in objs.items():
+        if body is None or num == enc_num \
+                or (b"/Type" in params and b"/XRef" in params):
+            out[num] = (params, body)
+            continue
+        try:
+            out[num] = (params, dec.decrypt(num, 0, body))
+        except ValueError:
+            out[num] = (params, None)
+    return out
 
 
 def pdf_to_text(data: bytes) -> str:
@@ -546,25 +682,37 @@ def pdf_to_text(data: bytes) -> str:
 
     Structured page-tree path when the document has one (required for CID
     ToUnicode decoding and correct page order under xref streams), linear
-    stream scan otherwise. Raises :class:`PdfEncryptedError` /
-    :class:`PdfNeedsOcrError` per the module degradation contract."""
+    stream scan otherwise.
+
+    Encrypted files (Standard handler RC4-40/RC4-128/AES-128 "AESV2")
+    with an EMPTY user password — the overwhelmingly common
+    owner-password-only restriction case the reference reads via qpdf —
+    are decrypted in place; genuinely passworded files and unsupported
+    schemes (AES-256/AESV3) raise :class:`PdfEncryptedError`, and
+    image-only documents :class:`PdfNeedsOcrError`, per the module
+    degradation contract."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    _check_encrypted(data)
 
     objs = _index_objects(data)
-    for _num, (params, _body) in objs.items():
-        if b"/Type" in params and b"/XRef" in params \
-                and b"/Encrypt" in params:
-            raise PdfEncryptedError("PDF is encrypted (xref-stream dict)")
+    decryptor, enc_num = _build_decryptor(data, objs)
+    if decryptor is not None:
+        objs = _decrypt_objects(objs, decryptor, enc_num)
 
     page_nums = _page_order(objs)
     if page_nums:
         pages = [_page_text(objs, objs[p][0]) for p in page_nums]
     else:
-        # fallback: raw content streams in file order (no page tree found)
+        # fallback: raw content streams in file order (no page tree
+        # found). Encrypted bodies are only valid through the per-object
+        # keys, so the encrypted fallback walks the decrypted index
+        # instead of the raw byte scan.
         pages = []
-        for params, body in _iter_streams(data):
+        stream_iter = (objs.values() if decryptor is not None
+                       else _iter_streams(data))
+        for params, body in stream_iter:
+            if body is None:
+                continue
             dec = _inflate(params, body)
             if dec is None:
                 continue

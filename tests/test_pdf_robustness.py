@@ -279,3 +279,132 @@ class TestDegradationTags:
                     + b" >>\nstream\n" + raster + b"\nendstream")
         pdf = _assemble(objs)
         assert pdf_to_text(pdf) == "Mixed media page.\n\f"
+
+
+# ---------------------------------------------------------------------------
+# Standard-handler encryption (empty user password) — round 3
+# ---------------------------------------------------------------------------
+
+def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
+                        aes: bool, user_pw: bytes = b"",
+                        owner_pw: bytes = b"owner-secret",
+                        xref_stream: bool = False) -> bytes:
+    """Owner-password-restricted PDF whose USER password is ``user_pw``:
+    real Standard-handler crypto (Algorithms 2/3/4/5 + per-object keys),
+    streams encrypted, /O //U //ID entries genuine — the decryptor must
+    do the actual key derivation to read it."""
+    from document_converter_api_spark.extraction.pdf_crypt import (
+        StandardDecryptor, compute_key, compute_o, compute_u,
+    )
+    id0 = bytes(range(16))
+    p = -44
+    nbytes = length_bits // 8
+    o = compute_o(owner_pw, user_pw, r, nbytes)
+    key = compute_key(o, p, id0, r, nbytes, password=user_pw)
+    u = compute_u(key, id0, r)
+    enc = StandardDecryptor(key, aes)
+
+    content = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for j, line in enumerate(lines):
+        if j > 0:
+            content.append("0 -14 Td")
+        content.append(f"({line}) Tj")
+    content.append("ET")
+    stream = enc.encrypt(5, 0, "\n".join(content).encode("latin-1"),
+                         iv=bytes(range(16, 32)))
+
+    if v == 4:
+        filt = (b"/V 4 /R 4 /Length " + str(length_bits).encode()
+                + (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                   if aes else
+                   b" /CF << /StdCF << /CFM /V2 /Length 16 >> >>")
+                + b" /StmF /StdCF /StrF /StdCF")
+    elif v == 2:
+        filt = b"/V 2 /R 3 /Length " + str(length_bits).encode()
+    else:
+        filt = b"/V 1 /R 2"
+    enc_obj = (b"<< /Filter /Standard " + filt
+               + b" /O <" + o.hex().encode() + b">"
+               + b" /U <" + u.hex().encode() + b">"
+               + b" /P " + str(p).encode() + b" >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream",
+        enc_obj,
+    ]
+    trailer = (b"/Encrypt 6 0 R /ID [<" + id0.hex().encode() + b"> <"
+               + id0.hex().encode() + b">]")
+    return _assemble(objs, trailer_extra=trailer, xref_stream=xref_stream)
+
+
+class TestEncryptedDecryption:
+    """RC4-40 / RC4-128 / AES-128 files with an empty user password (the
+    owner-restriction case the reference reads via qpdf) now extract;
+    genuinely passworded and AES-256 files keep the ``encrypted`` tag."""
+
+    WANT = "Decrypted line one.\nAnd line two.\n\f"
+    LINES = ["Decrypted line one.", "And line two."]
+
+    def test_rc4_40_v1_r2(self):
+        pdf = build_encrypted_pdf(self.LINES, v=1, r=2, length_bits=40,
+                                  aes=False)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_rc4_128_v2_r3(self):
+        pdf = build_encrypted_pdf(self.LINES, v=2, r=3, length_bits=128,
+                                  aes=False)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_aes128_v4_r4(self):
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_rc4_128_v4_r4_crypt_filter(self):
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=False)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_xref_stream_layout_also_decrypts(self):
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True, xref_stream=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_extract_document_end_to_end(self):
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True)
+        res = extract_document(pdf, "https://x.example/restricted.pdf")
+        assert res.error is None
+        assert "Decrypted line one." in res.markdown
+
+    def test_real_user_password_still_tagged_encrypted(self):
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True, user_pw=b"hunter2")
+        with pytest.raises(PdfEncryptedError, match="password"):
+            pdf_to_text(pdf)
+        res = extract_document(pdf, "https://x.example/pw.pdf")
+        assert res.error == "encrypted"
+
+    def test_aes256_v5_still_tagged_encrypted(self):
+        pdf = build_encrypted_pdf(self.LINES, v=2, r=3, length_bits=128,
+                                  aes=False)
+        pdf = pdf.replace(b"/V 2 /R 3 /Length 128",
+                          b"/V 5 /R 6 /Length 256")
+        with pytest.raises(PdfEncryptedError, match="unsupported"):
+            pdf_to_text(pdf)
+
+    def test_corrupted_ciphertext_degrades_not_garbles(self):
+        """A truncated AES body must yield empty/absent text, never noise."""
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True)
+        broken = pdf.replace(b"stream\n", b"stream\nXXXXXXXXX", 1)
+        try:
+            out = pdf_to_text(broken)
+            assert "Decrypted" not in out
+        except (PdfEncryptedError, PdfNeedsOcrError, ValueError):
+            pass
