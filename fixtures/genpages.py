@@ -38,6 +38,12 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from document_converter_api_spark.extraction.core import extract_document  # noqa: E402
+from document_converter_api_spark.extraction.pdf_crypt import (  # noqa: E402
+    StandardDecryptor,
+    compute_key,
+    compute_o,
+    compute_u,
+)
 from document_converter_api_spark.extraction.postformat import (  # noqa: E402
     format_google_docs,
     format_plain_text,
@@ -181,9 +187,41 @@ def _build_html(rng: random.Random, lang: str, idx: int) -> tuple[bytes, str]:
     return html.encode("utf-8"), truth
 
 
-def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool]) -> bytes:
-    """Well-formed single-xref PDF with one content stream per page."""
+# Standard-security-handler variants the extractor reads with an EMPTY
+# user password (owner-restriction-only files — the common real-world
+# "encrypted" PDF a crawl hits; reference reads them via qpdf).
+ENC_VARIANTS = {
+    "rc4_40": dict(v=1, r=2, bits=40, aes=False),
+    "rc4_128": dict(v=2, r=3, bits=128, aes=False),
+    "aesv2": dict(v=4, r=4, bits=128, aes=True),
+}
+
+
+def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool],
+                      encrypt: dict | None = None) -> bytes:
+    """Well-formed single-xref PDF with one content stream per page.
+
+    ``encrypt`` (optional): ``{"variant": key into ENC_VARIANTS,
+    "user_pw": bytes, "id0": 16 bytes, "ivs": [16 bytes per page]}`` —
+    produces a genuinely Standard-handler-encrypted file (real Algorithm
+    2/3/5 key derivation, per-object stream keys; encryption applied AFTER
+    FlateDecode compression per ISO 32000-1 §7.6.2 so readers decrypt
+    first, then run filters)."""
     objs: list[bytes] = []
+    decryptor = None
+    ivs: list[bytes] = []
+    if encrypt is not None:
+        spec = ENC_VARIANTS[encrypt["variant"]]
+        nbytes = spec["bits"] // 8
+        user_pw = encrypt.get("user_pw", b"")
+        id0 = encrypt["id0"]
+        ivs = encrypt["ivs"]
+        o_entry = compute_o(b"owner-secret", user_pw, spec["r"], nbytes)
+        p_flags = -44
+        key = compute_key(o_entry, p_flags, id0, spec["r"], nbytes,
+                          password=user_pw)
+        u_entry = compute_u(key, id0, spec["r"])
+        decryptor = StandardDecryptor(key, spec["aes"])
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -206,12 +244,34 @@ def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool]) -
         if compress_mask[i]:
             stream = zlib.compress(stream, 6)
             filt = b" /Filter /FlateDecode"
+        if decryptor is not None:
+            stream = decryptor.encrypt(5 + 2 * i, 0, stream, iv=ivs[i])
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {5 + 2 * i} 0 R >>".encode())
         objs.append(b"<< /Length " + str(len(stream)).encode() + filt
                     + b" >>\nstream\n" + stream + b"\nendstream")
+
+    trailer_extra = ""
+    if encrypt is not None:
+        spec = ENC_VARIANTS[encrypt["variant"]]
+        if spec["v"] == 4:
+            cfm = b"/AESV2" if spec["aes"] else b"/V2"
+            filt_entry = (b"/V 4 /R 4 /Length " + str(spec["bits"]).encode()
+                          + b" /CF << /StdCF << /CFM " + cfm
+                          + b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF")
+        elif spec["v"] == 2:
+            filt_entry = b"/V 2 /R 3 /Length " + str(spec["bits"]).encode()
+        else:
+            filt_entry = b"/V 1 /R 2"
+        objs.append(b"<< /Filter /Standard " + filt_entry
+                    + b" /O <" + o_entry.hex().encode() + b">"
+                    + b" /U <" + u_entry.hex().encode() + b">"
+                    + b" /P " + str(p_flags).encode() + b" >>")
+        id_hex = encrypt["id0"].hex()
+        trailer_extra = (f" /Encrypt {len(objs)} 0 R"
+                         f" /ID [<{id_hex}> <{id_hex}>]")
 
     out = io.BytesIO()
     out.write(b"%PDF-1.4\n")
@@ -226,12 +286,20 @@ def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool]) -
     out.write(b"0000000000 65535 f \n")
     for off in offsets[1:]:
         out.write(f"{off:010d} 00000 n \n".encode())
-    out.write(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+    out.write(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+              f"{trailer_extra} >>\n"
               f"startxref\n{xref_at}\n%%EOF\n".encode())
     return out.getvalue()
 
 
+def _rand_bytes(rng: random.Random, n: int) -> bytes:
+    return bytes(rng.getrandbits(8) for _ in range(n))
+
+
 def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
+    """~65% plaintext PDFs, ~30% Standard-handler-encrypted with an empty
+    user password (extractor decrypts → same truth as plaintext), ~5%
+    genuinely user-passworded (extractor tags ``encrypted`` → truth '')."""
     n_pages = rng.randint(1, 3)
     pages_lines = []
     compress = []
@@ -239,8 +307,21 @@ def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
         lines = [_sentence(rng, lang, rng.randint(4, 9)) for _ in range(rng.randint(3, 8))]
         pages_lines.append(lines)
         compress.append(rng.random() < 0.5)
-    payload = build_minimal_pdf(pages_lines, compress)
-    truth = "".join("\n".join(lines) + "\n\f" for lines in pages_lines)
+    enc_draw = rng.random()
+    encrypt = None
+    readable = True
+    if enc_draw < 0.35:
+        variant = rng.choice(sorted(ENC_VARIANTS))
+        readable = enc_draw >= 0.05  # the first 5%: real user password
+        encrypt = {
+            "variant": variant,
+            "user_pw": b"" if readable else b"fixture-user-pw",
+            "id0": _rand_bytes(rng, 16),
+            "ivs": [_rand_bytes(rng, 16) for _ in range(n_pages)],
+        }
+    payload = build_minimal_pdf(pages_lines, compress, encrypt=encrypt)
+    truth = ("".join("\n".join(lines) + "\n\f" for lines in pages_lines)
+             if readable else "")
     return payload, truth
 
 

@@ -65,6 +65,30 @@ def test_rejects_have_reasons(extracted):
         assert r.error == "too_large" or gold_err is not None
 
 
+def test_encrypted_pdfs_flow_through_pipeline(smoke_paths, extracted):
+    """The corpus must carry Standard-handler-encrypted PDFs (round 3):
+    empty-user-password files extract byte-identically to their planted
+    truth through the SPARK pipeline; real-password files pass the format
+    gate but carry ``error='encrypted'`` in the results (per-doc failures
+    never raise — SURVEY §2.11). Pins corpus composition so a fixture
+    regression that drops the encrypted rows fails loudly."""
+    pages_path, _ = smoke_paths
+    res, rej, golden = extracted
+    tab = pq.read_table(pages_path, columns=["url", "html"])
+    enc_urls = [u for u, p in zip(tab.column("url").to_pylist(),
+                                  tab.column("html").to_pylist())
+                if u.endswith(".pdf") and b"/Encrypt" in p]
+    readable = [u for u in enc_urls if golden[u][3] is None]
+    passworded = [u for u in enc_urls if golden[u][3] == "encrypted"]
+    assert len(readable) >= 5, "fixture lost its decryptable encrypted PDFs"
+    assert len(passworded) >= 1, "fixture lost its passworded PDFs"
+    for u in readable:
+        assert u in res and res[u].markdown == golden[u][0]
+    for u in passworded:
+        assert u in res and res[u].error == "encrypted" \
+            and res[u].markdown is None
+
+
 def test_bytes_out_matches_markdown(extracted):
     res, _, _ = extracted
     for r in res.values():
