@@ -109,6 +109,7 @@ def run_extraction_job(
     shuffle_partitions: int | None = None,
     fail_after_commits: int | None = None,
     input_format: str = "parquet",
+    webhook_url: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -119,10 +120,19 @@ def run_extraction_job(
     (``sources/warc.py``) instead of a pages parquet table — the rest of
     the pipeline (gates, salting, lineage, resume) is format-agnostic
     because ``prepare_pages`` only needs (url, html).
+
+    ``webhook_url`` turns on the reference's completion push
+    (app/main.py:424-452): per commit group, executor-side batched POSTs
+    built from the WRITTEN results (no recompute), with the delivery log
+    persisted under ``_webhooks/`` via the same idempotent per-group
+    replace as the data — a resumed group redelivers exactly that group
+    (at-least-once; receivers dedup on ``job_id``).
     """
     t_start = time.time()
     results_table = ManifestTable(os.path.join(output_root, "results"))
     rejects_table = ManifestTable(os.path.join(output_root, "rejects"))
+    webhook_table = (ManifestTable(os.path.join(output_root, "_webhooks"))
+                     if webhook_url else None)
     lineage = LineageStore(os.path.join(output_root, "_lineage", "lineage.json"))
 
     if input_format == "warc":
@@ -183,6 +193,19 @@ def run_extraction_job(
                            F.slice(F.collect_list("url"), 1, 20).alias("urls"))
                       .collect()}
         done_ts = time.time()
+        if webhook_table is not None:
+            from ..sources.webhook import deliver_webhooks
+            log = deliver_webhooks(
+                written.select("url", "error").withColumn(
+                    "completed_at",
+                    F.timestamp_seconds(F.lit(done_ts))),
+                webhook_url)
+            webhook_table.replace_group(log, key)
+            undeliv = (spark.read.parquet(
+                os.path.join(webhook_table.root, "data",
+                             webhook_table.commits()[key]))
+                .filter(~F.col("delivered")).count())
+            stats["webhooks_failed"] = stats.get("webhooks_failed", 0) + undeliv
         merged_rows = {}
         for p in group:
             m = mrows.get(p, {"doc_count": 0, "bytes_in": 0, "bytes_out": 0,
@@ -234,6 +257,9 @@ def main() -> None:  # pragma: no cover - CLI
                          "into this dir first (skipped if its layout "
                          "marker already exists), then run from it — "
                          "resume commit groups then prune at the scan")
+    ap.add_argument("--webhook-url", default=os.environ.get("WEBHOOK_URL"),
+                    help="POST per-doc completion notifications here "
+                         "(reference WEBHOOK_URL, app/main.py:215)")
     args = ap.parse_args()
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
@@ -254,6 +280,7 @@ def main() -> None:  # pragma: no cover - CLI
         num_partitions=args.partitions,
         partitions_per_commit=args.partitions_per_commit,
         max_bytes=args.max_bytes,
+        webhook_url=args.webhook_url,
     )
     import json
     print(json.dumps(stats))
