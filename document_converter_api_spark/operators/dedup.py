@@ -488,6 +488,62 @@ def _simhash_batches(it):
                             "simhash": pd.array(out_sigs, dtype="int64")})
 
 
+def simhash_pairs(sigs: DataFrame, *, bands: int = SIMHASH_BANDS,
+                  band_bits: int = SIMHASH_BAND_BITS,
+                  hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs with Hamming ≤ ``hamming_max`` from a ``(doc_id,
+    simhash)`` signature table, via banding + band-key self-JOIN.
+
+    Pigeonhole: ``bands`` disjoint ``band_bits``-bit slices catch any pair
+    within Hamming ≤ bands−1 (a pair that close agrees EXACTLY on ≥ 1
+    band), so ``bands`` must exceed ``hamming_max`` — asserted. The knob
+    for corpus scale: 4×16 default (65k buckets/band — right up to ~10^8
+    docs); at 10^10–10^12 docs switch to 8×8-band keys salt-free — more,
+    smaller buckets, same guarantee for Hamming ≤ 3, identical output
+    (pinned by ``test_simhash_band_knob_is_result_invariant``).
+
+    Pair expansion is a band-key equi-self-join, NOT a
+    ``collect_set``+double-explode: a hot bucket is never materialized as
+    one array in one row (a 10^7-member bucket would be an OOM row and an
+    un-splittable task), the join's in-bucket expansion streams, and AQE
+    skew-join splits an oversized bucket across tasks. The signature
+    table is persisted (MEMORY_AND_DISK) so the Python signature stage
+    computes ONCE for both join sides — 16 bytes/doc, disk-spillable, vs
+    re-running the tokenize+vote stage over the corpus text."""
+    from pyspark import StorageLevel
+
+    assert bands > hamming_max, "pigeonhole needs bands > hamming_max"
+    assert bands * band_bits == SIMHASH_BITS
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    mask = F.lit((1 << band_bits) - 1)
+    bands_df = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.shiftright("simhash", j * band_bits)
+                     .bitwiseAND(mask).alias("bval"))
+            for j in range(bands)
+        ])).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    # Both join inputs are the IDENTICAL plan (aliases only; projections
+    # applied after the join) so the band-key Exchange canonicalizes equal
+    # and ReusedExchange computes the Python signature stage ONCE —
+    # pinned by test_simhash_signature_stage_runs_once.
+    left, right = bands_df.alias("l"), bands_df.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bval") == F.col("r.bval")))
+             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+             .select(F.col("l.doc_id").alias("id_a"),
+                     F.col("r.doc_id").alias("id_b"),
+                     F.bit_count(F.col("l.simhash")
+                                 .bitwiseXOR(F.col("r.simhash")))
+                     .alias("hamming")))
+    return (pairs.filter(F.col("hamming") <= hamming_max)
+            .distinct()  # a pair can agree on several bands
+            .orderBy("id_a", "id_b"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with Hamming(simhash64) ≤ 3 among derived corpus docs.
 
@@ -495,38 +551,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands — any pair within Hamming ≤ 3 differs in at most 3 bands, so it
     agrees EXACTLY on at least one band and surfaces as a bucket candidate.
     Band keys are (band_id, 16-bit value): up to 4×65536 buckets whose
-    occupancy scales with corpus cardinality (unlike the previous 16-bit
-    signature's 256-value high-byte banding, which degenerated to a
-    ~quadratic 256-way self-join at corpus scale). Bucket-then-expand as in
-    minhash: signatures computed once, one shuffle on the band key, exact
-    Hamming re-check inside buckets only."""
+    occupancy scales with corpus cardinality. Signatures computed once,
+    one shuffle on the band key, exact Hamming re-check inside buckets
+    only — see :func:`simhash_pairs` for the join-based expansion and the
+    band-count scale knob."""
     sigs = widen(_corpus(spark, sf_dir)).mapInPandas(
         _simhash_batches, "doc_id long, simhash long")
-    mask = F.lit((1 << SIMHASH_BAND_BITS) - 1)
-    bands = sigs.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("band"),
-                     F.shiftright("simhash", j * SIMHASH_BAND_BITS)
-                     .bitwiseAND(mask).alias("bval"))
-            for j in range(SIMHASH_BANDS)
-        ])).alias("bb")
-    ).select("doc_id", "simhash", "bb.band", "bb.bval")
-    buckets = (bands.groupBy("band", "bval")
-               .agg(F.collect_set(F.struct("doc_id", "simhash")).alias("ds"))
-               .filter(F.size("ds") > 1))
-    pairs = (buckets
-             .select(F.explode("ds").alias("a"), F.col("ds"))
-             .select("a", F.explode("ds").alias("b"))
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b"),
-                     F.bit_count(F.col("a.simhash")
-                                 .bitwiseXOR(F.col("b.simhash")))
-                     .alias("hamming")))
-    return (pairs.filter(F.col("hamming") <= HAMMING_MAX)
-            .distinct()  # a pair can agree on several bands
-            .orderBy("id_a", "id_b"))
+    return simhash_pairs(sigs)
 
 
 # 64-bit simhash twin: md5 evaluated ONCE per token occurrence (unnest +

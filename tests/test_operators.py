@@ -225,6 +225,33 @@ class TestSimhashBanding:
         # near-unique occupancy on a small corpus: most docs hash alone
         assert n_keys > 2 * n_docs
 
+    def test_simhash_band_knob_is_result_invariant(self, spark):
+        """The 10^12-doc scale knob: 8×8-bit bands (256 buckets/band,
+        but 8 bands — pigeonhole covers Hamming ≤ 7 ⊇ ≤ 3) must produce
+        EXACTLY the pairs the default 4×16 banding does, because banding
+        only generates candidates and the Hamming re-check is shared."""
+        from document_converter_api_spark.operators import dedup as D
+        sf = "/root/testdata/sf0.001"
+        sigs = (D._corpus(spark, sf)
+                .mapInPandas(D._simhash_batches, "doc_id long, simhash long"))
+        base = {(r.id_a, r.id_b, r.hamming)
+                for r in D.simhash_pairs(sigs).collect()}
+        knob = {(r.id_a, r.id_b, r.hamming)
+                for r in D.simhash_pairs(sigs, bands=8, band_bits=8).collect()}
+        assert base == knob and base
+
+    def test_simhash_expansion_has_no_bucket_arrays_and_caches_sigs(self, spark):
+        """Scale pins for the join-based expansion: no collect_set bucket
+        materialization anywhere in the plan (a hot bucket must never be
+        one row), and the Python signature stage feeds BOTH join sides
+        from one cached table (InMemoryTableScan ×2)."""
+        from document_converter_api_spark.operators import dedup as D
+        df = D.q_dedup_simhash(spark, "/root/testdata/sf0.001")
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_set" not in plan
+        assert plan.count("InMemoryTableScan") == 2, plan
+
     def test_pigeonhole_recall_on_exact_dups(self, spark):
         """Exact copies (Hamming 0) must always be candidate pairs, and
         the appended-token near copies must be found when their signatures
