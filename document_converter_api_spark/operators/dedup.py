@@ -284,8 +284,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: equal (band_id, band_value) bucket → distinct
     pairs (a < b). Shuffle cost O(docs × N_BANDS) on short digest strings —
     the 10^12-doc-scale near-dup plan."""
-    sigs = widen(_corpus(spark, sf_dir)).mapInPandas(
+    from pyspark import StorageLevel
+
+    sigs = (widen(_corpus(spark, sf_dir)).mapInPandas(
         _minhash_sig_batches, "doc_id long, sig array<string>")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -295,20 +298,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_BANDS)
         ])).alias("bb")
     ).select("doc_id", "bb.band", "bb.bval")
-    # Bucket-then-expand instead of a bands⋈bands self-join: the self-join
-    # would execute the whole scan→shingle→md5→signature subtree TWICE
-    # (Spark plans both join children independently; ReuseExchange does not
-    # fire across the a/b aliases — verified in the formatted plan). Here
-    # signatures are computed once, one shuffle groups band buckets, and
-    # pairs expand JVM-side inside each bucket — the canonical LSH plan at
-    # 10^12 docs, where recomputing signatures is the dominant cost.
-    buckets = (bands.groupBy("band", "bval")
-               .agg(F.collect_set("doc_id").alias("ids"))
-               .filter(F.size("ids") > 1))
-    return (buckets
-            .select(F.explode("ids").alias("id_a"), F.col("ids"))
-            .select("id_a", F.explode("ids").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
+    # Band-key equi-self-join over the PERSISTED signature table (ReuseExchange
+    # does not fire across a/b aliases — verified in the formatted plan — so
+    # the persist is what keeps the scan→shingle→md5→signature subtree
+    # single-execution; ~140 bytes/doc, disk-spillable). The join replaces the
+    # previous collect_set bucket materialization: a corpus-ubiquitous band
+    # value (think 10^6 boilerplate near-copies sharing every band) was ONE
+    # array row and one un-splittable expansion task; as a join the expansion
+    # streams and AQE skew-join splits it. Same candidate set by construction
+    # (pinned oracle-green: tools/check_oracle.py dedup_minhash_lsh).
+    left, right = bands.alias("l"), bands.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bval") == F.col("r.bval")))
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("id_a"),
+                    F.col("r.doc_id").alias("id_b"))
             .distinct()
             .orderBy("id_a", "id_b"))
 
