@@ -90,6 +90,14 @@ def _mul(a: int, b: int) -> int:
     return out
 
 
+# GF(2^8) multiplication as 256-entry lookup tables for the MixColumns
+# constants — the bit-loop _mul in the per-block hot path made encrypted
+# PDFs ~30x slower per doc than plaintext ones; tables built once via the
+# reference _mul (which stays as the spec/test twin).
+_MUL = {c: bytes(_mul(x, c) for x in range(256))
+        for c in (1, 2, 3, 9, 11, 13, 14)}
+
+
 def _expand_key(key: bytes) -> list[bytes]:
     """128-bit key schedule → 11 round keys of 16 bytes (FIPS-197 §5.2)."""
     words = [key[i:i + 4] for i in range(0, 16, 4)]
@@ -107,24 +115,30 @@ def _add_round_key(s: bytearray, rk: bytes) -> None:
         s[i] ^= rk[i]
 
 
+# SubBytes + ShiftRows source-index permutations (column-major s[r + 4c]),
+# precomputed so the per-round hot path is one comprehension per direction.
+_SHIFT_PERM = {
+    inv: [r + 4 * (((c - r) if inv else (c + r)) % 4)
+          for c in range(4) for r in range(4)]
+    for inv in (False, True)
+}
+
+
 def _sub_shift(s: bytearray, box: bytes, inv: bool) -> None:
-    # SubBytes + ShiftRows fused (column-major state: s[r + 4c])
+    # SubBytes + ShiftRows fused
     t = bytes(s)
-    for c in range(4):
-        for r in range(4):
-            src_c = (c + r) % 4 if not inv else (c - r) % 4
-            s[r + 4 * c] = box[t[r + 4 * src_c]]
+    s[:] = bytes(box[t[p]] for p in _SHIFT_PERM[inv])
 
 
 def _mix_columns(s: bytearray, inv: bool) -> None:
     m = ((14, 11, 13, 9) if inv else (2, 3, 1, 1))
-    for c in range(4):
-        col = s[4 * c:4 * c + 4]
-        for r in range(4):
-            s[4 * c + r] = (_mul(col[0], m[(0 - r) % 4])
-                            ^ _mul(col[1], m[(1 - r) % 4])
-                            ^ _mul(col[2], m[(2 - r) % 4])
-                            ^ _mul(col[3], m[(3 - r) % 4]))
+    t0, t1, t2, t3 = (_MUL[m[0]], _MUL[m[1]], _MUL[m[2]], _MUL[m[3]])
+    for c in range(0, 16, 4):
+        c0, c1, c2, c3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+        s[c] = t0[c0] ^ t1[c1] ^ t2[c2] ^ t3[c3]
+        s[c + 1] = t3[c0] ^ t0[c1] ^ t1[c2] ^ t2[c3]
+        s[c + 2] = t2[c0] ^ t3[c1] ^ t0[c2] ^ t1[c3]
+        s[c + 3] = t1[c0] ^ t2[c1] ^ t3[c2] ^ t0[c3]
 
 
 def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
