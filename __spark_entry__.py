@@ -63,10 +63,13 @@ _GATE_WINDOW_FIRST = [
     "bucketed_join",
     # dedup/ANN tier — operators changed in round 3
     "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
-    "ann_pq", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "line_dedup",
-    "ann_cosine_topk", "ann_lsh_bucketed", "corpus_curation",
+    "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "semantic_dedup",
+    "line_dedup", "ann_cosine_topk", "ann_lsh_bucketed", "corpus_curation",
 ]
+# displaced from the 50-entry window for the round-3-new semantic_dedup:
+# dedup_exact (unchanged since r1, green driver rows in r1 AND r2; still
+# checked locally every round by tools/check_oracle.py)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -121,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
         "dedup_simhash": D.q_dedup_simhash,
         "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
+        # SemDeDup-style semantic dedup: coarse-quantizer clusters, then
+        # intra-cluster cosine prune keeping the lowest vec_id
+        "semantic_dedup": D.q_semantic_dedup,
         # duplicate-cluster resolution: connected components (iterative
         # min-label propagation) over the LSH pairs; DuckDB twin is a
         # recursive CTE — the one genuinely iterative algorithm in the repo
@@ -643,6 +649,8 @@ def oracle_sql() -> dict[str, str]:
     from document_converter_api_spark.operators.dedup import _embedding_cosine_oracle
     from document_converter_api_spark.operators.multimodal import oracle_sql_for_media
     sql["dedup_embedding_cosine"] = _embedding_cosine_oracle()
+    from document_converter_api_spark.operators.dedup import _semantic_dedup_oracle
+    sql["semantic_dedup"] = _semantic_dedup_oracle()
     from document_converter_api_spark.operators.similarity import (
         ann_pq_oracle_sql,
     )

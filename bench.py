@@ -43,7 +43,7 @@ _SCALE_BY_SF = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
 BENCH_QUERIES = (
     "tpch_q1", "orders_join", "window_rank", "status_counts",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "line_dedup", "incremental_dedup",
+    "dedup_simhash", "line_dedup", "incremental_dedup", "semantic_dedup",
     "ann_cosine_topk", "ann_lsh_bucketed",
     "lang_id", "quality_score", "token_count", "fingerprint",
     "url_normalize", "crawl_rate", "doc_repetition", "bpe_pair_stats",

@@ -604,6 +604,25 @@ _SIMHASH_SQL = """
 COSINE_DUP_THRESHOLD = 0.99
 
 
+def _derived_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ slightly perturbed copies (vec_id+10000, dim-1 += 0.01,
+    every 10th vector) — the planted near-dup ground truth shared by the
+    embedding-space dedup operators. All math in float64 on both engines
+    (float32→float64 is exact; adding 0.01 in mixed precision would
+    double-round and diverge cross-engine)."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.transform(F.col("embedding"),
+                               lambda x: x.cast("double")).alias("embedding")))
+    perturbed = (emb.filter(F.col("vec_id") % 10 == 0)
+                 .select((F.col("vec_id") + 10000).alias("vec_id"),
+                         F.transform(
+                             F.col("embedding"),
+                             lambda x, i: F.when(i == 0, x + F.lit(0.01))
+                             .otherwise(x)).alias("embedding")))
+    return emb.unionAll(perturbed)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup: derived corpus = embeddings ∪ slightly
     perturbed copies (vec_id+10000, dim-1 += 0.01, every 10th vector);
@@ -612,19 +631,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.99 re-check inside buckets only)."""
     from .similarity import _bucket_expr, _dot, _norm
 
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id",
-                   F.transform(F.col("embedding"),
-                               lambda x: x.cast("double")).alias("embedding")))
-    # All math in float64 on both engines (float32→float64 is exact; adding
-    # 0.01 in mixed precision would double-round and diverge cross-engine).
-    perturbed = (emb.filter(F.col("vec_id") % 10 == 0)
-                 .select((F.col("vec_id") + 10000).alias("vec_id"),
-                         F.transform(
-                             F.col("embedding"),
-                             lambda x, i: F.when(i == 0, x + F.lit(0.01))
-                             .otherwise(x)).alias("embedding")))
-    corpus = (emb.unionAll(perturbed)
+    corpus = (_derived_embedding_corpus(spark, sf_dir)
               .withColumn("bucket", _bucket_expr(F.col("embedding"))))
     a, b = corpus.alias("a"), corpus.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -661,6 +668,95 @@ def _embedding_cosine_oracle() -> str:
         SELECT id_a, id_b, cosine FROM pairs
         WHERE cosine >= {COSINE_DUP_THRESHOLD}
         ORDER BY id_a, id_b
+    """
+
+
+SEMDEDUP_T = 0.95
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with a coarse quantizer, then inside each
+    cluster mark any vector that has a higher-priority (lower ``vec_id``)
+    neighbor at cosine ≥ ``SEMDEDUP_T`` as a semantic duplicate — keeping
+    one representative per near-dup set without ever comparing across
+    clusters.
+
+    The scale story IS the clustering: pair comparison happens only inside
+    a cluster, so with K ≈ √N centroids the per-cluster candidate set is
+    ~√N and the join never approaches all-pairs. Assignment reuses the IVF
+    coarse quantizer (``similarity.py``: K centroid literals at the
+    oracle-checked default, the broadcast+Arrow path for production K);
+    the intra-cluster expansion is the same equi-self-join shape as
+    SimHash/MinHash (streams, AQE-splittable, no bucket arrays).
+
+    Output: one row per corpus vector — ``(vec_id, list_id,
+    is_semantic_dup)``; downstream keeps ``NOT is_semantic_dup``."""
+    from .similarity import _centroid_cos_structs, _centroid_rows, _dot, _norm
+
+    corpus = _derived_embedding_corpus(spark, sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding")))
+    cents = _centroid_rows(corpus)
+    assigned = corpus.withColumn(
+        "list_id",
+        -F.array_max(F.array(*_centroid_cos_structs(cents)))["c"])
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+                     & (F.col("b.vec_id") < F.col("a.vec_id")))
+               .withColumn("cosine",
+                           F.round(_dot(F.col("a.embedding"),
+                                        F.col("b.embedding"))
+                                   / (F.col("a.nrm") * F.col("b.nrm")), 6))
+               .filter(F.col("cosine") >= SEMDEDUP_T)
+               .select(F.col("a.vec_id").alias("vec_id"))
+               .distinct()
+               .withColumn("dup", F.lit(True)))
+    return (assigned.join(dup_ids, "vec_id", "left")
+            .select("vec_id", "list_id",
+                    F.coalesce(F.col("dup"), F.lit(False))
+                    .alias("is_semantic_dup"))
+            .orderBy("vec_id"))
+
+
+def _semantic_dedup_oracle() -> str:
+    from .similarity import K_CENTROIDS, _dot_sql, _norm_sql
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id,
+                 list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1
+                        THEN CAST(embedding[i] AS DOUBLE) + 0.01
+                        ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+          FROM embeddings WHERE vec_id % 10 = 0),
+        cents AS (
+          SELECT vec_id AS cid, embedding AS c_emb
+          FROM corpus WHERE vec_id < {K_CENTROIDS}),
+        scored AS (
+          SELECT c.vec_id, ct.cid,
+                 round({_dot_sql('c.embedding', 'ct.c_emb')} /
+                       ({_norm_sql('c.embedding')} * {_norm_sql('ct.c_emb')}),
+                       6) AS cos
+          FROM corpus c, cents ct),
+        assigned AS (
+          SELECT s.vec_id, s.cid AS list_id, c.embedding FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored) s JOIN corpus c ON s.vec_id = c.vec_id
+          WHERE s.rn = 1),
+        dropped AS (
+          SELECT DISTINCT x.vec_id
+          FROM assigned x JOIN assigned y
+            ON x.list_id = y.list_id AND y.vec_id < x.vec_id
+          WHERE round({_dot_sql('x.embedding', 'y.embedding')} /
+                      ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')}),
+                      6) >= {SEMDEDUP_T})
+        SELECT a.vec_id, a.list_id,
+               (d.vec_id IS NOT NULL) AS is_semantic_dup
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id
     """
 
 

@@ -302,6 +302,63 @@ class TestDedupClusters:
             assert clusters[d] == clusters[d + 10000] == clusters[d + 20000]
 
 
+class TestSemanticDedup:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute_force(self, spark):
+        """Driver-side replica of the SemDeDup semantics over the collected
+        corpus: nearest-centroid assignment (cos desc, cid asc tie-break),
+        then drop any vector with a lower-id in-cluster neighbor at cosine
+        ≥ T — the ground truth the distributed plan must match."""
+        import math
+
+        from document_converter_api_spark.operators import dedup as D
+        rows = D._derived_embedding_corpus(spark, self.SF).collect()
+        vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+        nrm = {i: math.sqrt(sum(x * x for x in v)) for i, v in vecs.items()}
+
+        def cos(a, b):
+            d = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                d += x * y
+            c = d / (nrm[a] * nrm[b])
+            return math.copysign(math.floor(abs(c) * 1e6 + 0.5) / 1e6, c)
+
+        cents = sorted(i for i in vecs if i < 16)
+        assign = {i: max(cents, key=lambda c: (cos(i, c), -c))
+                  for i in vecs}
+        dup = {}
+        for i in vecs:
+            dup[i] = any(assign[j] == assign[i] and j < i
+                         and cos(i, j) >= D.SEMDEDUP_T for j in vecs)
+        return assign, dup
+
+    def test_matches_brute_force_and_drops_perturbed_copies(self, spark):
+        from document_converter_api_spark.operators import dedup as D
+        out = {r.vec_id: (r.list_id, r.is_semantic_dup)
+               for r in D.q_semantic_dedup(spark, self.SF).collect()}
+        assign, dup = self._brute_force(spark)
+        assert set(out) == set(assign)
+        for i, (lid, is_dup) in out.items():
+            assert lid == assign[i], f"vec {i} assigned {lid} != {assign[i]}"
+            assert is_dup == dup[i], f"vec {i} dup flag"
+        # the planted +10000 perturbed copies must be flagged (their
+        # original is a lower-id ~cos-1.0 neighbor in the same cluster)
+        planted = [i for i in out if i >= 10000]
+        assert planted and all(out[i][1] for i in planted)
+        # and the corpus is not degenerately all-dup
+        assert sum(1 for _, d in out.values() if d) < len(out) / 2
+
+    def test_no_cross_cluster_comparison_in_plan(self, spark):
+        """The pair join must be an equi-join on list_id (the SemDeDup
+        scale contract) — no nested-loop/cartesian anywhere."""
+        from document_converter_api_spark.operators import dedup as D
+        plan = (D.q_semantic_dedup(spark, self.SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestLineDedup:
     def test_exact_copies_lose_all_content_lines(self, spark):
         """An exact copy (doc_id+10000) shares every non-empty line with

@@ -110,10 +110,16 @@ def main() -> None:
          "collect_list groupBy — no hot-shingle row can exceed "
          "JACCARD_DF_CAP entries, and there is no second Exchange."),
         ("dedup_simhash", "64-bit simhash, 4 disjoint 16-bit band tables "
-         "(pigeonhole recall for Hamming<=3): signature stage planned "
-         "once, explode to 4 band rows, one shuffle on the high-"
-         "cardinality (band,bval) key, exact Hamming re-check inside "
-         "buckets."),
+         "(pigeonhole recall for Hamming<=3): signature stage computed "
+         "once (persisted, InMemoryTableScan x2), band-key equi-self-join "
+         "pair expansion (no bucket arrays, AQE-splittable), exact "
+         "Hamming re-check inside buckets."),
+        ("semantic_dedup", "SemDeDup: coarse-quantizer assignment (IVF "
+         "centroid literals — broadcast+Arrow path available for "
+         "production K), intra-cluster equi-self-join on list_id with "
+         "cosine >= 0.95 prune keeping the lowest vec_id; pair work never "
+         "crosses a cluster boundary, so candidates stay ~N/K per "
+         "cluster."),
         ("shipping_priority", "TPC-H Q3 shape: filtered customer dim "
          "broadcast, lineitem⋈orders single fact shuffle, top-10 via "
          "TakeOrderedAndProject."),
