@@ -697,6 +697,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _derived_embedding_corpus(spark, sf_dir).withColumn(
         "nrm", _norm(F.col("embedding")))
     cents = _centroid_rows(corpus)
+    # NOT persisted: the codegen'd K×DIM literal assignment re-evaluates
+    # per consumer (both join sides + the output projection), and that is
+    # measurably CHEAPER here than materializing the array<double> column
+    # through an InMemoryRelation (4.5 s vs 12-14 s at sf0.01 — columnar
+    # array caching costs more than the recompute). In production the
+    # assignment is materialized ONCE to a table and shared across the
+    # dedup and ANN tiers, which is the real analog of a persist.
     assigned = corpus.withColumn(
         "list_id",
         -F.array_max(F.array(*_centroid_cos_structs(cents)))["c"])
