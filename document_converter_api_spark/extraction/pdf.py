@@ -535,28 +535,106 @@ def _page_text(objs: dict[int, tuple[bytes, bytes | None]],
 
 
 _ENC_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
-_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+
+
+def _scrub_dict(params: bytes, blank_subdicts: bool = False) -> bytes:
+    """Offset-preserving copy with PDF string values blanked to spaces —
+    and, optionally, everything inside NESTED ``<< >>`` sub-dictionaries.
+
+    Dictionary key order is arbitrary and /O//U are 32 ARBITRARY bytes
+    (review findings: an /O literal string containing ``/V 2`` corrupted
+    revision parsing, and a /CF sub-dict's ``/Length 16`` — bytes, not
+    bits — was picked over the top-level ``/Length 128`` when ordered
+    first). All key/int/flag scanning therefore runs on scrubbed bytes;
+    only VALUE extraction reads the original at the matched offset."""
+    out = bytearray(params)
+    n = len(params)
+    base = 1 if params.lstrip().startswith(b"<<") else 0
+    depth = 0
+    i = 0
+    while i < n:
+        c = params[i]
+        if c == 0x28:  # ( literal string — honor escapes + nesting
+            j, sdepth = i + 1, 1
+            while j < n and sdepth:
+                cj = params[j]
+                if cj == 0x5C:
+                    j += 2
+                    continue
+                if cj == 0x28:
+                    sdepth += 1
+                elif cj == 0x29:
+                    sdepth -= 1
+                j += 1
+            for k in range(i, min(j, n)):
+                out[k] = 0x20
+            i = j
+            continue
+        if params[i:i + 2] == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if params[i:i + 2] == b">>":
+            depth -= 1
+            i += 2
+            continue
+        if c == 0x3C:  # < hex string
+            j = params.find(b">", i + 1)
+            j = n if j < 0 else j + 1
+            for k in range(i, j):
+                out[k] = 0x20
+            i = j
+            continue
+        if blank_subdicts and depth > base:
+            out[i] = 0x20
+        i += 1
+    return bytes(out)
 
 
 def _dict_int(params: bytes, name: bytes, default: int | None = None):
-    m = re.search(name + rb"\s+(-?\d+)", params)
+    """Top-level integer value of ``/name`` — scans with strings AND
+    nested sub-dicts blanked so /CF internals and /O//U bytes can't
+    shadow the real entry."""
+    m = re.search(name + rb"\s+(-?\d+)", _scrub_dict(params, True))
     return int(m.group(1)) if m else default
 
 
 def _dict_string(params: bytes, name: bytes) -> bytes | None:
     """Value of ``/name`` as a PDF string: hex ``<...>`` or literal
-    ``(...)`` with backslash escapes (O/U entries are arbitrary bytes)."""
-    m = re.search(name + rb"\s*", params)
+    ``(...)`` with backslash escapes (O/U entries are arbitrary bytes).
+    The KEY is located on a string-blanked copy (a key name inside
+    another entry's string value must not match); the VALUE is read from
+    the original bytes at that offset."""
+    # locate the KEY on the scrubbed copy (the value may be blanked there,
+    # so whitespace-skipping must happen on the ORIGINAL bytes)
+    m = re.search(name + rb"(?![A-Za-z0-9])", _scrub_dict(params))
     if not m:
         return None
-    i = m.end()
+    return _string_at(params, m.end())
+
+
+_PDF_WS = b"\x00\t\n\x0c\r "
+
+
+def _string_at(params: bytes, i: int) -> bytes | None:
+    """Parse the PDF string starting at or after offset ``i`` (hex or
+    literal), skipping PDF whitespace in the ORIGINAL bytes first."""
+    while i < len(params) and params[i] in _PDF_WS:
+        i += 1
     if i >= len(params):
         return None
     if params[i:i + 1] == b"<":
         j = params.find(b">", i)
         if j < 0:
             return None
-        return bytes.fromhex(params[i + 1:j].decode("ascii", "ignore"))
+        hx = params[i + 1:j].decode("ascii", "ignore")
+        hx = "".join(ch for ch in hx if not ch.isspace())
+        if len(hx) % 2:  # §7.3.4.3: odd final digit reads as digit+'0'
+            hx += "0"
+        try:
+            return bytes.fromhex(hx)
+        except ValueError:
+            return None
     if params[i:i + 1] != b"(":
         return None
     out, depth, i = bytearray(), 1, i + 1
@@ -589,6 +667,17 @@ def _dict_string(params: bytes, name: bytes) -> bytes | None:
             out.append(c)
         i += 1
     return bytes(out)
+
+
+def _parse_id0(region: bytes) -> bytes:
+    """First element of the trailer /ID array — hex ``<...>`` (tolerating
+    odd length per §7.3.4.3) or literal ``(...)`` form; b'' if absent or
+    malformed (key derivation then proceeds without it, matching readers
+    that treat a broken ID as empty)."""
+    m = re.search(rb"/ID\s*\[", _scrub_dict(region))
+    if not m:
+        return b""
+    return _string_at(region, m.end()) or b""
 
 
 def _find_encrypt_dict(data: bytes, objs) -> tuple[int, bytes] | None:
@@ -625,7 +714,10 @@ def _build_decryptor(data: bytes, objs):
     if enc_num not in objs:
         raise PdfEncryptedError("encrypt dict object missing")
     enc = objs[enc_num][0]
-    if b"/Standard" not in enc:
+    # name/flag scanning on string-blanked bytes: /O//U are 32 ARBITRARY
+    # bytes and may contain any token as a substring
+    enc_scrub = _scrub_dict(enc)
+    if b"/Standard" not in enc_scrub:
         raise PdfEncryptedError("non-Standard security handler")
     v = _dict_int(enc, rb"/V", 0)
     r = _dict_int(enc, rb"/R", 2)
@@ -637,20 +729,24 @@ def _build_decryptor(data: bytes, objs):
         raise PdfEncryptedError("malformed /O//U entries")
     aes = False
     if v == 4:
-        if b"/AESV2" in enc:
+        if b"/AESV2" in enc_scrub:
             aes = True
-        elif b"/V2" not in enc:
+        elif b"/V2" not in enc_scrub:
             raise PdfEncryptedError("unsupported V4 crypt filter")
     elif v not in (1, 2) or r not in (2, 3):
         # V5/R5-6 = AES-256 (AESV3) and anything newer/odder
         raise PdfEncryptedError(f"unsupported encryption V={v} R={r}")
-    encrypt_metadata = b"/EncryptMetadata false" not in enc \
-        and b"/EncryptMetadata  false" not in enc
-    m = _ID_HEX_RE.search(id_region)
-    id0 = bytes.fromhex(m.group(1).decode("ascii", "ignore")) if m else b""
-    key = compute_key(o_entry, p, id0, r, max(length, 40) // 8,
-                      password=b"", encrypt_metadata=encrypt_metadata)
-    if not verify_user_password(key, u_entry, id0, r):
+    # any PDF whitespace may separate the key from the value (§7.2.2)
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false",
+                                     enc_scrub)
+    id0 = _parse_id0(id_region)
+    try:
+        key = compute_key(o_entry, p, id0, r, max(length, 40) // 8,
+                          password=b"", encrypt_metadata=encrypt_metadata)
+        verified = verify_user_password(key, u_entry, id0, r)
+    except Exception as e:  # malformed crypto metadata → stable tag
+        raise PdfEncryptedError(f"undecryptable encrypt dict: {e}") from e
+    if not verified:
         raise PdfEncryptedError(
             "password-protected (non-empty user password)")
     return StandardDecryptor(key, aes), enc_num

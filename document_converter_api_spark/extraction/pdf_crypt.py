@@ -214,7 +214,10 @@ def compute_key(o_entry: bytes, p: int, id0: bytes, r: int,
     """Algorithm 2: file encryption key from the (user) password."""
     h = hashlib.md5(_padded(password))
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", p))
+    # low 32 bits little-endian: some producers write /P as the UNSIGNED
+    # 32-bit value (e.g. 4294967252 for -44) — identical bytes either way,
+    # and '<i' would raise struct.error on the unsigned form
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")

@@ -236,15 +236,13 @@ def _centroid_rows(emb: DataFrame,
     trained IVF codebook ships to executors: tiny broadcast state, while
     list assignment stays a pure projection with NO shuffle. K is a scale
     parameter (~sqrt(N) in production; see module header)."""
-    import math
     rows = (emb.filter(F.col("vec_id") < k_centroids)
             .select("vec_id", "embedding")
             .orderBy("vec_id").collect())
     out = []
     for r in rows:
         vals = [float(x) for x in r.embedding]
-        nrm = math.sqrt(sum(v * v for v in vals))  # index-ordered, as SQL/Spark
-        out.append((int(r.vec_id), vals, nrm))
+        out.append((int(r.vec_id), vals, _py_norm(vals)))
     return out
 
 
@@ -262,9 +260,27 @@ def _centroid_cos_structs(cents, negate_cid: bool = True):
 
 
 def _round_half_up(x):
-    """numpy twin of Spark's ``round`` (HALF_UP, away from zero)."""
+    """numpy twin of Spark's ``round`` (HALF_UP, away from zero) — the
+    ONE definition of the 6-dp tie rule shared by the arrow assignment
+    stage and the driver-side probe/centroid folds."""
     import numpy as np
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Index-ordered Python fold — same addition order as _dot/_dot_sql."""
+    d = 0.0
+    for i in range(len(a)):
+        d = d + a[i] * b[i]
+    return d
+
+
+def _py_norm(a: list[float]) -> float:
+    import math
+    s = 0.0
+    for v in a:
+        s = s + v * v
+    return math.sqrt(s)
 
 
 def _assign_lists_arrow(emb: DataFrame, cents) -> DataFrame:
@@ -311,24 +327,18 @@ def _probe_rows_driver(emb: DataFrame, cents, nprobe: int) -> list[tuple]:
     vectors (Q rows) — index-ordered Python folds, bit-identical to the
     Spark/SQL arithmetic, and O(Q·K·DIM) driver work (trivial: queries are
     few by definition)."""
-    import math
     out = []
     qrows = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
              .select("vec_id", "embedding").orderBy("vec_id").collect())
     for r in qrows:
         qv = [float(x) for x in r.embedding]
-        s = 0.0
-        for v in qv:
-            s = s + v * v
-        q_nrm = math.sqrt(s)
+        q_nrm = _py_norm(qv)
         scored = []
         for cid, c_emb, c_nrm in cents:
-            d = 0.0
-            for i in range(len(qv)):
-                d = d + qv[i] * c_emb[i]
-            cos = d / (q_nrm * c_nrm)
-            cos = math.copysign(
-                math.floor(abs(cos) * 1e6 + 0.5) / 1e6, cos)
+            # _round_half_up is the single source of the round(x,6)
+            # HALF_UP twin (shared with the arrow assignment stage)
+            cos = float(_round_half_up(_py_dot(qv, c_emb)
+                                       / (q_nrm * c_nrm)))
             scored.append((-cos, cid))
         scored.sort()
         for _negcos, cid in scored[:nprobe]:

@@ -1078,6 +1078,19 @@ class TestAdviceHardeningR3:
         with pytest.raises(RuntimeError, match="fixpoint"):
             cc_min_labels(chain, max_iters=3)
 
+    def test_cc_diameter_exactly_max_iters_converges(self, spark):
+        """The fixpoint reached on the LAST improving round must not be
+        a false alarm: convergence is observed by one extra no-change
+        round (a 9-node path has diameter 8 → max_iters=8 must pass)."""
+        from document_converter_api_spark.operators.dedup import (
+            cc_min_labels,
+        )
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+        ok = cc_min_labels(chain, max_iters=8)
+        assert {(r.id, r.label) for r in ok.collect()} == {
+            (i, 0) for i in range(9)}
+
 
 class TestSpanDedupTwoPhase:
     """span_dedup's duplicate mark is a groupBy(h).count() + LEFT-SEMI

@@ -288,19 +288,34 @@ class TestDegradationTags:
 def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
                         aes: bool, user_pw: bytes = b"",
                         owner_pw: bytes = b"owner-secret",
-                        xref_stream: bool = False) -> bytes:
+                        xref_stream: bool = False,
+                        id0: bytes = bytes(range(16)),
+                        id_literal: bool = False,
+                        cf_first: bool = False,
+                        p_unsigned: bool = False,
+                        enc_dict_prefix: bytes = b"",
+                        em_false_sep: bytes | None = None) -> bytes:
     """Owner-password-restricted PDF whose USER password is ``user_pw``:
     real Standard-handler crypto (Algorithms 2/3/4/5 + per-object keys),
     streams encrypted, /O //U //ID entries genuine — the decryptor must
-    do the actual key derivation to read it."""
+    do the actual key derivation to read it.
+
+    Producer-variant knobs (each a real-world shape from the round-3
+    review): ``id_literal`` writes /ID as literal strings instead of hex;
+    ``cf_first`` orders the /CF sub-dict BEFORE the top-level /Length;
+    ``p_unsigned`` writes /P as the unsigned 32-bit value; a non-empty
+    ``enc_dict_prefix`` injects an extra entry ahead of /V (e.g. a literal
+    string containing decoy tokens); ``em_false_sep`` adds
+    '/EncryptMetadata<sep>false' (key derivation then salts per §7.6.3.3,
+    R≥4 only)."""
     from document_converter_api_spark.extraction.pdf_crypt import (
         StandardDecryptor, compute_key, compute_o, compute_u,
     )
-    id0 = bytes(range(16))
     p = -44
     nbytes = length_bits // 8
     o = compute_o(owner_pw, user_pw, r, nbytes)
-    key = compute_key(o, p, id0, r, nbytes, password=user_pw)
+    key = compute_key(o, p, id0, r, nbytes, password=user_pw,
+                      encrypt_metadata=em_false_sep is None)
     u = compute_u(key, id0, r)
     enc = StandardDecryptor(key, aes)
 
@@ -314,19 +329,24 @@ def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
                          iv=bytes(range(16, 32)))
 
     if v == 4:
-        filt = (b"/V 4 /R 4 /Length " + str(length_bits).encode()
-                + (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                   if aes else
-                   b" /CF << /StdCF << /CFM /V2 /Length 16 >> >>")
+        cf = (b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" if aes else
+              b"/CF << /StdCF << /CFM /V2 /Length 16 >> >>")
+        length_entry = b"/Length " + str(length_bits).encode()
+        parts = ([cf, length_entry] if cf_first else [length_entry, cf])
+        filt = (b"/V 4 /R 4 " + parts[0] + b" " + parts[1]
                 + b" /StmF /StdCF /StrF /StdCF")
     elif v == 2:
         filt = b"/V 2 /R 3 /Length " + str(length_bits).encode()
     else:
         filt = b"/V 1 /R 2"
-    enc_obj = (b"<< /Filter /Standard " + filt
+    p_txt = str(p & 0xFFFFFFFF if p_unsigned else p).encode()
+    em = (b" /EncryptMetadata" + em_false_sep + b"false"
+          if em_false_sep is not None else b"")
+    enc_obj = (b"<< /Filter /Standard " + enc_dict_prefix + filt
                + b" /O <" + o.hex().encode() + b">"
                + b" /U <" + u.hex().encode() + b">"
-               + b" /P " + str(p).encode() + b" >>")
+               + em
+               + b" /P " + p_txt + b" >>")
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
@@ -337,8 +357,12 @@ def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
         + b" >>\nstream\n" + stream + b"\nendstream",
         enc_obj,
     ]
-    trailer = (b"/Encrypt 6 0 R /ID [<" + id0.hex().encode() + b"> <"
-               + id0.hex().encode() + b">]")
+    if id_literal:
+        id_txt = b"(" + id0 + b") (" + id0 + b")"  # caller picks safe bytes
+    else:
+        hx = id0.hex().encode()
+        id_txt = b"<" + hx + b"> <" + hx + b">"
+    trailer = b"/Encrypt 6 0 R /ID [" + id_txt + b"]"
     return _assemble(objs, trailer_extra=trailer, xref_stream=xref_stream)
 
 
@@ -397,6 +421,55 @@ class TestEncryptedDecryption:
                           b"/V 5 /R 6 /Length 256")
         with pytest.raises(PdfEncryptedError, match="unsupported"):
             pdf_to_text(pdf)
+
+    def test_cf_subdict_before_top_level_length(self):
+        """Dict key order is arbitrary: the /CF sub-dict's '/Length 16'
+        (bytes) must not shadow the top-level '/Length 128' (bits)."""
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True, cf_first=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_unsigned_permissions_flag(self):
+        """Some producers write /P as the unsigned 32-bit value
+        (4294967252 == -44): same key bytes, must decrypt."""
+        pdf = build_encrypted_pdf(self.LINES, v=2, r=3, length_bits=128,
+                                  aes=False, p_unsigned=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_literal_string_id(self):
+        """/ID written as literal strings '(...)' instead of hex."""
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True, id0=b"ABCDEFGHIJKLMNOP",
+                                  id_literal=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_odd_length_id_hex_degrades_to_encrypted_tag(self):
+        """A truncated /ID hex string must surface as the stable
+        ``encrypted`` tag (wrong key → verification fails), never an
+        uncaught ValueError from bytes.fromhex."""
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True)
+        hx = bytes(range(16)).hex().encode()
+        broken = pdf.replace(b"/ID [<" + hx + b">", b"/ID [<" + hx[:31] + b">", 1)
+        assert broken != pdf
+        with pytest.raises(PdfEncryptedError):
+            pdf_to_text(broken)
+
+    def test_decoy_tokens_inside_string_entry_ignored(self):
+        """A literal-string entry containing '/V 9 /R 9 /Length 16' decoy
+        tokens ahead of the real /V must not corrupt version parsing."""
+        pdf = build_encrypted_pdf(
+            self.LINES, v=2, r=3, length_bits=128, aes=False,
+            enc_dict_prefix=b"/DummyInfo (/V 9 /R 9 /Length 16 /P 1) ")
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_encrypt_metadata_false_with_newline_separator(self):
+        """'/EncryptMetadata\\nfalse' (any PDF whitespace is legal) must
+        apply the §7.6.3.3 salt — a space-only substring match misses it
+        and derives the wrong key."""
+        pdf = build_encrypted_pdf(self.LINES, v=4, r=4, length_bits=128,
+                                  aes=True, em_false_sep=b"\n")
+        assert pdf_to_text(pdf) == self.WANT
 
     def test_corrupted_ciphertext_degrades_not_garbles(self):
         """A truncated AES body must yield empty/absent text, never noise."""
