@@ -65,11 +65,13 @@ _GATE_WINDOW_FIRST = [
     "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
     "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "semantic_dedup",
-    "line_dedup", "ann_cosine_topk", "ann_lsh_bucketed", "corpus_curation",
+    "webhook_payloads",
+    "line_dedup", "ann_lsh_bucketed", "corpus_curation",
 ]
-# displaced from the 50-entry window for the round-3-new semantic_dedup:
-# dedup_exact (unchanged since r1, green driver rows in r1 AND r2; still
-# checked locally every round by tools/check_oracle.py)
+# displaced from the 50-entry window for the round-3-new semantic_dedup
+# and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
+# since r1 with green driver rows in r1 AND r2; still checked locally
+# every round by tools/check_oracle.py)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -108,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_at_chunk": Q.q_element_at_chunk,
         "download_names": Q.q_download_names,
         "result_json": Q.q_result_json,
+        # S8 webhook payload assembly (sources/webhook.py), byte-exact
+        "webhook_payloads": Q.q_webhook_payloads,
         # rollup / distinct / set-op / top-k (§2.4, §2.6, §2.7)
         "rollup_stats": Q.q_rollup_stats,
         "distinct_users": Q.q_distinct_users,
@@ -651,6 +655,10 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_embedding_cosine"] = _embedding_cosine_oracle()
     from document_converter_api_spark.operators.dedup import _semantic_dedup_oracle
     sql["semantic_dedup"] = _semantic_dedup_oracle()
+    from document_converter_api_spark.plans.queries import (
+        WEBHOOK_PAYLOADS_ORACLE,
+    )
+    sql["webhook_payloads"] = WEBHOOK_PAYLOADS_ORACLE
     from document_converter_api_spark.operators.similarity import (
         ann_pq_oracle_sql,
     )

@@ -453,3 +453,55 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
                  F.count("*").alias("n"))
             .orderBy("event_type"))
+
+
+def q_webhook_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 webhook payload assembly as an oracle-checked query: the exact
+    ``to_json`` string the push sink POSTs (sources/webhook.py), built
+    over a deterministic url/error derivation from the documents table.
+    Every byte of the payload — field order, null-field omission for the
+    completed/failed variants (app/main.py:426-434 vs :445-452), md5
+    job_id, download name, ISO timestamp — is value-hash-compared against
+    a DuckDB string-template twin."""
+    from ..sources.webhook import webhook_payload_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc-"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("encrypted")).alias("error"),
+        F.lit("2025-06-01 12:00:00").cast("timestamp").alias("completed_at"))
+    return (base.select(
+                "doc_id",
+                webhook_payload_expr(F.col("url"), F.col("error"),
+                                     F.col("completed_at")).alias("payload"))
+            .orderBy("doc_id"))
+
+
+WEBHOOK_PAYLOADS_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/doc-'
+               || CAST(doc_id AS STRING) || '.html' AS url,
+             CASE WHEN doc_id % 7 = 0 THEN 'encrypted' END AS error
+      FROM documents),
+    j AS (
+      SELECT doc_id, md5(url) AS job_id,
+             'doc-' || CAST(doc_id AS STRING) || '_converted.md' AS fname,
+             error
+      FROM base)
+    SELECT doc_id,
+           CASE WHEN error IS NULL THEN
+             '{"job_id":"' || job_id || '","status":"completed",'
+             || '"download_url":"/download/' || job_id || '",'
+             || '"output_format":"markdown","filename":"' || fname || '",'
+             || '"completed_at":"2025-06-01T12:00:00.000000"}'
+           ELSE
+             '{"job_id":"' || job_id || '","status":"failed",'
+             || '"filename":"' || fname || '","error":"' || error || '",'
+             || '"completed_at":"2025-06-01T12:00:00.000000"}'
+           END AS payload
+    FROM j ORDER BY doc_id
+"""

@@ -47,10 +47,12 @@ def webhook_payload_expr(url: Column, error: Column,
                          completed_at: Column) -> Column:
     """The reference's webhook JSON (app/main.py:426-434 success,
     :445-452 failure) as one Catalyst ``to_json`` struct per document.
-    ``job_id`` is the deterministic doc id (xxhash64 of url — F13), and
-    ``filename``/``download_url`` derive from the url exactly as the
-    jobs-store fields do in the point-lookup queries."""
-    job_id = F.lower(F.hex(F.xxhash64(url)))
+    ``job_id`` is the deterministic doc id (md5 of url — engine-
+    independent hex, so the whole payload is DuckDB-oracle-checkable:
+    Q:`webhook_payloads`), and ``filename``/``download_url`` derive from
+    the url exactly as the jobs-store fields do in the point-lookup
+    queries."""
+    job_id = F.md5(url)
     fname = F.regexp_extract(url, r"([^/]+)$", 1)
     ok = error.isNull()
     return F.to_json(F.struct(

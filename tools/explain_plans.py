@@ -114,6 +114,9 @@ def main() -> None:
          "once (persisted, InMemoryTableScan x2), band-key equi-self-join "
          "pair expansion (no bucket arrays, AQE-splittable), exact "
          "Hamming re-check inside buckets."),
+        ("webhook_payloads", "S8 webhook payload assembly: one codegen'd "
+         "to_json projection — md5 job_id, conditional completed/failed "
+         "field sets, zero Python, zero shuffle."),
         ("semantic_dedup", "SemDeDup: coarse-quantizer assignment (IVF "
          "centroid literals — broadcast+Arrow path available for "
          "production K), intra-cluster equi-self-join on list_id with "
