@@ -173,6 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": C.q_token_pack,
         "unicode_normalize": C.q_unicode_normalize,
         "unigram_logprob": C.q_unigram_logprob,
+        # interpolated bigram LM (CCNet-style perplexity, order 2)
+        "bigram_logprob": C.q_bigram_logprob,
+        # RefinedWeb-style within-document repeated-line strip
+        "doc_line_dedup": C.q_doc_line_dedup,
         # crawl-over-crawl change classification: ONE full-outer shuffle
         # join on doc_id carrying md5 digests, never the text payload
         "snapshot_diff": C.q_snapshot_diff,

@@ -58,7 +58,7 @@ BENCH_QUERIES = (
     "domain_pagerank", "politeness_audit", "weighted_sample",
     "length_buckets",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
-    "webhook_payloads",
+    "webhook_payloads", "bigram_logprob", "doc_line_dedup",
 )
 
 

@@ -693,3 +693,170 @@ CURATION_ORACLES["snapshot_diff"] = """
     SELECT status, CAST(count(*) AS BIGINT) AS n_docs
     FROM j GROUP BY status ORDER BY status
 """
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition removal (RefinedWeb-style line strip)
+# ---------------------------------------------------------------------------
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-layouted as 4-line texts with line 1 PLANTED again as
+    line 3 — the within-doc repetition ground truth (the flat fixture
+    texts are single-line, so structure is derived deterministically in
+    both engines)."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id",
+                    # NULL text → '' in BOTH engines: DuckDB's unnest over
+                    # a NULL split yields zero rows and silently drops the
+                    # document, Spark's posexplode keeps it
+                    F.split(F.coalesce(F.col("text"), F.lit("")),
+                            " ", -1).alias("w")))
+    seg = [F.concat_ws(" ", F.slice("w", start, 5)) for start in (1, 6, 11)]
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", seg[0], seg[1], seg[0], seg[2]).alias("text"))
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-DOCUMENT repeated-line removal (RefinedWeb/MassiveText
+    repetition removal — the transformation, not just the
+    ``doc_repetition`` score): keep each line's FIRST occurrence in its
+    document, preserving order, and rebuild the text.
+
+    Scale shape: the first-occurrence mark is a ``row_number`` window
+    over ``(doc_id, line)`` — per-document-line keys, so partitions stay
+    uniform no matter how hot a line is ACROSS documents (contrast
+    ``line_dedup``'s corpus-wide keeper join); reconstruction is a
+    per-doc ``collect_list`` bounded by document size. Rebuilt text is
+    md5-compared so the oracle checks content without hashing megabytes."""
+    lines = _multiline_docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"))
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    kept = (lines.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                         lambda s: s["line"]), "\n")).alias("cleaned_md5"))
+            .select("doc_id", F.lit(4).cast("long").alias("n_lines"),
+                    "n_kept", "cleaned_md5")
+            .orderBy("doc_id"))
+
+
+_MULTILINE_SQL = """
+    SELECT doc_id,
+           -- coalesce each segment: DuckDB array_to_string([]) is NULL
+           -- (Spark concat_ws gives ''), and || with NULL poisons the doc
+           coalesce(array_to_string(list_slice(w, 1, 5), ' '), '') || chr(10)
+           || coalesce(array_to_string(list_slice(w, 6, 10), ' '), '') || chr(10)
+           || coalesce(array_to_string(list_slice(w, 1, 5), ' '), '') || chr(10)
+           || coalesce(array_to_string(list_slice(w, 11, 15), ' '), '') AS text
+    FROM (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w
+          FROM documents)
+"""
+
+CURATION_ORACLES["doc_line_dedup"] = f"""
+    WITH ml AS ({_MULTILINE_SQL}),
+    lines AS (
+      SELECT doc_id, pos - 1 AS pos, line FROM (
+        SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+               generate_subscripts(str_split(text, chr(10)), 1) AS pos
+        FROM ml)),
+    kept AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY doc_id, line
+                                  ORDER BY pos) AS rn
+        FROM lines) WHERE rn = 1)
+    SELECT doc_id, CAST(4 AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM score (CCNet-style perplexity filter, order 2)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.7  # weight of the bigram term; 1-λ backs off to unigram
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-transition log-probability under an interpolated bigram
+    LM trained on the corpus itself: ``P(w_i | w_{i-1}) =
+    λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1-λ)·c(w_i)/T`` — one model order up
+    from ``q_unigram_logprob``, the shape of CCNet's KenLM perplexity
+    filter (head/middle/tail bucketing happens downstream on this score).
+
+    Scale shape mirrors the unigram query: vocabulary and bigram tables
+    are map-side-combinable aggregates (hot tokens absorbed before the
+    shuffle), per-(doc, pair) counts carry doc_id in the key so corpus-hot
+    bigrams spread, model joins broadcast (production: broadcast top-K +
+    shuffle-join the tail), and the corpus total rides a 1-row crossJoin,
+    never a collect."""
+    lam = BIGRAM_LAMBDA
+    from .text_analysis import adjacent_bigrams
+
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", F.split("text", " ", -1).alias("w")))
+    docs = docs.withColumn("n", F.size("w"))
+    toks = docs.select("doc_id", F.explode("w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    total = uni.agg(F.sum("cu").alias("t"))
+    pairs = docs.filter(F.col("n") >= 2).select(
+        "doc_id", F.explode(adjacent_bigrams(F.col("w"), F.col("n")))
+        .alias("pair"))
+    big = pairs.groupBy("pair").agg(F.count("*").alias("cb"))
+    dp = pairs.groupBy("doc_id", "pair").agg(F.count("*").alias("c"))
+    prev_cnt = uni.select(F.col("tok").alias("ptok"), F.col("cu").alias("cup"))
+    cur_cnt = uni.select(F.col("tok").alias("ctok"), F.col("cu").alias("cuc"))
+    scored = (dp.join(F.broadcast(big), "pair")
+              .withColumn("ptok", F.split("pair", " ", -1)[0])
+              .withColumn("ctok", F.split("pair", " ", -1)[1])
+              .join(F.broadcast(prev_cnt), "ptok")
+              .join(F.broadcast(cur_cnt), "ctok")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.sum("c").cast("long").alias("n_pairs"),
+                   (F.sum(F.col("c") * F.log(
+                       F.lit(lam) * F.col("cb") / F.col("cup")
+                       + F.lit(1 - lam) * F.col("cuc") / F.col("t")))
+                    / F.sum("c")).alias("lp")))
+    return (scored.select("doc_id", "n_pairs",
+                          F.round("lp", 4).alias("avg_logp"))
+            .orderBy("doc_id"))
+
+
+CURATION_ORACLES["bigram_logprob"] = f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS w,
+             len(str_split(text, ' ')) AS n
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS tok FROM w),
+    uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+    total AS (SELECT sum(cu) AS t FROM uni),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n),
+                    i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM w WHERE n >= 2),
+    big AS (SELECT pair, count(*) AS cb FROM pairs GROUP BY pair),
+    dp AS (SELECT doc_id, pair, count(*) AS c FROM pairs
+           GROUP BY doc_id, pair),
+    j AS (
+      SELECT dp.doc_id, dp.c, big.cb,
+             pu.cu AS cup, cu2.cu AS cuc, total.t
+      FROM dp
+      JOIN big USING (pair)
+      JOIN uni pu ON pu.tok = str_split(dp.pair, ' ')[1]
+      JOIN uni cu2 ON cu2.tok = str_split(dp.pair, ' ')[2]
+      CROSS JOIN total)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pairs,
+           round(sum(c * ln({BIGRAM_LAMBDA!r} * cb / cup
+                            + {1 - BIGRAM_LAMBDA!r} * cuc / t)) / sum(c), 4)
+           AS avg_logp
+    FROM j GROUP BY doc_id ORDER BY doc_id
+"""

@@ -535,6 +535,42 @@ class TestScanWiden:
         assert out.count() == 100
 
 
+class TestDocLineDedupAndBigramLM:
+    SF = "/root/testdata/sf0.001"
+
+    def test_planted_repeat_always_removed(self, spark):
+        """Every derived doc carries line 1 planted again as line 3, so
+        no doc can keep all 4 lines; at least one line always survives."""
+        from document_converter_api_spark.operators.curation import (
+            q_doc_line_dedup,
+        )
+        rows = q_doc_line_dedup(spark, self.SF).collect()
+        assert rows
+        for r in rows:
+            assert r.n_lines == 4
+            assert 1 <= r.n_kept <= 3, r
+
+    def test_bigram_scores_are_log_probs(self, spark):
+        """Interpolated P is a convex mix of two probabilities ≤ 1 →
+        every avg log-prob is ≤ 0; n_pairs equals n_words - 1 per doc
+        (fixture texts are single-spaced, no empty tokens)."""
+        from pyspark.sql import functions as F
+
+        from document_converter_api_spark.operators.curation import (
+            q_bigram_logprob,
+        )
+        out = {r.doc_id: r for r in q_bigram_logprob(spark, self.SF).collect()}
+        assert out
+        assert all(r.avg_logp <= 0 for r in out.values())
+        docs = (spark.read.parquet(f"{self.SF}/documents.parquet")
+                .filter(F.col("text").isNotNull())
+                .select("doc_id", F.size(F.split("text", " ", -1)).alias("n"))
+                .collect())
+        for d in docs:
+            if d.n >= 2:
+                assert out[d.doc_id].n_pairs == d.n - 1
+
+
 class TestTokenPackSink:
     def test_shard_partitioned_write_round_trips(self, spark, tmp_path):
         """token_pack's shard assignment is a WRITE layout contract: a

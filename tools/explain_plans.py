@@ -114,6 +114,14 @@ def main() -> None:
          "once (persisted, InMemoryTableScan x2), band-key equi-self-join "
          "pair expansion (no bucket arrays, AQE-splittable), exact "
          "Hamming re-check inside buckets."),
+        ("bigram_logprob", "interpolated bigram LM (CCNet perplexity, "
+         "order 2): vocab/bigram tables map-side-combined, model joins "
+         "broadcast, per-(doc,pair) counts carry doc_id so corpus-hot "
+         "bigrams spread, corpus total rides a 1-row crossJoin."),
+        ("doc_line_dedup", "within-document repeated-line strip "
+         "(RefinedWeb repetition removal): row_number over per-"
+         "(doc_id,line) keys — uniform partitions regardless of corpus-"
+         "hot lines — then per-doc bounded collect_list rebuild."),
         ("webhook_payloads", "S8 webhook payload assembly: one codegen'd "
          "to_json projection — md5 job_id, conditional completed/failed "
          "field sets, zero Python, zero shuffle."),
