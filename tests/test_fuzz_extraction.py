@@ -90,3 +90,29 @@ def test_script_style_payload_never_leaks(scr, sty):
     assert res.error is None
     assert marker_s not in res.markdown
     assert marker_y not in res.markdown
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_corrupted_encrypted_pdfs_never_raise(data):
+    """Byte-level corruption of genuinely encrypted PDFs (all three
+    Standard-handler variants) must always degrade to an error column or
+    (possibly empty) text — never an uncaught exception from the
+    decrypt/key-derivation path (round-3 surface)."""
+    from tests.test_pdf_robustness import build_encrypted_pdf
+
+    variant = data.draw(st.sampled_from(
+        [(1, 2, 40, False), (2, 3, 128, False), (4, 4, 128, True)]))
+    v, r, bits, aes = variant
+    pdf = bytearray(build_encrypted_pdf(
+        ["Fuzz line one.", "And two."], v=v, r=r, length_bits=bits, aes=aes))
+    n_flips = data.draw(st.integers(1, 12))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(0, len(pdf) - 1))
+        pdf[pos] = data.draw(st.integers(0, 255))
+    res = extract_document(bytes(pdf), "https://fuzz.example/enc.pdf")
+    # the degradation contract: exactly one of (markdown, error), or
+    # empty-string markdown — and deterministic
+    assert (res.markdown is None) != (res.error is None) or res.markdown == ""
+    res2 = extract_document(bytes(pdf), "https://fuzz.example/enc.pdf")
+    assert res.markdown == res2.markdown and res.error == res2.error
