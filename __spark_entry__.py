@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": C.q_bigram_logprob,
         # RefinedWeb-style within-document repeated-line strip
         "doc_line_dedup": C.q_doc_line_dedup,
+        # CCNet head/middle/tail split on the bigram LM score
+        "perplexity_buckets": C.q_perplexity_buckets,
         # crawl-over-crawl change classification: ONE full-outer shuffle
         # join on doc_id carrying md5 digests, never the text payload
         "snapshot_diff": C.q_snapshot_diff,

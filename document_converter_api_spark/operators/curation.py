@@ -860,3 +860,55 @@ CURATION_ORACLES["bigram_logprob"] = f"""
            AS avg_logp
     FROM j GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality split: per-LANGUAGE terciles of the interpolated
+    bigram LM score — ``head`` (most fluent third), ``middle``, ``tail``.
+    The downstream recipe keeps head+middle and drops or re-weights tail;
+    this query reports each bucket's population and score range.
+
+    Buckets come from ``ntile(3)`` over ``(avg_logp DESC, doc_id)`` —
+    RANK-based, integer-exact cross-engine, unlike interpolated
+    percentile CUTS whose 1-ulp engine differences flip boundary docs
+    (measured: the quantile_cont formulation hash-mismatched). Scale
+    shape: scores reuse :func:`q_bigram_logprob` (its plan, its skew
+    story); the window partitions by ``lang`` (bounded fan-in per
+    language — at 100 TB switch to approx-percentile cuts and accept the
+    boundary fuzz, or pre-bucket by score range)."""
+    scores = q_bigram_logprob(spark, sf_dir)
+    langs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", "lang"))
+    sl = scores.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    bucketed = sl.withColumn(
+        "bucket",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                     F.ntile(3).over(w)))
+    return (bucketed.groupBy("lang", "bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.min("avg_logp"), 4).alias("min_logp"),
+                 F.round(F.max("avg_logp"), 4).alias("max_logp"))
+            .orderBy("lang", "bucket"))
+
+
+CURATION_ORACLES["perplexity_buckets"] = f"""
+    WITH scores AS ({CURATION_ORACLES["bigram_logprob"]}),
+    sl AS (
+      SELECT s.doc_id, s.avg_logp, d.lang
+      FROM scores s JOIN documents d USING (doc_id)),
+    b AS (
+      SELECT lang, avg_logp,
+             (['head', 'middle', 'tail'])[
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logp DESC, doc_id ASC)] AS bucket
+      FROM sl)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_logp), 4) AS min_logp,
+           round(max(avg_logp), 4) AS max_logp
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""

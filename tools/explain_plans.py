@@ -101,9 +101,10 @@ def main() -> None:
         ("rollup_stats", "Expand + single shuffle for grouping sets."),
         ("region_revenue", "5-way join: dims broadcast, single fact "
          "shuffle for lineitem-orders."),
-        ("dedup_minhash_lsh", "bucket-then-expand LSH: the Arrow signature "
-         "stage appears ONCE (a bands self-join would plan it twice), one "
-         "shuffle to band buckets, pairs expand JVM-side."),
+        ("dedup_minhash_lsh", "LSH pairs via band-key equi-self-join over "
+         "the PERSISTED signature table: the Arrow signature stage "
+         "computes once (InMemoryTableScan x2), no bucket arrays — a hot "
+         "band value streams through the join and AQE skew-split applies."),
         ("dedup_ngram_jaccard", "posting-list Jaccard with the document-"
          "frequency cap riding the SAME shuffle: one Exchange on shingle "
          "serves the window count (spill-safe per-key rows) AND the "
@@ -114,6 +115,10 @@ def main() -> None:
          "once (persisted, InMemoryTableScan x2), band-key equi-self-join "
          "pair expansion (no bucket arrays, AQE-splittable), exact "
          "Hamming re-check inside buckets."),
+        ("perplexity_buckets", "CCNet head/middle/tail: ntile(3) over "
+         "(lang) partitions of the bigram LM score — rank-based, "
+         "integer-exact cross-engine (interpolated cuts flip boundary "
+         "docs by 1 ulp); window fan-in bounded per language."),
         ("bigram_logprob", "interpolated bigram LM (CCNet perplexity, "
          "order 2): vocab/bigram tables map-side-combined, model joins "
          "broadcast, per-(doc,pair) counts carry doc_id so corpus-hot "
