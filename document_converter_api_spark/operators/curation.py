@@ -717,31 +717,43 @@ def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\n", seg[0], seg[1], seg[0], seg[2]).alias("text"))
 
 
-def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def strip_repeated_lines(docs: DataFrame) -> DataFrame:
     """Within-DOCUMENT repeated-line removal (RefinedWeb/MassiveText
     repetition removal — the transformation, not just the
     ``doc_repetition`` score): keep each line's FIRST occurrence in its
-    document, preserving order, and rebuild the text.
+    document, preserving order, and rebuild ``text``. Input needs
+    (doc_id, text); other columns pass through via the join-back. Adds
+    ``n_kept`` (surviving line count).
 
     Scale shape: the first-occurrence mark is a ``row_number`` window
     over ``(doc_id, line)`` — per-document-line keys, so partitions stay
     uniform no matter how hot a line is ACROSS documents (contrast
     ``line_dedup``'s corpus-wide keeper join); reconstruction is a
-    per-doc ``collect_list`` bounded by document size. Rebuilt text is
-    md5-compared so the oracle checks content without hashing megabytes."""
-    lines = _multiline_docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"))
+    per-doc ``collect_list`` bounded by document size."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             "\n", -1)).alias("pos", "line"))
     w = Window.partitionBy("doc_id", "line").orderBy("pos")
     kept = (lines.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1))
-    return (kept.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_kept"),
-                 F.md5(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                         lambda s: s["line"]), "\n")).alias("cleaned_md5"))
-            .select("doc_id", F.lit(4).cast("long").alias("n_lines"),
-                    "n_kept", "cleaned_md5")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n").alias("text")))
+    return docs.drop("text").join(rebuilt, "doc_id")
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle wrapper for :func:`strip_repeated_lines` over the derived
+    multi-line corpus (line 1 planted again as line 3). Rebuilt text is
+    md5-compared so the oracle checks content without hashing megabytes."""
+    cleaned = strip_repeated_lines(_multiline_docs(spark, sf_dir))
+    return (cleaned.select("doc_id", F.lit(4).cast("long").alias("n_lines"),
+                           "n_kept", F.md5("text").alias("cleaned_md5"))
             .orderBy("doc_id"))
 
 
@@ -784,12 +796,12 @@ CURATION_ORACLES["doc_line_dedup"] = f"""
 BIGRAM_LAMBDA = 0.7  # weight of the bigram term; 1-λ backs off to unigram
 
 
-def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean per-transition log-probability under an interpolated bigram
-    LM trained on the corpus itself: ``P(w_i | w_{i-1}) =
-    λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1-λ)·c(w_i)/T`` — one model order up
-    from ``q_unigram_logprob``, the shape of CCNet's KenLM perplexity
-    filter (head/middle/tail bucketing happens downstream on this score).
+def bigram_scores(source: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_pairs, avg_logp): mean per-transition
+    log-probability under an interpolated bigram LM trained on the corpus
+    itself: ``P(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) +
+    (1-λ)·c(w_i)/T`` — one model order up from ``q_unigram_logprob``, the
+    shape of CCNet's KenLM perplexity filter.
 
     Scale shape mirrors the unigram query: vocabulary and bigram tables
     are map-side-combinable aggregates (hot tokens absorbed before the
@@ -800,8 +812,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = BIGRAM_LAMBDA
     from .text_analysis import adjacent_bigrams
 
-    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-            .select("doc_id", F.split("text", " ", -1).alias("w")))
+    docs = source.select("doc_id", F.split("text", " ", -1).alias("w"))
     docs = docs.withColumn("n", F.size("w"))
     toks = docs.select("doc_id", F.explode("w").alias("tok"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
@@ -825,9 +836,32 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(lam) * F.col("cb") / F.col("cup")
                        + F.lit(1 - lam) * F.col("cuc") / F.col("t")))
                     / F.sum("c")).alias("lp")))
-    return (scored.select("doc_id", "n_pairs",
-                          F.round("lp", 4).alias("avg_logp"))
-            .orderBy("doc_id"))
+    return scored.select("doc_id", "n_pairs",
+                         F.round("lp", 4).alias("avg_logp"))
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle wrapper for :func:`bigram_scores` over the documents table."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text"))
+    return bigram_scores(docs).orderBy("doc_id")
+
+
+def with_perplexity_bucket(docs: DataFrame,
+                           lang_col: str = "lang") -> DataFrame:
+    """Adds ``avg_logp`` and ``ppl_bucket`` ('head'/'middle'/'tail') —
+    rank-based per-language terciles of the bigram LM score (the reusable
+    form behind ``q_perplexity_buckets``; CCNet drops or re-weights
+    'tail'). Docs too short to score (n_pairs absent: <2 tokens) land in
+    'tail'."""
+    scores = bigram_scores(docs.select("doc_id", "text"))
+    joined = docs.join(scores.select("doc_id", "avg_logp"), "doc_id", "left")
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.desc_nulls_last("avg_logp"), F.asc("doc_id")))
+    return joined.withColumn(
+        "ppl_bucket",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                     F.ntile(3).over(w)))
 
 
 CURATION_ORACLES["bigram_logprob"] = f"""

@@ -36,23 +36,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def curate(docs: DataFrame, langs: tuple[str, ...]) -> DataFrame:
+def curate(docs: DataFrame, langs: tuple[str, ...],
+           strip_lines: bool = False,
+           drop_ppl_tail: bool = False) -> DataFrame:
     """The curation DAG over a (doc_id, lang, text) table; returns the
-    curated rows with ``split`` and ``redacted`` columns."""
-    from document_converter_api_spark.operators.curation import redact_expr
+    curated rows with ``split`` and ``redacted`` columns.
+
+    ``strip_lines`` runs RefinedWeb within-document repetition removal
+    BEFORE exact dedup (so near-copies differing only in repeated
+    boilerplate lines canonicalize together); ``drop_ppl_tail`` drops the
+    least-fluent per-language tercile of the bigram LM score (CCNet's
+    tail cut) after the quality/lang gates. Both reuse the ORACLED
+    operator expressions (q_doc_line_dedup / q_perplexity_buckets)."""
+    from document_converter_api_spark.operators.curation import (
+        redact_expr, strip_repeated_lines, with_perplexity_bucket,
+    )
     from document_converter_api_spark.operators.sampling import split_expr
     from document_converter_api_spark.operators.scan import widen
     from document_converter_api_spark.operators.text_analysis import (
         with_gopher_signals, with_lang_pred,
     )
 
-    canon = (widen(docs)
+    docs = widen(docs)
+    if strip_lines:
+        docs = strip_repeated_lines(docs).drop("n_kept")
+    canon = (docs
              .groupBy(F.md5("text").alias("h"))
              .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
              .select("s.doc_id", "s.lang", "s.text"))
     sig = with_lang_pred(with_gopher_signals(canon))
     kept = (sig.filter((F.col("keep") == 1)
                        & F.col("pred_lang").isin(*langs)))
+    if drop_ppl_tail:
+        kept = (with_perplexity_bucket(kept, lang_col="pred_lang")
+                .filter(F.col("ppl_bucket") != "tail")
+                .drop("avg_logp", "ppl_bucket"))
     # redaction and split come from the SAME oracled expressions the
     # operator tier checks (q_pii_redact / q_split_assign) — a diverging
     # copy here would silently re-split or under-redact the corpus
@@ -66,7 +84,9 @@ def curate(docs: DataFrame, langs: tuple[str, ...]) -> DataFrame:
 def run_curation_job(spark: SparkSession, input_path: str,
                      output_root: str,
                      langs: tuple[str, ...] = ("en",),
-                     pack_budget: int | None = None) -> dict:
+                     pack_budget: int | None = None,
+                     strip_lines: bool = False,
+                     drop_ppl_tail: bool = False) -> dict:
     """``pack_budget`` additionally assigns the TRAIN split to
     fixed-token-budget shards (the oracled ``token_pack`` two-phase
     prefix sum via the shared ``assign_shards``) and writes ``shard_id``
@@ -80,7 +100,8 @@ def run_curation_job(spark: SparkSession, input_path: str,
     # persist: the DAG below it (dedup shuffle + HOF-heavy signal
     # projections) would otherwise re-execute for every per-split write
     # and stats pass — 4 recomputations of the dominant shuffle
-    curated = curate(docs, langs).persist()
+    curated = curate(docs, langs, strip_lines=strip_lines,
+                     drop_ppl_tail=drop_ppl_tail).persist()
     stats = {"input_docs": n_input, "langs": list(langs), "splits": {}}
     try:
         for split_name in ("train", "validation", "test"):
@@ -119,6 +140,12 @@ def main() -> None:
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="tokens per training shard; assigns shard_id on "
                          "the train split via the token_pack prefix sum")
+    ap.add_argument("--strip-repeated-lines", action="store_true",
+                    help="RefinedWeb within-doc repetition removal before "
+                         "dedup")
+    ap.add_argument("--drop-ppl-tail", action="store_true",
+                    help="drop the least-fluent per-language tercile of "
+                         "the bigram LM score (CCNet tail cut)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -132,7 +159,9 @@ def main() -> None:
     stats = run_curation_job(
         spark, args.input, args.output,
         tuple(s.strip() for s in args.langs.split(",") if s.strip()),
-        pack_budget=args.pack_budget)
+        pack_budget=args.pack_budget,
+        strip_lines=args.strip_repeated_lines,
+        drop_ppl_tail=args.drop_ppl_tail)
     print(json.dumps(stats))
     spark.stop()
 

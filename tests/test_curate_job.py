@@ -62,6 +62,41 @@ class TestCurationJob:
         assert rows1 == rows2
 
 
+class TestRefinedWebStages:
+    def test_strip_lines_canonicalizes_boilerplate_variants(self, spark):
+        """Two docs identical except one repeats a line must dedup to ONE
+        row when strip_lines=True (and to two rows without it)."""
+        from jobs.curate import curate
+        body = ("the quick brown fox jumps over the lazy dog again today\n"
+                "data pipeline spark cluster partition shuffle extract now")
+        rows = [
+            (1, "en", body),
+            (2, "en", body + "\n" + body.split("\n")[0]),  # repeated line 1
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        plain = curate(docs, ("en",)).collect()
+        stripped = curate(docs, ("en",), strip_lines=True).collect()
+        assert len(plain) == 2
+        assert len(stripped) == 1 and stripped[0].doc_id == 1
+
+    def test_drop_ppl_tail_removes_a_third_per_language(self, spark):
+        """With the tail tercile cut, each predicted language keeps ~2/3
+        of its gate-surviving docs, and exactly the lowest-score third
+        disappears."""
+        from pyspark.sql import functions as F
+
+        from jobs.curate import curate
+        docs = (spark.read.parquet(f"{SF}/documents.parquet")
+                .select("doc_id", "lang", "text"))
+        full = curate(docs, ("en",)).select("doc_id").collect()
+        cut = curate(docs, ("en",), drop_ppl_tail=True).select("doc_id").collect()
+        n_full, n_cut = len(full), len(cut)
+        assert 0 < n_cut < n_full
+        # terciles: kept = n - ntile-tail size (n//3, first buckets padded)
+        assert n_cut == n_full - (n_full // 3)
+        assert {r.doc_id for r in cut} <= {r.doc_id for r in full}
+
+
 class TestFullChain:
     def test_warc_to_extraction_to_curation(self, spark, tmp_path):
         """The whole production path in one pass: raw WARC segments →
