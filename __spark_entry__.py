@@ -204,6 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast LEFT ANTI join, per-source distinctive terms with
         # integer tf*(n_sources-df) weights (exact cross-engine ranking)
         "mix_sample": SA.q_mix_sample,
+        # DSIR (Xie et al. 2023): hashed-unigram importance weights toward
+        # a target domain, quantized to an integer 2^-20 grid (exact
+        # cross-engine dot product), Gumbel-top-K selection via
+        # TakeOrderedAndProject — no global window
+        "dsir_select": SA.q_dsir_select,
         "blocklist_filter": SA.q_blocklist_filter,
         "source_terms": SA.q_source_terms,
         # deterministic train/val/test split: salted-hash draw as a

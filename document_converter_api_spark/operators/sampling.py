@@ -294,10 +294,137 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+# Hashed unigram features: md5(token)'s first two nibbles (0..255) % 64
+# buckets — 256 is divisible by 64, so the fold stays uniform. The target
+# domain stands in for the curated corpus DSIR resamples toward (Wikipedia
+# / books in the paper); here it is three of the twenty fixture sources.
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_K = 100           # selection budget at fixture scale
+_Q20 = 1048576.0       # 2^20: the fixed-point quantum for log-space weights
+
+_DSIR_BUCKET_SQL = (
+    "CAST(((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))"
+    f" % {DSIR_BUCKETS} AS INT)")
+
+
+def _draw52_sql(salt: str) -> str:
+    """Uniform draw in (0, 1): 52 bits from a salted md5, +0.5 so the
+    draw is never exactly 0 (``ln(0)`` would poison a Gumbel transform).
+    Shared verbatim by both engines (the ``_WS_DRAW_SQL`` idiom)."""
+    return (
+        "((" + " + ".join(
+            f"CAST((instr('0123456789abcdef', substring(md5('{salt}' || "
+            f"CAST(doc_id AS STRING)), {i + 1}, 1)) - 1) AS BIGINT)"
+            f" * {16 ** (12 - i)}"
+            for i in range(13)
+        ) + ") + 0.5) / 4503599627370496.0")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every document by how much more likely
+    its hashed-unigram bag is under the TARGET domain's bucket
+    distribution than under the raw corpus's, then draw a Gumbel-top-K
+    sample proportional to the importance weights.
+
+    Math (paper's bag-of-hashed-ngrams estimator, add-1 smoothed):
+    ``log w(doc) = sum_b count_b(doc) * [ln p_target(b) - ln p_raw(b)]``.
+    Gumbel-top-K (key = log w + Gumbel noise) IS sampling-without-
+    replacement proportional to ``w`` — one deterministic pass, no
+    sequential draws.
+
+    Exactness: the per-bucket log-ratio is quantized to integer multiples
+    of 2^-20 (``floor(x * 2^20 + 0.5)`` — identical in both engines), so
+    each doc's weight is an INTEGER dot product ``sum(count_b * m_b)`` —
+    order-independent and overflow-free (|m| < 2^24, counts < 2^20), and
+    the Gumbel key is the same integer grid. No float sum ever crosses
+    the comparison.
+
+    Scale shape (10^12 docs): the bucket distribution is a 64-row
+    map-side-combinable aggregate; per-(doc, bucket) counts key on doc_id
+    (uniform — a corpus-hot token spreads across docs); the 64-row
+    log-ratio table broadcast-joins back; selection is
+    ``TakeOrderedAndProject`` (top-K without a global window or a
+    SinglePartition exchange). At a 10^12-doc budget you'd replace the
+    driver-visible LIMIT with a key threshold (keep iff
+    ``key_q20 > cut``), same plan minus the ordering."""
+    b = DSIR_BUCKETS
+    tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "source", "text"))
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1))
+        .alias("tok"))
+    tb = toks.withColumn("b", F.expr(_DSIR_BUCKET_SQL))
+    dist = tb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(tgt, 1).otherwise(0)).alias("ct"))
+    totals = dist.agg(F.sum("cr").alias("t_raw"), F.sum("ct").alias("t_tgt"))
+    # ln((p_target/p_raw)) with add-1 smoothing, as ONE ratio of exact
+    # integer products (< 2^53, so the double math is identical cross-engine)
+    m = (dist.crossJoin(F.broadcast(totals))
+         .select("b", F.floor(
+             F.log(((F.col("ct") + 1.0) * (F.col("t_raw") + float(b)))
+                   / ((F.col("cr") + 1.0) * (F.col("t_tgt") + float(b))))
+             * _Q20 + 0.5).cast("long").alias("m")))
+    db = tb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w = (db.join(F.broadcast(m), "b")
+         .groupBy("doc_id")
+         .agg(F.sum(F.col("c") * F.col("m")).cast("long").alias("w_q20")))
+    gumbel = -F.log(-F.log(F.expr(_draw52_sql("dsir:"))))
+    keyed = w.withColumn(
+        "key_q20",
+        (F.col("w_q20")
+         + F.floor(gumbel * _Q20 + 0.5).cast("long")).cast("long"))
+    return (keyed.join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "w_q20", "key_q20",
+                    F.round(F.col("w_q20") / _Q20, 6).alias("logw"))
+            .orderBy(F.desc("key_q20"), F.asc("doc_id"))
+            .limit(DSIR_K))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins (identical constants, interpolated from the same names)
 # ---------------------------------------------------------------------------
 
 SAMPLING_ORACLES = {
+    "dsir_select": f"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(str_split(coalesce(text, ''), ' '))
+                 AS tok
+          FROM documents),
+        tb AS (SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b FROM toks),
+        dist AS (
+          SELECT b, count(*) AS cr,
+                 sum(CASE WHEN source IN {DSIR_TARGET_SOURCES!r}
+                     THEN 1 ELSE 0 END) AS ct
+          FROM tb GROUP BY b),
+        tot AS (SELECT sum(cr) AS t_raw, sum(ct) AS t_tgt FROM dist),
+        m AS (
+          SELECT b, CAST(floor(ln(((ct + 1.0) * (t_raw + {float(DSIR_BUCKETS)!r}))
+                    / ((cr + 1.0) * (t_tgt + {float(DSIR_BUCKETS)!r})))
+                    * {_Q20!r} + 0.5) AS BIGINT) AS m
+          FROM dist CROSS JOIN tot),
+        db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b),
+        w AS (SELECT doc_id, CAST(sum(c * m) AS BIGINT) AS w_q20
+              FROM db JOIN m USING (b) GROUP BY doc_id),
+        keyed AS (
+          SELECT doc_id, w_q20,
+                 CAST(w_q20 + CAST(floor(
+                   (-ln(-ln({_draw52_sql("dsir:")}))) * {_Q20!r} + 0.5)
+                   AS BIGINT) AS BIGINT) AS key_q20
+          FROM w)
+        SELECT k.doc_id, d.source, k.w_q20, k.key_q20,
+               round(k.w_q20 / {_Q20!r}, 6) AS logw
+        FROM keyed k JOIN documents d ON d.doc_id = k.doc_id
+        ORDER BY k.key_q20 DESC, k.doc_id ASC
+        LIMIT {DSIR_K}
+    """,
     "weighted_sample": f"""
         WITH d AS (
           SELECT doc_id, lang, n_chars,

@@ -1174,3 +1174,51 @@ class TestSpanDedupTwoPhase:
         # the unique filler
         for i in (100, 10005):
             assert out[i].dup_words == out[i].n_words == 16, out[i]
+
+
+class TestDsirSelect:
+    """DSIR (Xie et al. 2023) importance resampling: target-domain docs
+    must be enriched in the Gumbel-top-K selection, the weight arithmetic
+    must stay on the integer 2^-20 grid, and the plan must select via
+    TakeOrderedAndProject (never a global window)."""
+
+    def test_target_sources_enriched(self, spark, tmp_path):
+        """Corpus of 400 docs across 4 sources with DISTINCT vocabularies;
+        src0/src1/src2 form the DSIR target. src3 speaks a vocabulary the
+        target never uses, so its hash buckets carry strongly negative
+        log-ratios — the selection must (nearly) shut it out despite its
+        25% corpus share."""
+        from document_converter_api_spark.operators.sampling import (
+            DSIR_K, DSIR_TARGET_SOURCES, q_dsir_select,
+        )
+        rows = []
+        for i in range(400):
+            src = f"src{i % 4}"
+            # per-source vocabulary: src0 speaks only "alpha*" words, etc.
+            stem = ["alpha", "beta", "gamma", "delta"][i % 4]
+            rows.append((i, " ".join(f"{stem}{(i * 7 + j) % 50}"
+                                     for j in range(30)), "en", src, 30))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = q_dsir_select(spark, str(tmp_path)).collect()
+        assert len(out) == DSIR_K
+        n_target = sum(1 for r in out if r.source in DSIR_TARGET_SOURCES)
+        # target share in the corpus is 75%; the importance weights should
+        # make the selection (nearly) pure target
+        assert n_target >= DSIR_K * 0.95, n_target
+        # weights live on the integer 2^-20 grid: logw reconstructs w_q20
+        for r in out[:10]:
+            assert abs(r.logw - r.w_q20 / 1048576.0) < 5e-7
+
+    def test_plan_is_topk_no_global_window(self, spark):
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators.sampling import (
+            q_dsir_select,
+        )
+        plan = plan_of(q_dsir_select(spark, "/root/testdata/sf0.001"))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "windowspecdefinition" not in plan, plan
+        # the 64-row log-ratio table joins back via broadcast
+        assert "BroadcastHashJoin" in plan, plan

@@ -254,6 +254,11 @@ def main() -> None:
          "decision is a scan-stage projection (52-bit exact draw vs "
          "n_chars weight); the only shuffle is the per-language report "
          "agg."),
+        ("dsir_select", "DSIR importance resampling: 64-row hashed-unigram "
+         "bucket distribution broadcast back as integer 2^-20 log-ratios; "
+         "per-doc weight is an integer dot product; Gumbel-top-K selection "
+         "via TakeOrderedAndProject — no global window, no SinglePartition "
+         "exchange."),
         ("length_buckets", "context-length bucketing: codegen'd bucket "
          "CASE + 5-group map-side-combining agg — ~5 partial rows per "
          "map task regardless of corpus size."),
