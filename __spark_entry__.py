@@ -49,18 +49,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds of green driver rows already. All 86 stay covered locally by
 # tools/check_oracle.py either way.
 _GATE_WINDOW_FIRST = [
+    # brand-new in round 3 — no driver artifact, freshest code
+    "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
+    "dsir_select", "ngram_repetition",
     # never driver-checked (past r2's 50-entry window)
     "decontaminate", "token_pack", "unicode_normalize", "unigram_logprob",
-    "snapshot_diff", "mojibake_repair", "doc_repetition", "bpe_pair_stats",
-    "token_entropy", "chunk_overlap", "mix_sample", "blocklist_filter",
-    "source_terms", "split_assign", "weighted_sample", "length_buckets",
+    "doc_repetition", "bpe_pair_stats",
+    "token_entropy", "mix_sample", "blocklist_filter",
+    "source_terms", "split_assign", "length_buckets",
     "bm25_search", "quality_classifier", "domain_pagerank",
     "multimodal_decode", "multimodal_frame_sample",
     "multimodal_audio_features", "asof_join", "range_join",
     "range_join_variable", "politeness_audit", "hll_distinct",
     "kmv_distinct", "cms_topk", "bloom_filter", "histogram_quantiles",
     "host_stats_salted", "host_cap_sample", "sessionize", "crawl_rate",
-    "bucketed_join",
     # dedup/ANN tier — operators changed in round 3
     "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
     "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
@@ -72,6 +74,11 @@ _GATE_WINDOW_FIRST = [
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
 # every round by tools/check_oracle.py)
+# displaced for the five round-3-new curation/selection queries
+# (bigram_logprob, doc_line_dedup, perplexity_buckets, dsir_select,
+# ngram_repetition): snapshot_diff, mojibake_repair, chunk_overlap,
+# weighted_sample, bucketed_join — all stable, plan-pinned, and still
+# locally oracle-checked every round by tools/check_oracle.py.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -189,6 +196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher line-grain repetition: duplicate-line + duplicate-char
         # fractions; integer counts, two final divisions — exact parity
         "doc_repetition": T.q_doc_repetition,
+        # Gopher word-gram repetition gate: top-{2,3,4}-gram and
+        # dup-{5..10}-gram character fractions + paper-threshold pass
+        # flag; one explode, (doc_id,n,gram)-keyed count — no hot keys
+        "ngram_repetition": T.q_ngram_repetition,
         # BPE-training inner loop: adjacent-pair corpus counts + doc
         # frequency, vocabulary-sized shuffle, top-k
         "bpe_pair_stats": T.q_bpe_pair_stats,

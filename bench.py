@@ -59,7 +59,7 @@ BENCH_QUERIES = (
     "length_buckets",
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
     "webhook_payloads", "bigram_logprob", "doc_line_dedup",
-    "perplexity_buckets", "dsir_select",
+    "perplexity_buckets", "dsir_select", "ngram_repetition",
 )
 
 

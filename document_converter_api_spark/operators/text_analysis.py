@@ -383,6 +383,158 @@ TEXT_ORACLES["doc_repetition"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Intra-document n-gram repetition (Gopher word-gram repetition signals)
+# ---------------------------------------------------------------------------
+
+# Gopher Table A1 (Rae et al. 2021 §A1.1): a doc fails the repetition gate
+# when the most frequent {2,3,4}-gram covers too much of the text, or when
+# duplicated {5..10}-grams do. Thresholds are the paper's, in n order.
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+GOPHER_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's word-n-gram repetition gate, the grain `doc_repetition`
+    (lines) doesn't cover: per document, the character fraction held by
+    the most frequent n-gram for n in {2,3,4} and by ALL occurrences of
+    duplicated n-grams for n in {5..10}, plus the paper-threshold pass
+    flag. "Characters of a gram" = ``length(gram)`` of the
+    space-joined words — every occurrence counts (the common public
+    reimplementation of the ambiguous paper wording), so the math stays
+    a sum of integer products.
+
+    Plan: ONE explode produces every (n, gram) pair — the per-row gram
+    build is ``transform(sequence, i -> slice(w, i, n))`` over a
+    materialized words column (O(n·words), never O(words²) — see the
+    no-split-inside-lambda pin). The count shuffle keys on
+    (doc_id, n, gram): corpus-hot boilerplate grams spread across their
+    documents, so there is no hot key at any corpus size. Re-agg on
+    uniform doc_id, one doc_id-keyed left join back for gram-less docs
+    (< 2 words). No window, no Python. Integer sums end-to-end; the
+    per-n division is the single float op, so DuckDB parity is exact."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
+    base = docs.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.split("text", " ", -1).alias("w"))
+    def _fam(n: int) -> F.Column:
+        # NB: the lambda must take exactly ONE parameter — pyspark infers
+        # HOF arity from the signature, so a `lambda i, n=n:` binding
+        # would silently receive (element, index) and the array INDEX
+        # would overwrite n. Bind n via this enclosing scope instead.
+        return (F.when(F.size("w") >= n,
+                       F.transform(
+                           F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                           lambda i: F.struct(
+                               F.lit(n).alias("n"),
+                               F.array_join(F.slice("w", i, n), " ")
+                               .alias("g"))))
+                .otherwise(F.array().cast("array<struct<n:int,g:string>>")))
+
+    fams = [_fam(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS]
+    grams = (base.select(
+                 "doc_id",
+                 F.explode(F.flatten(F.array(*fams))).alias("ng"))
+             .select("doc_id", F.col("ng.n").alias("n"),
+                     F.col("ng.g").alias("g")))
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * F.length("g")).alias("top_chars"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("g"))
+              .otherwise(0)).alias("dup_chars"))
+    wide = per_n.groupBy("doc_id").agg(
+        *[F.coalesce(F.max(F.when(F.col("n") == n, F.col("top_chars"))),
+                     F.lit(0)).alias(f"top{n}_chars")
+          for n in GOPHER_TOP_NS],
+        *[F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_chars"))),
+                     F.lit(0)).alias(f"dup{n}_chars")
+          for n in GOPHER_DUP_NS])
+    joined = base.select("doc_id", "n_chars").join(wide, "doc_id", "left")
+
+    def frac(chars_col: str) -> F.Column:
+        return F.when(
+            F.col("n_chars") > 0,
+            F.round(F.coalesce(F.col(chars_col), F.lit(0)).cast("double")
+                    / F.col("n_chars"), 6)).otherwise(F.lit(0.0))
+
+    frac_cols = ([frac(f"top{n}_chars").alias(f"top{n}_frac")
+                  for n in GOPHER_TOP_NS]
+                 + [frac(f"dup{n}_chars").alias(f"dup{n}_frac")
+                    for n in GOPHER_DUP_NS])
+    gated = joined.select("doc_id", *frac_cols)
+    fails = [F.col(f"top{n}_frac") > GOPHER_TOP_MAX[n]
+             for n in GOPHER_TOP_NS]
+    fails += [F.col(f"dup{n}_frac") > GOPHER_DUP_MAX[n]
+              for n in GOPHER_DUP_NS]
+    pred = fails[0]
+    for f in fails[1:]:
+        pred = pred | f
+    return (gated.withColumn("ngram_pass", (~pred).cast("int"))
+            .orderBy("doc_id"))
+
+
+def _ngram_rep_oracle() -> str:
+    gram_selects = []
+    for n in GOPHER_TOP_NS + GOPHER_DUP_NS:
+        gram_selects.append(f"""
+      SELECT doc_id, {n} AS n,
+             unnest(CASE WHEN len(w) >= {n}
+                    THEN list_transform(range(1, len(w) - {n} + 2),
+                         i -> array_to_string(list_slice(w, i, i + {n - 1}),
+                                              ' '))
+                    ELSE [] END) AS g
+      FROM base""")
+    top_cols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0)"
+        f" AS top{n}_chars" for n in GOPHER_TOP_NS)
+    dup_cols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0)"
+        f" AS dup{n}_chars" for n in GOPHER_DUP_NS)
+    frac_cols = ",\n           ".join(
+        f"CASE WHEN b.n_chars > 0 THEN round("
+        f"CAST(coalesce(w.top{n}_chars, 0) AS DOUBLE) / b.n_chars, 6)"
+        f" ELSE 0.0 END AS top{n}_frac" for n in GOPHER_TOP_NS)
+    frac_cols += ",\n           " + ",\n           ".join(
+        f"CASE WHEN b.n_chars > 0 THEN round("
+        f"CAST(coalesce(w.dup{n}_chars, 0) AS DOUBLE) / b.n_chars, 6)"
+        f" ELSE 0.0 END AS dup{n}_frac" for n in GOPHER_DUP_NS)
+    fail_terms = [f"top{n}_frac > {GOPHER_TOP_MAX[n]!r}"
+                  for n in GOPHER_TOP_NS]
+    fail_terms += [f"dup{n}_frac > {GOPHER_DUP_MAX[n]!r}"
+                   for n in GOPHER_DUP_NS]
+    return f"""
+    WITH base AS (
+      SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+             str_split(coalesce(text, ''), ' ') AS w
+      FROM documents),
+    grams AS ({" UNION ALL ".join(gram_selects)}),
+    counts AS (
+      SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+    per_n AS (
+      SELECT doc_id, n,
+             max(c * length(g)) AS top_chars,
+             sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+      FROM counts GROUP BY doc_id, n),
+    wide AS (
+      SELECT doc_id,
+             {top_cols},
+             {dup_cols}
+      FROM per_n GROUP BY doc_id),
+    gated AS (
+      SELECT b.doc_id,
+           {frac_cols}
+      FROM base b LEFT JOIN wide w USING (doc_id))
+    SELECT *, CAST(NOT ({" OR ".join(fail_terms)}) AS INT) AS ngram_pass
+    FROM gated ORDER BY doc_id
+"""
+
+
+TEXT_ORACLES["ngram_repetition"] = _ngram_rep_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Token-distribution entropy (gibberish / low-diversity detector)
 # ---------------------------------------------------------------------------
 

@@ -1222,3 +1222,70 @@ class TestDsirSelect:
         assert "windowspecdefinition" not in plan, plan
         # the 64-row log-ratio table joins back via broadcast
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestNgramRepetition:
+    """Gopher word-gram repetition gate: a doc stamped with one repeated
+    phrase must fail the paper thresholds, a diverse doc must pass, the
+    char fractions must be exact integer-sum ratios, and the plan must
+    be explode+agg — no window."""
+
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def test_repetitive_doc_fails_diverse_doc_passes(self, spark, tmp_path):
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        spam = " ".join(["buy cheap pills now"] * 25)        # 100 words
+        clean = " ".join(f"w{i}x{i * 7 % 97}" for i in range(100))
+        self._write(spark, tmp_path, [(0, spam, "en", "s", len(spam)),
+                                      (1, clean, "en", "s", len(clean))])
+        out = {r.doc_id: r for r in
+               q_ngram_repetition(spark, str(tmp_path)).collect()}
+        assert out[0].ngram_pass == 0, out[0]
+        assert out[1].ngram_pass == 1, out[1]
+        # spam: "buy cheap pills now buy" repeats -> dup5 ~ 5x coverage
+        assert out[0].dup5_frac > 1.0, out[0]
+        assert out[1].dup5_frac == 0.0, out[1]
+        # top 2-gram of spam is "now buy"/"buy cheap"-class: 24-25 hits
+        assert out[0].top2_frac > 0.2, out[0]
+
+    def test_exact_fraction_arithmetic(self, spark, tmp_path):
+        """'a b a b a b' (11 chars): top 2-gram 'a b' occurs 3x (len 3)
+        -> top2 = 9/11; top 3-gram 'a b a' occurs 2x (len 5) -> top3 =
+        10/11; the two 5-grams are distinct -> every dup{5..10} is 0."""
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        self._write(spark, tmp_path, [(0, "a b a b a b", "en", "s", 11)])
+        r = q_ngram_repetition(spark, str(tmp_path)).collect()[0]
+        assert r.top2_frac == round(9 / 11, 6), r
+        assert r.top3_frac == round(10 / 11, 6), r
+        for n in range(5, 11):
+            assert getattr(r, f"dup{n}_frac") == 0.0, r
+
+    def test_single_word_and_empty_docs_are_zero(self, spark, tmp_path):
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        self._write(spark, tmp_path, [(0, "", "en", "s", 0),
+                                      (1, "solo", "en", "s", 4)])
+        out = {r.doc_id: r for r in
+               q_ngram_repetition(spark, str(tmp_path)).collect()}
+        for d in (0, 1):
+            assert out[d].top2_frac == 0.0 and out[d].dup10_frac == 0.0
+            assert out[d].ngram_pass == 1
+
+    def test_plan_single_explode_no_window(self, spark):
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        plan = plan_of(q_ngram_repetition(spark, "/root/testdata/sf0.001"))
+        assert plan.count("Generate") <= 2, plan   # ONE explode (+reuse)
+        assert "windowspecdefinition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

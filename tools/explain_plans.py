@@ -266,6 +266,11 @@ def main() -> None:
          "spread corpus-hot boilerplate lines across their docs; per-doc "
          "re-agg on uniform doc_id; integer math until two final "
          "divisions."),
+        ("ngram_repetition", "Gopher word-gram repetition gate: ONE "
+         "explode builds all nine (n, gram) families; the count shuffle "
+         "keys on (doc_id, n, gram) so corpus-hot grams spread across "
+         "docs; re-agg + conditional pivot on uniform doc_id; integer "
+         "char sums, one division per n at the end."),
         ("bpe_pair_stats", "BPE-training inner loop: zip_with pair build "
          "(O(words)), one map-side-combinable groupBy (vocabulary-sized "
          "shuffle), TakeOrderedAndProject top-k."),
