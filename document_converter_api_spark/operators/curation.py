@@ -853,15 +853,21 @@ def with_perplexity_bucket(docs: DataFrame,
     rank-based per-language terciles of the bigram LM score (the reusable
     form behind ``q_perplexity_buckets``; CCNet drops or re-weights
     'tail'). Docs too short to score (n_pairs absent: <2 tokens) land in
-    'tail'."""
+    'tail' UNCONDITIONALLY — they are excluded from the ntile window
+    (an ntile over a partition that is mostly NULL scores would push
+    unscoreable docs into 'middle' or 'head'; the terciles must split
+    only the scoreable population)."""
     scores = bigram_scores(docs.select("doc_id", "text"))
     joined = docs.join(scores.select("doc_id", "avg_logp"), "doc_id", "left")
     w = (Window.partitionBy(lang_col)
-         .orderBy(F.desc_nulls_last("avg_logp"), F.asc("doc_id")))
-    return joined.withColumn(
+         .orderBy(F.desc("avg_logp"), F.asc("doc_id")))
+    scored = joined.filter(F.col("avg_logp").isNotNull()).withColumn(
         "ppl_bucket",
         F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
                      F.ntile(3).over(w)))
+    unscored = joined.filter(F.col("avg_logp").isNull()).withColumn(
+        "ppl_bucket", F.lit("tail"))
+    return scored.unionByName(unscored)
 
 
 CURATION_ORACLES["bigram_logprob"] = f"""

@@ -341,8 +341,15 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 2^-20 (``floor(x * 2^20 + 0.5)`` — identical in both engines), so
     each doc's weight is an INTEGER dot product ``sum(count_b * m_b)`` —
     order-independent and overflow-free (|m| < 2^24, counts < 2^20), and
-    the Gumbel key is the same integer grid. No float sum ever crosses
-    the comparison.
+    the Gumbel key is the same integer grid. No float SUM ever crosses
+    the comparison — the one residual float op is ``ln`` itself inside
+    the quantization: JVM ``Math.log`` tolerates 1 ulp vs libm, so a
+    log-ratio landing within 1 ulp of a half-integer on the 2^20 grid
+    could floor differently across engines and flip a boundary doc out
+    of the top-K. ``ln`` is bit-identical Spark↔DuckDB on this platform
+    (measured; same precedent as bm25/unigram_logprob), so the gate is
+    stable here; a platform-robust variant would rank on exact rational
+    products of the integer counts instead of quantized logs.
 
     Scale shape (10^12 docs): the bucket distribution is a 64-row
     map-side-combinable aggregate; per-(doc, bucket) counts key on doc_id

@@ -397,28 +397,42 @@ GOPHER_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's word-n-gram repetition gate, the grain `doc_repetition`
-    (lines) doesn't cover: per document, the character fraction held by
-    the most frequent n-gram for n in {2,3,4} and by ALL occurrences of
-    duplicated n-grams for n in {5..10}, plus the paper-threshold pass
-    flag. "Characters of a gram" = ``length(gram)`` of the
-    space-joined words — every occurrence counts (the common public
-    reimplementation of the ambiguous paper wording), so the math stays
-    a sum of integer products.
+    (lines) doesn't cover. Per document:
 
-    Plan: ONE explode produces every (n, gram) pair — the per-row gram
-    build is ``transform(sequence, i -> slice(w, i, n))`` over a
-    materialized words column (O(n·words), never O(words²) — see the
-    no-split-inside-lambda pin). The count shuffle keys on
+    * ``top{2,3,4}_frac`` — characters covered by the MOST FREQUENT
+      n-gram (``count × length`` of the gram with the highest count;
+      ties broken toward the larger coverage, deterministically, via a
+      lexicographic ``max(struct(count, coverage))`` — identical struct
+      comparison semantics in Spark and DuckDB).
+    * ``dup{5..10}_frac`` — characters of DISTINCT word positions
+      covered by any n-gram occurring more than once. Overlapping
+      occurrences count each character ONCE, so the fraction is bounded
+      by 1 — the semantics Gopher's thresholds are calibrated for (a
+      naive ``sum(count × length)`` multiply-counts overlaps, can
+      exceed 3.0 on a stamped phrase, and silently tightens the gate).
+      Character weight is the word's length (joining spaces excluded);
+      the denominator is full ``length(text)``.
+    * ``ngram_pass`` — the paper-threshold gate over all nine signals.
+
+    Plan: ONE explode produces every (n, gram, start) triple — the
+    per-row gram build is ``transform(sequence, i -> slice(w, i, n))``
+    over a materialized words column (O(n·words), never O(words²) —
+    see the no-split-inside-lambda pin). The count shuffle keys on
     (doc_id, n, gram): corpus-hot boilerplate grams spread across their
-    documents, so there is no hot key at any corpus size. Re-agg on
-    uniform doc_id, one doc_id-keyed left join back for gram-less docs
-    (< 2 words). No window, no Python. Integer sums end-to-end; the
-    per-n division is the single float op, so DuckDB parity is exact."""
+    documents, so there is no hot key at any corpus size. Duplicated
+    grams rejoin their occurrences two-phase (groupBy + equi-join on
+    (doc_id, n, gram) — the span_dedup pattern; no window anywhere),
+    expand to covered positions, DISTINCT, then sum word lengths. The
+    gram explode is recomputed for the occurrence side rather than
+    persisted — caching an exploded corpus costs more than rebuilding
+    it from the scan at any interesting scale. Integer sums end to end;
+    the per-n division is the single float op, so parity is exact."""
     docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
             .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
     base = docs.select(
         "doc_id", F.length("text").alias("n_chars"),
         F.split("text", " ", -1).alias("w"))
+
     def _fam(n: int) -> F.Column:
         # NB: the lambda must take exactly ONE parameter — pyspark infers
         # HOF arity from the signature, so a `lambda i, n=n:` binding
@@ -430,28 +444,56 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                            lambda i: F.struct(
                                F.lit(n).alias("n"),
                                F.array_join(F.slice("w", i, n), " ")
-                               .alias("g"))))
-                .otherwise(F.array().cast("array<struct<n:int,g:string>>")))
+                               .alias("g"),
+                               i.cast("int").alias("i"))))
+                .otherwise(
+                    F.array().cast("array<struct<n:int,g:string,i:int>>")))
 
     fams = [_fam(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS]
     grams = (base.select(
                  "doc_id",
                  F.explode(F.flatten(F.array(*fams))).alias("ng"))
              .select("doc_id", F.col("ng.n").alias("n"),
-                     F.col("ng.g").alias("g")))
+                     F.col("ng.g").alias("g"), F.col("ng.i").alias("i")))
     counts = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
-    per_n = counts.groupBy("doc_id", "n").agg(
-        F.max(F.col("c") * F.length("g")).alias("top_chars"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("g"))
-              .otherwise(0)).alias("dup_chars"))
-    wide = per_n.groupBy("doc_id").agg(
+    # top-n: argmax by (count, coverage) — one aggregate, no self-join
+    topn = (counts.filter(F.col("n").isin(*GOPHER_TOP_NS))
+            .groupBy("doc_id", "n")
+            .agg(F.max(F.struct(
+                F.col("c").alias("c"),
+                (F.col("c") * F.length("g")).alias("cov")))
+                .getField("cov").alias("top_chars")))
+    # dup-n: duplicated grams -> occurrences -> distinct covered
+    # word positions -> word-length sum
+    dupg = (counts.filter((F.col("c") >= 2)
+                          & F.col("n").isin(*GOPHER_DUP_NS))
+            .select("doc_id", "n", "g"))
+    occ = (grams.filter(F.col("n").isin(*GOPHER_DUP_NS))
+           .join(dupg, ["doc_id", "n", "g"])
+           .select("doc_id", "n", "i"))
+    cover = (occ.select(
+                 "doc_id", "n",
+                 F.explode(F.sequence(F.col("i"),
+                                      F.col("i") + F.col("n") - 1))
+                 .alias("pos"))
+             .distinct())
+    posw = (base.select("doc_id",
+                        F.posexplode("w").alias("p0", "word"))
+            .select("doc_id", (F.col("p0") + 1).alias("pos"),
+                    F.length("word").alias("wlen")))
+    dchars = (cover.join(posw, ["doc_id", "pos"])
+              .groupBy("doc_id", "n")
+              .agg(F.sum("wlen").alias("dup_chars")))
+    tw = topn.groupBy("doc_id").agg(
         *[F.coalesce(F.max(F.when(F.col("n") == n, F.col("top_chars"))),
                      F.lit(0)).alias(f"top{n}_chars")
-          for n in GOPHER_TOP_NS],
+          for n in GOPHER_TOP_NS])
+    dw = dchars.groupBy("doc_id").agg(
         *[F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_chars"))),
                      F.lit(0)).alias(f"dup{n}_chars")
           for n in GOPHER_DUP_NS])
-    joined = base.select("doc_id", "n_chars").join(wide, "doc_id", "left")
+    joined = (base.select("doc_id", "n_chars")
+              .join(tw, "doc_id", "left").join(dw, "doc_id", "left"))
 
     def frac(chars_col: str) -> F.Column:
         return F.when(
@@ -479,13 +521,11 @@ def _ngram_rep_oracle() -> str:
     gram_selects = []
     for n in GOPHER_TOP_NS + GOPHER_DUP_NS:
         gram_selects.append(f"""
-      SELECT doc_id, {n} AS n,
-             unnest(CASE WHEN len(w) >= {n}
-                    THEN list_transform(range(1, len(w) - {n} + 2),
-                         i -> array_to_string(list_slice(w, i, i + {n - 1}),
-                                              ' '))
-                    ELSE [] END) AS g
-      FROM base""")
+      SELECT doc_id, {n} AS n, i,
+             array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {n} + 1)) AS i
+            FROM base WHERE len(w) >= {n})""")
     top_cols = ",\n             ".join(
         f"coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0)"
         f" AS top{n}_chars" for n in GOPHER_TOP_NS)
@@ -494,16 +534,18 @@ def _ngram_rep_oracle() -> str:
         f" AS dup{n}_chars" for n in GOPHER_DUP_NS)
     frac_cols = ",\n           ".join(
         f"CASE WHEN b.n_chars > 0 THEN round("
-        f"CAST(coalesce(w.top{n}_chars, 0) AS DOUBLE) / b.n_chars, 6)"
+        f"CAST(coalesce(tw.top{n}_chars, 0) AS DOUBLE) / b.n_chars, 6)"
         f" ELSE 0.0 END AS top{n}_frac" for n in GOPHER_TOP_NS)
     frac_cols += ",\n           " + ",\n           ".join(
         f"CASE WHEN b.n_chars > 0 THEN round("
-        f"CAST(coalesce(w.dup{n}_chars, 0) AS DOUBLE) / b.n_chars, 6)"
+        f"CAST(coalesce(dw.dup{n}_chars, 0) AS DOUBLE) / b.n_chars, 6)"
         f" ELSE 0.0 END AS dup{n}_frac" for n in GOPHER_DUP_NS)
     fail_terms = [f"top{n}_frac > {GOPHER_TOP_MAX[n]!r}"
                   for n in GOPHER_TOP_NS]
     fail_terms += [f"dup{n}_frac > {GOPHER_DUP_MAX[n]!r}"
                    for n in GOPHER_DUP_NS]
+    top_ns = ", ".join(str(n) for n in GOPHER_TOP_NS)
+    dup_ns = ", ".join(str(n) for n in GOPHER_DUP_NS)
     return f"""
     WITH base AS (
       SELECT doc_id, length(coalesce(text, '')) AS n_chars,
@@ -512,23 +554,48 @@ def _ngram_rep_oracle() -> str:
     grams AS ({" UNION ALL ".join(gram_selects)}),
     counts AS (
       SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
-    per_n AS (
+    topn AS (
       SELECT doc_id, n,
-             max(c * length(g)) AS top_chars,
-             sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
-      FROM counts GROUP BY doc_id, n),
-    wide AS (
+             (max(struct_pack(c := c, cov := c * length(g)))).cov
+               AS top_chars
+      FROM counts WHERE n IN ({top_ns}) GROUP BY doc_id, n),
+    dupg AS (
+      SELECT doc_id, n, g FROM counts
+      WHERE c >= 2 AND n IN ({dup_ns})),
+    occ AS (
+      SELECT gr.doc_id, gr.n, gr.i
+      FROM grams gr JOIN dupg USING (doc_id, n, g)
+      WHERE gr.n IN ({dup_ns})),
+    cover AS (
+      SELECT DISTINCT doc_id, n, pos
+      FROM (SELECT doc_id, n,
+                   unnest(generate_series(i, i + n - 1)) AS pos
+            FROM occ)),
+    posw AS (
+      SELECT doc_id, pos, length(w[pos]) AS wlen
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w))) AS pos
+            FROM base)),
+    dchars AS (
+      SELECT cv.doc_id, cv.n, sum(p.wlen) AS dup_chars
+      FROM cover cv JOIN posw p USING (doc_id, pos)
+      GROUP BY cv.doc_id, cv.n),
+    tw AS (
       SELECT doc_id,
-             {top_cols},
+             {top_cols}
+      FROM topn GROUP BY doc_id),
+    dw AS (
+      SELECT doc_id,
              {dup_cols}
-      FROM per_n GROUP BY doc_id),
+      FROM dchars GROUP BY doc_id),
     gated AS (
       SELECT b.doc_id,
            {frac_cols}
-      FROM base b LEFT JOIN wide w USING (doc_id))
+      FROM base b LEFT JOIN tw USING (doc_id) LEFT JOIN dw USING (doc_id))
     SELECT *, CAST(NOT ({" OR ".join(fail_terms)}) AS INT) AS ngram_pass
     FROM gated ORDER BY doc_id
 """
+
 
 
 TEXT_ORACLES["ngram_repetition"] = _ngram_rep_oracle()

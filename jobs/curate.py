@@ -68,6 +68,12 @@ def curate(docs: DataFrame, langs: tuple[str, ...],
     kept = (sig.filter((F.col("keep") == 1)
                        & F.col("pred_lang").isin(*langs)))
     if drop_ppl_tail:
+        # persist: with_perplexity_bucket references its input ~4x (the
+        # LM's token/pair/unigram branches plus the join-back), and
+        # `kept` sits on top of the dedup shuffle + HOF-heavy signal
+        # projections — ReuseExchange would recover only the shuffle,
+        # not the post-exchange projections, so cache the boundary
+        kept = kept.persist()
         kept = (with_perplexity_bucket(kept, lang_col="pred_lang")
                 .filter(F.col("ppl_bucket") != "tail")
                 .drop("avg_logp", "ppl_bucket"))

@@ -96,6 +96,26 @@ class TestRefinedWebStages:
         assert n_cut == n_full - (n_full // 3)
         assert {r.doc_id for r in cut} <= {r.doc_id for r in full}
 
+    def test_unscoreable_docs_always_land_in_tail(self, spark):
+        """Docs with <2 tokens (NULL bigram score) must be bucketed
+        'tail' even when they outnumber a third of the language — the
+        ntile terciles must split only the scoreable population."""
+        from document_converter_api_spark.operators.curation import (
+            with_perplexity_bucket,
+        )
+        body = "the quick brown fox jumps over the lazy dog today"
+        rows = ([(i, "en", "solo") for i in range(3)]      # unscoreable
+                + [(10, "en", body), (11, "en", body + " again")])
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string")
+        out = {r.doc_id: r.ppl_bucket
+               for r in with_perplexity_bucket(docs).collect()}
+        for i in range(3):
+            assert out[i] == "tail", out
+        # the two scoreable docs split head/middle — never displaced by
+        # the NULL majority
+        assert {out[10], out[11]} == {"head", "middle"}, out
+
 
 class TestFullChain:
     def test_warc_to_extraction_to_curation(self, spark, tmp_path):

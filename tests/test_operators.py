@@ -1248,11 +1248,14 @@ class TestNgramRepetition:
                q_ngram_repetition(spark, str(tmp_path)).collect()}
         assert out[0].ngram_pass == 0, out[0]
         assert out[1].ngram_pass == 1, out[1]
-        # spam: "buy cheap pills now buy" repeats -> dup5 ~ 5x coverage
-        assert out[0].dup5_frac > 1.0, out[0]
+        # spam: every position is covered by a duplicated 5-gram, so
+        # dup5 = word-chars / total-chars = 400/499 — bounded by 1
+        assert 0.5 < out[0].dup5_frac < 1.0, out[0]
+        assert out[0].dup5_frac == round(400 / 499, 6), out[0]
         assert out[1].dup5_frac == 0.0, out[1]
-        # top 2-gram of spam is "now buy"/"buy cheap"-class: 24-25 hits
-        assert out[0].top2_frac > 0.2, out[0]
+        # top 2-gram: "buy cheap"/"cheap pills"/"pills now" tie at c=25;
+        # tie-break takes the largest coverage: "cheap pills" 25*11
+        assert out[0].top2_frac == round(25 * 11 / 499, 6), out[0]
 
     def test_exact_fraction_arithmetic(self, spark, tmp_path):
         """'a b a b a b' (11 chars): top 2-gram 'a b' occurs 3x (len 3)
@@ -1267,6 +1270,30 @@ class TestNgramRepetition:
         assert r.top3_frac == round(10 / 11, 6), r
         for n in range(5, 11):
             assert getattr(r, f"dup{n}_frac") == 0.0, r
+
+    def test_top_is_most_frequent_not_longest(self, spark, tmp_path):
+        """'a b' occurs 3x (9 chars); the rarer but longer
+        'verylongword hugelongword' occurs 2x (2*25=50 chars). The most
+        FREQUENT gram must win: top2 = 9/n_chars, not 50/n_chars."""
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        t = "a b a b a b verylongword hugelongword verylongword hugelongword"
+        self._write(spark, tmp_path, [(0, t, "en", "s", len(t))])
+        r = q_ngram_repetition(spark, str(tmp_path)).collect()[0]
+        assert r.top2_frac == round(9 / len(t), 6), r
+
+    def test_dup_counts_overlapping_chars_once(self, spark, tmp_path):
+        """'x y x y x y x y': both distinct 5-grams are duplicated and
+        their occurrences overlap-cover ALL 8 single-char positions ->
+        dup5 = 8 word-chars / 15 total chars, not the naive 4*9/15."""
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        self._write(spark, tmp_path,
+                    [(0, "x y x y x y x y", "en", "s", 15)])
+        r = q_ngram_repetition(spark, str(tmp_path)).collect()[0]
+        assert r.dup5_frac == round(8 / 15, 6), r
 
     def test_single_word_and_empty_docs_are_zero(self, spark, tmp_path):
         from document_converter_api_spark.operators.text_analysis import (
@@ -1286,6 +1313,11 @@ class TestNgramRepetition:
             q_ngram_repetition,
         )
         plan = plan_of(q_ngram_repetition(spark, "/root/testdata/sf0.001"))
-        assert plan.count("Generate") <= 2, plan   # ONE explode (+reuse)
+        # gram explode x2 references (counts + occurrence side), the
+        # covered-position explode, and posexplode (4 explode sites,
+        # each named ~2x in the formatted plan) — but never a window
+        # (the duplicate mark is the two-phase groupBy+join, span_dedup
+        # style) and never a cartesian product
+        assert plan.count("Generate") <= 12, plan
         assert "windowspecdefinition" not in plan, plan
         assert "CartesianProduct" not in plan, plan

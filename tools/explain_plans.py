@@ -267,10 +267,12 @@ def main() -> None:
          "re-agg on uniform doc_id; integer math until two final "
          "divisions."),
         ("ngram_repetition", "Gopher word-gram repetition gate: ONE "
-         "explode builds all nine (n, gram) families; the count shuffle "
-         "keys on (doc_id, n, gram) so corpus-hot grams spread across "
-         "docs; re-agg + conditional pivot on uniform doc_id; integer "
-         "char sums, one division per n at the end."),
+         "explode builds all nine (n, gram, start) families; the count "
+         "shuffle keys on (doc_id, n, gram) so corpus-hot grams spread "
+         "across docs; most-frequent coverage via max(struct) argmax; "
+         "duplicated grams rejoin occurrences two-phase and DISTINCT "
+         "their covered positions (overlaps counted once); integer char "
+         "sums, one division per n at the end — no window."),
         ("bpe_pair_stats", "BPE-training inner loop: zip_with pair build "
          "(O(words)), one map-side-combinable groupBy (vocabulary-sized "
          "shuffle), TakeOrderedAndProject top-k."),
