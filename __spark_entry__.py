@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
-    "dsir_select", "ngram_repetition",
+    "dsir_select", "ngram_repetition", "incremental_minhash",
     # never driver-checked (past r2's 50-entry window)
     "decontaminate", "token_pack", "unicode_normalize", "unigram_logprob",
     "doc_repetition", "bpe_pair_stats",
@@ -62,7 +62,7 @@ _GATE_WINDOW_FIRST = [
     "multimodal_audio_features", "asof_join", "range_join",
     "range_join_variable", "politeness_audit", "hll_distinct",
     "kmv_distinct", "cms_topk", "bloom_filter", "histogram_quantiles",
-    "host_stats_salted", "host_cap_sample", "sessionize", "crawl_rate",
+    "host_stats_salted", "host_cap_sample", "sessionize",
     # dedup/ANN tier — operators changed in round 3
     "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
     "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
@@ -74,11 +74,12 @@ _GATE_WINDOW_FIRST = [
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
 # every round by tools/check_oracle.py)
-# displaced for the five round-3-new curation/selection queries
-# (bigram_logprob, doc_line_dedup, perplexity_buckets, dsir_select,
-# ngram_repetition): snapshot_diff, mojibake_repair, chunk_overlap,
-# weighted_sample, bucketed_join — all stable, plan-pinned, and still
-# locally oracle-checked every round by tools/check_oracle.py.
+# displaced for the six round-3-new queries (bigram_logprob,
+# doc_line_dedup, perplexity_buckets, dsir_select, ngram_repetition,
+# incremental_minhash): snapshot_diff, mojibake_repair, chunk_overlap,
+# weighted_sample, bucketed_join, crawl_rate — all stable, plan-pinned
+# (crawl_rate additionally stream==batch pinned), and still locally
+# oracle-checked every round by tools/check_oracle.py.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -153,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprints broadcast to the new crawl; only Bloom-positive
         # candidates enter the exact semi-join (no-false-negative pinned)
         "incremental_dedup": D.q_incremental_dedup,
+        # incremental cross-crawl NEAR-dup: new crawl MinHash-banded
+        # against the historical index; best match via deterministic
+        # max(struct(agree, -old_id)) — history is never re-shuffled
+        "incremental_minhash": D.q_incremental_minhash,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,

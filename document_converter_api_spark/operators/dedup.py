@@ -1180,3 +1180,152 @@ def _incremental_dedup_oracle() -> str:
 
 
 DEDUP_ORACLES["incremental_dedup"] = _incremental_dedup_oracle()
+
+# ---------------------------------------------------------------------------
+# 10. Incremental NEAR-dup: MinHash-band the new crawl against history
+# ---------------------------------------------------------------------------
+
+def _sig_frame(spark_df: DataFrame) -> DataFrame:
+    """MinHash signatures for any (doc_id, text) frame — the same
+    Arrow-batched hashlib pass (and byte-identical math) the self-join
+    LSH uses."""
+    return spark_df.mapInPandas(_minhash_sig_batches,
+                                "doc_id long, sig array<string>")
+
+
+def _bands_of(sigs: DataFrame, id_name: str) -> DataFrame:
+    return (sigs.select(
+                F.col("doc_id").alias(id_name),
+                F.explode(F.array(*[
+                    F.struct(F.lit(j).alias("band"),
+                             F.concat_ws("|",
+                                         *[F.element_at("sig", j * 2 + r + 1)
+                                           for r in range(2)]).alias("bval"))
+                    for j in range(N_BANDS)])).alias("bb"))
+            .select(id_name, "bb.band", "bb.bval"))
+
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate linkage of a NEW crawl against the HISTORICAL
+    corpus — the fuzzy complement of ``incremental_dedup`` (which only
+    catches byte-exact fingerprints). Each new doc that shares a MinHash
+    band with any historical doc is reported with its best match
+    (highest signature agreement, ties to the lowest historical id via
+    a lexicographic ``max(struct(agree, -old_id))`` — deterministic in
+    both engines), the agreement count (0..8 matching signature slots,
+    an unbiased Jaccard estimate at /8), and its candidate count.
+
+    Fixture split: near-dups = every 5th doc with one word appended
+    (id ``2·d`` — must link back to ``d``); fresh docs = every 7th doc
+    with the text reversed (id ``2·d+1`` — reversed strings share no
+    3-word shingles, so they must surface only via rare band false
+    positives). The parity id scheme keeps the sets disjoint at any
+    corpus size (the incremental_dedup precedent).
+
+    Scale shape (10^12 historical / 10^9 new per crawl): the historical
+    banded index is WRITE-ONCE — persist it bucketed by (band, bval)
+    (sources/bucketed.py) and each daily crawl shuffles only ITSELF onto
+    the band key and probes co-located buckets; history is never
+    re-shuffled per crawl. A corpus-ubiquitous band value (boilerplate
+    near-copies sharing every band) streams through the equi-join and
+    AQE's skew-join splits it — same argument as the self-join LSH
+    (dedup.py q_dedup_minhash_lsh). Signature agreement is computed only
+    for candidate pairs, never all pairs."""
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "text"))
+    new = (docs.filter(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") * 2).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(" freshtail")).alias("text"))
+           .unionAll(
+               docs.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") * 2 + 1).alias("doc_id"),
+                       F.reverse(F.col("text")).alias("text"))))
+    # both signature tables are consumed twice (bands + the agreement
+    # join) — persist via the keyed swap so repeated invocations don't
+    # pile caches (CacheManager never GCs)
+    old_sigs = _persist_swap("incmh_old", _sig_frame(widen(docs)))
+    new_sigs = _persist_swap("incmh_new", _sig_frame(new))
+    cand = (_bands_of(new_sigs, "new_id")
+            .join(_bands_of(old_sigs, "old_id"), ["band", "bval"])
+            .select("new_id", "old_id")
+            .distinct())
+    pairs = (cand
+             .join(new_sigs.select(F.col("doc_id").alias("new_id"),
+                                   F.col("sig").alias("sn")), "new_id")
+             .join(old_sigs.select(F.col("doc_id").alias("old_id"),
+                                   F.col("sig").alias("so")), "old_id"))
+    agree = sum(
+        (F.element_at("sn", k + 1) == F.element_at("so", k + 1)).cast("int")
+        for k in range(N_MINHASH))
+    best = (pairs
+            .withColumn("a", agree)
+            .groupBy("new_id")
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 F.max(F.struct(F.col("a").alias("a"),
+                                (-F.col("old_id")).alias("negid")))
+                 .alias("b")))
+    return (best.select(
+                "new_id",
+                (-F.col("b.negid")).cast("long").alias("match_id"),
+                F.col("b.a").cast("int").alias("sig_agree"),
+                (F.col("b.a").cast("double") / N_MINHASH)
+                .alias("est_jaccard"),
+                "n_candidates")
+            .orderBy("new_id"))
+
+
+def _incremental_minhash_oracle() -> str:
+    sig_exprs = ", ".join(
+        f"list_aggregate(list_transform(hs, x -> x[{k * 8 + 1}:{k * 8 + 8}]),"
+        f" 'min')" for k in range(N_MINHASH))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band,"
+        f" sig[{j * 2 + 1}] || '|' || sig[{j * 2 + 2}] AS bval FROM SIGSRC"
+        for j in range(N_BANDS))
+    agree = " + ".join(
+        f"CASE WHEN sn[{k + 1}] = so[{k + 1}] THEN 1 ELSE 0 END"
+        for k in range(N_MINHASH))
+    return f"""
+        WITH new_ AS (
+          SELECT doc_id * 2 AS doc_id, text || ' freshtail' AS text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id * 2 + 1 AS doc_id, reverse(text) AS text
+          FROM documents WHERE doc_id % 7 = 0),
+        osh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+        nsh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM new_),
+        ohh AS (SELECT doc_id, list_transform(shingles,
+                   s -> md5('0|' || s) || md5('1|' || s)) AS hs
+                FROM osh WHERE len(shingles) > 0),
+        nhh AS (SELECT doc_id, list_transform(shingles,
+                   s -> md5('0|' || s) || md5('1|' || s)) AS hs
+                FROM nsh WHERE len(shingles) > 0),
+        osig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM ohh),
+        nsig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM nhh),
+        oband AS ({band_rows.replace("SIGSRC", "osig")}),
+        nband AS ({band_rows.replace("SIGSRC", "nsig")}),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM nband n JOIN oband o USING (band, bval)),
+        pairs AS (
+          SELECT c.new_id, c.old_id, ns.sig AS sn, os.sig AS so
+          FROM cand c
+          JOIN nsig ns ON ns.doc_id = c.new_id
+          JOIN osig os ON os.doc_id = c.old_id),
+        scored AS (
+          SELECT new_id, old_id, {agree} AS a FROM pairs),
+        best AS (
+          SELECT new_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 max(struct_pack(a := a, negid := -old_id)) AS b
+          FROM scored GROUP BY new_id)
+        SELECT new_id,
+               CAST(-((b).negid) AS BIGINT) AS match_id,
+               CAST((b).a AS INT) AS sig_agree,
+               CAST((b).a AS DOUBLE) / {N_MINHASH} AS est_jaccard,
+               n_candidates
+        FROM best ORDER BY new_id
+    """
+
+
+DEDUP_ORACLES["incremental_minhash"] = _incremental_minhash_oracle()

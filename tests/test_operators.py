@@ -1321,3 +1321,44 @@ class TestNgramRepetition:
         assert plan.count("Generate") <= 12, plan
         assert "windowspecdefinition" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestIncrementalMinhash:
+    """Cross-crawl near-dup: planted near-copies must link back to their
+    historical source; reversed-text fresh docs must (almost) never
+    match; the plan must never go quadratic."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def test_near_dups_link_to_source(self, spark):
+        from document_converter_api_spark.operators.dedup import (
+            q_incremental_minhash,
+        )
+        out = q_incremental_minhash(spark, self.SF).collect()
+        by_id = {r.new_id: r for r in out}
+        near = [r for r in out if r.new_id % 2 == 0]      # ids 2*d
+        fresh = [r for r in out if r.new_id % 2 == 1]     # ids 2*d+1
+        # one appended word barely moves 3-word shingles: the vast
+        # majority of near-dups must surface AND point at their source
+        assert len(near) >= 80, len(near)   # 100 planted at sf0.01
+        right = sum(1 for r in near if r.match_id == r.new_id // 2)
+        assert right / len(near) >= 0.9, (right, len(near))
+        # agreement is high for near-dups (most of 8 slots equal)
+        assert sum(r.sig_agree for r in near) / len(near) >= 5
+        # reversed text shares no shingles — only band false positives
+        assert len(fresh) <= 5, [r.new_id for r in fresh]
+        # est_jaccard is agree/8 exactly
+        for r in out[:20]:
+            assert r.est_jaccard == r.sig_agree / 8.0
+
+    def test_plan_no_cartesian_no_window(self, spark):
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators.dedup import (
+            q_incremental_minhash,
+        )
+        plan = plan_of(q_incremental_minhash(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, plan
+        assert "windowspecdefinition" not in plan, plan
+        # both signature tables are persisted and re-read (bands +
+        # agreement join) — the Arrow sig stage runs once per side
+        assert plan.count("InMemoryTableScan") >= 2, plan

@@ -250,6 +250,12 @@ def main() -> None:
          "Bloom-positive candidates enter the exact fingerprint "
          "semi-join — the new crawl never shuffles against the full "
          "historical corpus."),
+        ("incremental_minhash", "cross-crawl NEAR-dup: new crawl "
+         "MinHash-banded against the (write-once, bucketable) historical "
+         "index; candidates only via band equi-join, agreement scored "
+         "per candidate pair, best match via deterministic "
+         "max(struct(agree, -old_id)). History never re-shuffles per "
+         "crawl."),
         ("weighted_sample", "quality-weighted importance sampling: keep "
          "decision is a scan-stage projection (52-bit exact draw vs "
          "n_chars weight); the only shuffle is the per-language report "
