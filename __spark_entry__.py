@@ -52,6 +52,7 @@ _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
+    "dedup_weights",
     # never driver-checked (past r2's 50-entry window)
     "decontaminate", "token_pack", "unicode_normalize", "unigram_logprob",
     "doc_repetition", "bpe_pair_stats",
@@ -62,7 +63,7 @@ _GATE_WINDOW_FIRST = [
     "multimodal_audio_features", "asof_join", "range_join",
     "range_join_variable", "politeness_audit", "hll_distinct",
     "kmv_distinct", "cms_topk", "bloom_filter", "histogram_quantiles",
-    "host_stats_salted", "host_cap_sample", "sessionize",
+    "host_stats_salted", "sessionize",
     # dedup/ANN tier — operators changed in round 3
     "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
     "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
@@ -74,12 +75,13 @@ _GATE_WINDOW_FIRST = [
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
 # every round by tools/check_oracle.py)
-# displaced for the six round-3-new queries (bigram_logprob,
+# displaced for the seven round-3-new queries (bigram_logprob,
 # doc_line_dedup, perplexity_buckets, dsir_select, ngram_repetition,
-# incremental_minhash): snapshot_diff, mojibake_repair, chunk_overlap,
-# weighted_sample, bucketed_join, crawl_rate — all stable, plan-pinned
-# (crawl_rate additionally stream==batch pinned), and still locally
-# oracle-checked every round by tools/check_oracle.py.
+# incremental_minhash, dedup_weights): snapshot_diff, mojibake_repair,
+# chunk_overlap, weighted_sample, bucketed_join, crawl_rate,
+# host_cap_sample — all stable, plan-pinned (crawl_rate additionally
+# stream==batch pinned), and still locally oracle-checked every round
+# by tools/check_oracle.py.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -158,6 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against the historical index; best match via deterministic
         # max(struct(agree, -old_id)) — history is never re-shuffled
         "incremental_minhash": D.q_incremental_minhash,
+        # soft dedup: weight 1/|cluster| instead of deletion (SlimPajama/
+        # Dolma reweighting) — CC labels + one size agg + two id joins
+        "dedup_weights": D.q_dedup_weights,
         # similarity search
         "ann_cosine_topk": S.q_ann_cosine_topk,
         "ann_lsh_bucketed": S.q_ann_lsh_bucketed,

@@ -1329,3 +1329,53 @@ def _incremental_minhash_oracle() -> str:
 
 
 DEDUP_ORACLES["incremental_minhash"] = _incremental_minhash_oracle()
+
+# ---------------------------------------------------------------------------
+# 11. Soft dedup: cluster-size reweighting instead of deletion
+# ---------------------------------------------------------------------------
+
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the SlimPajama/Dolma-style alternative to
+    dropping near-dups): every document keeps its row but carries a
+    training weight of ``1 / |near-dup cluster|``, so a page crawled
+    under N URLs contributes one page's worth of gradient in expectation.
+    Docs in no candidate pair are their own cluster (weight 1.0).
+
+    Plan shape: reuses the connected-components labels
+    (:func:`q_dedup_clusters` — min-label propagation over the
+    band-join candidate pairs), adds one cluster-size aggregate (keyed
+    on cluster_id — cluster sizes are bounded by near-dup families, and
+    a corpus-wide mega-cluster is exactly the case where the aggregate's
+    map-side combine collapses it to one row per task) and two
+    doc_id-keyed left joins back to the full corpus. The weight is the
+    single float op: ``1/size`` is a correctly-rounded IEEE division of
+    exact integers in both engines."""
+    corpus = _corpus(spark, sf_dir).select("doc_id")
+    cl = q_dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cnt"))
+    return (corpus
+            .join(cl, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+            .join(sizes, "cluster_id", "left")
+            .select("doc_id", "cluster_id",
+                    F.coalesce("cnt", F.lit(1)).cast("long")
+                    .alias("cluster_size"),
+                    (F.lit(1.0) / F.coalesce("cnt", F.lit(1)))
+                    .alias("weight"))
+            .orderBy("doc_id"))
+
+
+DEDUP_ORACLES["dedup_weights"] = f"""
+    WITH cl AS ({DEDUP_ORACLES["dedup_clusters"]}),
+    corpus AS ({_CORPUS_SQL}),
+    sizes AS (SELECT cluster_id, count(*) AS cnt FROM cl GROUP BY cluster_id)
+    SELECT c.doc_id,
+           coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+           CAST(coalesce(s.cnt, 1) AS BIGINT) AS cluster_size,
+           CAST(1 AS DOUBLE) / coalesce(s.cnt, 1) AS weight
+    FROM corpus c
+    LEFT JOIN cl ON cl.doc_id = c.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = coalesce(cl.cluster_id, c.doc_id)
+    ORDER BY c.doc_id
+"""

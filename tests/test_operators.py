@@ -1362,3 +1362,29 @@ class TestIncrementalMinhash:
         # both signature tables are persisted and re-read (bands +
         # agreement join) — the Arrow sig stage runs once per side
         assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+class TestDedupWeights:
+    """Soft dedup: weights are exactly 1/cluster_size, singletons keep
+    1.0, planted exact copies share a cluster with their source, and
+    total weight ~= the number of clusters (mass conservation)."""
+
+    def test_weights_and_mass(self, spark):
+        from document_converter_api_spark.operators.dedup import (
+            q_dedup_weights,
+        )
+        out = q_dedup_weights(spark, "/root/testdata/sf0.01").collect()
+        by_id = {r.doc_id: r for r in out}
+        assert len(out) == 672          # corpus + planted exact/near rows
+        for r in out:
+            assert r.weight == 1.0 / r.cluster_size
+            if r.cluster_size == 1:
+                assert r.cluster_id == r.doc_id
+        # every planted exact copy (+10000 of each doc_id % 5 == 0)
+        # clusters with its source
+        planted = [r for r in out if 10000 <= r.doc_id < 20000]
+        assert planted and all(r.cluster_size >= 2 for r in planted)
+        for r in planted:
+            assert by_id[r.doc_id - 10000].cluster_id == r.cluster_id
+        n_clusters = len({r.cluster_id for r in out})
+        assert abs(sum(r.weight for r in out) - n_clusters) < 1e-6

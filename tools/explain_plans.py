@@ -256,6 +256,10 @@ def main() -> None:
          "per candidate pair, best match via deterministic "
          "max(struct(agree, -old_id)). History never re-shuffles per "
          "crawl."),
+        ("dedup_weights", "soft dedup: CC cluster labels + one "
+         "cluster-size aggregate (map-side combine collapses even a "
+         "mega-cluster to one row per task) + two doc_id-keyed joins; "
+         "weight 1/size is the single float op."),
         ("weighted_sample", "quality-weighted importance sampling: keep "
          "decision is a scan-stage projection (52-bit exact draw vs "
          "n_chars weight); the only shuffle is the per-language report "
