@@ -279,3 +279,59 @@ class TestStateEpochPruning:
         with pytest.raises(ValueError, match="keep_state_epochs"):
             drain_available_now(stream, str(tmp_path / "out"),
                                 lambda df: {}, keep_state_epochs=1)
+
+
+class TestStreamingLinkage:
+    def test_streamed_verdicts_equal_batch_linkage(self, spark, tmp_path):
+        """Chop the new crawl into 3 files; the union of per-micro-batch
+        verdicts must equal the one-shot batch link_crawl output —
+        verdicts are a pure per-doc function of (doc, STATIC history),
+        so batching cannot change them."""
+        import os
+
+        from jobs.linkage import link_crawl
+        from document_converter_api_spark.streaming.linkage_stream import (
+            run_linkage_available_now,
+        )
+        body = ("crawl pages shuffle partition extract markdown boiler "
+                "plate strip classify tokens quality language identify "
+                "dedup cluster weight sample pack shard train")
+        hist = spark.createDataFrame(
+            [(i, f"{body} hvar{i} " + " ".join(f"h{i}w{j}" for j in
+                                               range(8)))
+             for i in range(12)],
+            "doc_id long, text string")
+        new_rows = []
+        for i in range(12):
+            if i % 3 == 0:      # exact copy of history doc i
+                t = f"{body} hvar{i} " + " ".join(f"h{i}w{j}"
+                                                  for j in range(8))
+            elif i % 3 == 1:    # near-dup of history doc i
+                t = (f"{body} hvar{i} "
+                     + " ".join(f"h{i}w{j}" for j in range(8))
+                     + " appended")
+            else:               # fresh
+                t = " ".join(f"fresh{i}z{j} novel{j}" for j in range(14))
+            new_rows.append((1000 + i, t))
+        indir = str(tmp_path / "incoming")
+        os.makedirs(indir)
+        for part in range(3):   # 3 files -> AvailableNow micro-batches
+            chunk = new_rows[part * 4:(part + 1) * 4]
+            pq.write_table(pa.table({
+                "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "text": pa.array([r[1] for r in chunk], pa.string()),
+            }), os.path.join(indir, f"part-{part:03d}.parquet"))
+        outdir = str(tmp_path / "out")
+        n_batches = run_linkage_available_now(
+            spark, indir, hist, outdir, timeout_sec=120)
+        assert n_batches >= 1
+        streamed = sorted(
+            map(tuple, spark.read.parquet(f"{outdir}/verdicts")
+                .drop("batch_id").collect()))
+        new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+        batch = sorted(map(tuple, link_crawl(spark, hist, new_df).collect()))
+        assert streamed == batch
+        verdicts = {r[0]: r[1] for r in streamed}
+        assert verdicts[1000] == "exact_dup"
+        assert verdicts[1001] == "near_dup"
+        assert verdicts[1002] == "fresh"
