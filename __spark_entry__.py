@@ -42,12 +42,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver's correctness gate covers only the FIRST 50 entries of
-# queries(). Rotate the least-proven operators into that window: the 36
-# queries no driver artifact has ever covered (r2 checked them only via the
-# local comparator replica), then the dedup/ANN tier touched this round.
-# The long-stable §2.8 scalar / TPC-H queries take the tail — they have two
-# rounds of green driver rows already. All 86 stay covered locally by
-# tools/check_oracle.py either way.
+# queries(). Rotate the least-proven operators into that window: first the
+# queries ADDED this round (no driver artifact exists for them at all),
+# then the never-driver-checked remainder from past rounds (r2's gate saw
+# only its first 50; the rest were checked via the local comparator
+# replica), then the dedup/ANN tier whose code changed this round. The
+# long-stable §2.8 scalar / TPC-H queries take the tail — they have two
+# rounds of green driver rows already. All 95 registered queries stay
+# covered locally by tools/check_oracle.py either way.
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",

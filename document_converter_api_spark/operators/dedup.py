@@ -287,15 +287,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _persist_swap("minhash_sigs", widen(_corpus(spark, sf_dir))
                          .mapInPandas(_minhash_sig_batches,
                                       "doc_id long, sig array<string>"))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("band"),
-                     F.concat_ws("|", *[F.element_at("sig", j * 2 + r + 1)
-                                        for r in range(2)]).alias("bval"))
-            for j in range(N_BANDS)
-        ])).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bval")
+    bands = _bands_of(sigs, "doc_id")
     # Band-key equi-self-join over the PERSISTED signature table (ReuseExchange
     # does not fire across a/b aliases — verified in the formatted plan — so
     # the persist is what keeps the scan→shingle→md5→signature subtree
@@ -1242,9 +1234,27 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.reverse(F.col("text")).alias("text"))))
     # both signature tables are consumed twice (bands + the agreement
     # join) — persist via the keyed swap so repeated invocations don't
-    # pile caches (CacheManager never GCs)
-    old_sigs = _persist_swap("incmh_old", _sig_frame(widen(docs)))
+    # pile caches (CacheManager never GCs); docs is already widened
+    old_sigs = _persist_swap("incmh_old", _sig_frame(docs))
     new_sigs = _persist_swap("incmh_new", _sig_frame(new))
+    return (best_band_match(new_sigs, old_sigs)
+            .withColumn("est_jaccard",
+                        F.col("sig_agree").cast("double") / N_MINHASH)
+            .select("new_id", "match_id", "sig_agree", "est_jaccard",
+                    "n_candidates")
+            .orderBy("new_id"))
+
+
+def best_band_match(new_sigs: DataFrame, old_sigs: DataFrame) -> DataFrame:
+    """The cross-corpus fuzzy-match core shared by
+    :func:`q_incremental_minhash` (the oracle-checked operator) and
+    ``jobs/linkage.py``'s production job: band equi-join candidates,
+    per-pair signature agreement (0..N_MINHASH matching slots), best
+    match per new doc via the deterministic lexicographic
+    ``max(struct(agree, -old_id))`` tie-break. Keeping this in ONE place
+    keeps the job's verdicts pinned to the oracle-checked semantics.
+    Both inputs should be persisted by the caller (each is consumed
+    twice: bands + the agreement join)."""
     cand = (_bands_of(new_sigs, "new_id")
             .join(_bands_of(old_sigs, "old_id"), ["band", "bval"])
             .select("new_id", "old_id")
@@ -1257,21 +1267,17 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = sum(
         (F.element_at("sn", k + 1) == F.element_at("so", k + 1)).cast("int")
         for k in range(N_MINHASH))
-    best = (pairs
+    return (pairs
             .withColumn("a", agree)
             .groupBy("new_id")
             .agg(F.count("*").cast("long").alias("n_candidates"),
                  F.max(F.struct(F.col("a").alias("a"),
                                 (-F.col("old_id")).alias("negid")))
-                 .alias("b")))
-    return (best.select(
-                "new_id",
-                (-F.col("b.negid")).cast("long").alias("match_id"),
-                F.col("b.a").cast("int").alias("sig_agree"),
-                (F.col("b.a").cast("double") / N_MINHASH)
-                .alias("est_jaccard"),
-                "n_candidates")
-            .orderBy("new_id"))
+                 .alias("b"))
+            .select("new_id",
+                    (-F.col("b.negid")).cast("long").alias("match_id"),
+                    F.col("b.a").cast("int").alias("sig_agree"),
+                    "n_candidates"))
 
 
 def _incremental_minhash_oracle() -> str:

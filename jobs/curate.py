@@ -72,8 +72,14 @@ def curate(docs: DataFrame, langs: tuple[str, ...],
         # LM's token/pair/unigram branches plus the join-back), and
         # `kept` sits on top of the dedup shuffle + HOF-heavy signal
         # projections — ReuseExchange would recover only the shuffle,
-        # not the post-exchange projections, so cache the boundary
-        kept = kept.persist()
+        # not the post-exchange projections, so cache the boundary.
+        # Keyed swap, not bare persist: CacheManager never GCs, so a
+        # long-lived session calling curate() repeatedly would pile one
+        # corpus-sized cache per call (round-3 review finding).
+        from document_converter_api_spark.operators.dedup import (
+            _persist_swap,
+        )
+        kept = _persist_swap("curate_kept", kept)
         kept = (with_perplexity_bucket(kept, lang_col="pred_lang")
                 .filter(F.col("ppl_bucket") != "tail")
                 .drop("avg_logp", "ppl_bucket"))

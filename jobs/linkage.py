@@ -44,28 +44,76 @@ from pyspark.sql import functions as F
 DEFAULT_MIN_AGREE = 4  # of N_MINHASH=8 slots; unbiased Jaccard >= 0.5
 
 
-def link_crawl(spark: SparkSession, history: DataFrame, new: DataFrame,
-               min_agree: int = DEFAULT_MIN_AGREE) -> DataFrame:
+class HistoryIndex:
+    """The crawl-invariant history artifacts: persisted md5 fingerprints,
+    the (tiny) Bloom word table derived from them, and persisted MinHash
+    signatures. Build ONCE per history and reuse across crawls /
+    micro-batches — rebuilding it per batch re-scans and re-hashes the
+    full historical corpus every time. Call :meth:`release` when done;
+    Spark's CacheManager never garbage-collects DataFrame caches."""
+
+    def __init__(self, fp: DataFrame, bloom: DataFrame, sigs: DataFrame):
+        self.fp, self.bloom, self.sigs = fp, bloom, sigs
+
+    def release(self) -> None:
+        for df in (self.fp, self.sigs):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_history_index(spark: SparkSession,
+                        history: DataFrame) -> HistoryIndex:
+    from document_converter_api_spark.operators.dedup import _sig_frame
+    from document_converter_api_spark.operators.scan import widen
+    from document_converter_api_spark.operators.sketch import bloom_words
+
+    history = widen(history).select("doc_id", "text")
+    # fingerprints feed the Bloom build AND the exact semi-join; at a
+    # 10^12-doc history where even md5-only rows strain the cache tier,
+    # swap the persist for a write-once fingerprint table
+    # (sources/bucketed.py) — the two-consumer shape is unchanged
+    fp = history.select(F.md5("text").alias("fp")).persist()
+    return HistoryIndex(fp=fp, bloom=bloom_words(fp, key="fp"),
+                        sigs=_sig_frame(history).persist())
+
+
+def link_crawl(spark: SparkSession, history: DataFrame | None,
+               new: DataFrame, min_agree: int = DEFAULT_MIN_AGREE,
+               index: HistoryIndex | None = None) -> DataFrame:
     """Verdicts for every row of ``new`` against ``history`` (both
     ``(doc_id, text)``): ``(doc_id, verdict, match_id, sig_agree,
     n_candidates)``. ``match_id``/``sig_agree`` are populated for every
     banded candidate (even sub-threshold ones — callers tune the cut
-    without rerunning), NULL/0 when no band matched."""
+    without rerunning), NULL/0 when no band matched.
+
+    Pass a prebuilt ``index`` (see :func:`build_history_index`) to reuse
+    the history artifacts across calls — the streaming drain does this
+    per micro-batch. Without one, the index is held in a process-wide
+    keyed-swap cache (``_persist_swap``): bounded at one live copy per
+    key, so repeated calls never pile caches, and the previous call's
+    lazy verdicts stay correct (they recompute if collected late)."""
     from document_converter_api_spark.operators.dedup import (
-        N_MINHASH, _bands_of, _sig_frame,
+        _persist_swap, _sig_frame, best_band_match,
     )
     from document_converter_api_spark.operators.scan import widen
     from document_converter_api_spark.operators.sketch import (
         bloom_probe_cells, bloom_words,
     )
 
-    history = widen(history).select("doc_id", "text")
     new = widen(new).select("doc_id", "text")
+    if index is not None:
+        old_fp, filt, old_sigs = index.fp, index.bloom, index.sigs
+    else:
+        history = widen(history).select("doc_id", "text")
+        old_fp = _persist_swap(
+            "linkage_old_fp", history.select(F.md5("text").alias("fp")))
+        filt = bloom_words(old_fp, key="fp")
+        old_sigs = _persist_swap("linkage_old_sigs", _sig_frame(history))
 
     # --- exact tier: Bloom prefilter broadcast, exact semi-join on hits
-    old_fp = history.select(F.md5("text").alias("fp"))
     new_fp = new.select("doc_id", F.md5("text").alias("fp"))
-    filt = bloom_words(old_fp, key="fp")
     probes = bloom_probe_cells(new_fp, key="fp")
     cand = (probes.join(F.broadcast(filt), "word", "left")
             .select("doc_id", "fp",
@@ -78,33 +126,12 @@ def link_crawl(spark: SparkSession, history: DataFrame, new: DataFrame,
              .join(old_fp.distinct(), "fp", "left_semi")
              .select("doc_id", F.lit(1).alias("is_exact")))
 
-    # --- fuzzy tier over the non-exact remainder only
+    # --- fuzzy tier over the non-exact remainder only, via the SAME
+    # best-match core the oracle-checked incremental_minhash query uses
     fuzz_in = new.join(exact, "doc_id", "left_anti")
-    # plain persist, released in run_linkage_job / by session end: a job
-    # runs each stage once (the keyed swap is for long-lived sessions)
-    old_sigs = _sig_frame(history).persist()
-    new_sigs = _sig_frame(fuzz_in).persist()
-    pairs = (_bands_of(new_sigs, "new_id")
-             .join(_bands_of(old_sigs, "old_id"), ["band", "bval"])
-             .select("new_id", "old_id")
-             .distinct()
-             .join(new_sigs.select(F.col("doc_id").alias("new_id"),
-                                   F.col("sig").alias("sn")), "new_id")
-             .join(old_sigs.select(F.col("doc_id").alias("old_id"),
-                                   F.col("sig").alias("so")), "old_id"))
-    agree = sum(
-        (F.element_at("sn", k + 1) == F.element_at("so", k + 1)).cast("int")
-        for k in range(N_MINHASH))
-    near = (pairs.withColumn("a", agree)
-            .groupBy("new_id")
-            .agg(F.count("*").cast("long").alias("n_candidates"),
-                 F.max(F.struct(F.col("a").alias("a"),
-                                (-F.col("old_id")).alias("negid")))
-                 .alias("b"))
-            .select(F.col("new_id").alias("doc_id"),
-                    (-F.col("b.negid")).cast("long").alias("match_id"),
-                    F.col("b.a").cast("int").alias("sig_agree"),
-                    "n_candidates"))
+    new_sigs = _persist_swap("linkage_new_sigs", _sig_frame(fuzz_in))
+    near = (best_band_match(new_sigs, old_sigs)
+            .withColumnRenamed("new_id", "doc_id"))
 
     verdict = (F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
                .when(F.col("sig_agree") >= min_agree, F.lit("near_dup"))
@@ -169,6 +196,7 @@ def main() -> None:
                             args.output, args.crawl_id,
                             min_agree=args.min_agree)
     print(json.dumps(stats))
+    spark.stop()
 
 
 if __name__ == "__main__":
