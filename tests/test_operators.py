@@ -1388,3 +1388,81 @@ class TestDedupWeights:
             assert by_id[r.doc_id - 10000].cluster_id == r.cluster_id
         n_clusters = len({r.cluster_id for r in out})
         assert abs(sum(r.weight for r in out) - n_clusters) < 1e-6
+
+
+class TestNgramRepetitionDifferential:
+    """Randomized differential test: 60 seeded random docs (varied
+    repetition structure, empties, singles, unicode) must agree with an
+    INDEPENDENT pure-Python implementation of the Gopher signals —
+    catching semantics drift the planted fixtures can't."""
+
+    @staticmethod
+    def _py_reference(text):
+        import collections
+        n_chars = len(text)
+        w = text.split(" ")
+        out = {}
+        for n in range(2, 11):
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+            cnt = collections.Counter(grams)
+            if not cnt:
+                out[f"top{n}"] = 0.0 if n <= 4 else None
+                out[f"dup{n}"] = 0.0 if n >= 5 else None
+                continue
+            if n <= 4:
+                cmax = max(cnt.values())
+                cov = max(c * len(g) for g, c in cnt.items() if c == cmax)
+                out[f"top{n}"] = round(cov / n_chars, 6) if n_chars else 0.0
+            else:
+                covered = set()
+                for i, g in enumerate(grams):
+                    if cnt[g] >= 2:
+                        covered.update(range(i, i + n))
+                chars = sum(len(w[p]) for p in covered)
+                out[f"dup{n}"] = (round(chars / n_chars, 6)
+                                  if n_chars else 0.0)
+        return out
+
+    def test_random_docs_match_python_reference(self, spark, tmp_path):
+        import random
+
+        from document_converter_api_spark.operators.text_analysis import (
+            q_ngram_repetition,
+        )
+        rng = random.Random(20260818)
+        vocab = ([f"w{i}" for i in range(12)]
+                 + ["日本", "données", "a", "longerword"]
+                 + [""])  # consecutive-space artifact: empty "word"
+        rows = []
+        for d in range(60):
+            if d % 17 == 0:
+                text = ""                       # empty doc
+            elif d % 17 == 1:
+                text = "solo"                   # single word
+            else:
+                n_words = rng.randint(2, 40)
+                words = [rng.choice(vocab) for _ in range(n_words)]
+                if d % 3 == 0:                  # stamp a repeated phrase
+                    phrase = [rng.choice(vocab) for _ in range(
+                        rng.randint(2, 8))]
+                    for _ in range(rng.randint(2, 4)):
+                        pos = rng.randint(0, len(words))
+                        words[pos:pos] = phrase
+                text = " ".join(words)
+            rows.append((d, text, "en", "s", len(text)))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r.doc_id: r
+               for r in q_ngram_repetition(spark, str(tmp_path)).collect()}
+        assert len(got) == 60
+        for d, text, *_ in rows:
+            exp = self._py_reference(text)
+            r = got[d]
+            for n in (2, 3, 4):
+                assert r[f"top{n}_frac"] == (exp[f"top{n}"] or 0.0), (
+                    d, n, text, r)
+            for n in range(5, 11):
+                assert r[f"dup{n}_frac"] == (exp[f"dup{n}"] or 0.0), (
+                    d, n, text, r)
