@@ -48,13 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # only its first 50; the rest were checked via the local comparator
 # replica), then the dedup/ANN tier whose code changed this round. The
 # long-stable §2.8 scalar / TPC-H queries take the tail — they have two
-# rounds of green driver rows already. All 95 registered queries stay
+# rounds of green driver rows already. All 96 registered queries stay
 # covered locally by tools/check_oracle.py either way.
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
-    "dedup_weights",
+    "dedup_weights", "logreg_train",
     # never driver-checked (past r2's 50-entry window)
     "decontaminate", "token_pack", "unicode_normalize", "unigram_logprob",
     "doc_repetition", "bpe_pair_stats",
@@ -65,7 +65,7 @@ _GATE_WINDOW_FIRST = [
     "multimodal_audio_features", "asof_join", "range_join",
     "range_join_variable", "politeness_audit", "hll_distinct",
     "kmv_distinct", "cms_topk", "bloom_filter", "histogram_quantiles",
-    "host_stats_salted", "sessionize",
+    "host_stats_salted",
     # dedup/ANN tier — operators changed in round 3
     "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
     "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
@@ -77,13 +77,13 @@ _GATE_WINDOW_FIRST = [
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
 # every round by tools/check_oracle.py)
-# displaced for the seven round-3-new queries (bigram_logprob,
+# displaced for the eight round-3-new queries (bigram_logprob,
 # doc_line_dedup, perplexity_buckets, dsir_select, ngram_repetition,
-# incremental_minhash, dedup_weights): snapshot_diff, mojibake_repair,
-# chunk_overlap, weighted_sample, bucketed_join, crawl_rate,
-# host_cap_sample — all stable, plan-pinned (crawl_rate additionally
-# stream==batch pinned), and still locally oracle-checked every round
-# by tools/check_oracle.py.
+# incremental_minhash, dedup_weights, logreg_train): snapshot_diff,
+# mojibake_repair, chunk_overlap, weighted_sample, bucketed_join,
+# crawl_rate, host_cap_sample, sessionize — all stable, plan-pinned
+# (crawl_rate/sessionize additionally stream==batch pinned), and still
+# locally oracle-checked every round by tools/check_oracle.py.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sums via 20-bit weights)
         "bm25_search": _q_bm25_search,
         "quality_classifier": _q_quality_classifier,
+        # classifier TRAINING: 3 unrolled full-batch LR gradient rounds,
+        # integer-grid gradients (order-independent sums), exact 1/N step
+        "logreg_train": _q_logreg_train,
         # graph analytics (operators/graph.py): domain-level PageRank —
         # 5 iterative rounds of join+groupBy(dst) with localCheckpoint
         # lineage truncation; oracle unrolls the same rounds as a CTE chain
@@ -346,6 +349,11 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_quality_classifier,
     )
     return q_quality_classifier(spark, sf_dir)
+
+
+def _q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.search import q_logreg_train
+    return q_logreg_train(spark, sf_dir)
 
 
 def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

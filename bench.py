@@ -60,7 +60,7 @@ BENCH_QUERIES = (
     "plain_text_format", "chunk_text", "jobs_listing", "json_props",
     "webhook_payloads", "bigram_logprob", "doc_line_dedup",
     "perplexity_buckets", "dsir_select", "ngram_repetition",
-    "incremental_minhash", "dedup_weights",
+    "incremental_minhash", "dedup_weights", "logreg_train",
 )
 
 

@@ -201,3 +201,164 @@ SEARCH_ORACLES = {
         FROM folded ORDER BY doc_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING: unrolled logistic-regression gradient descent
+# ---------------------------------------------------------------------------
+
+# Shares the hashed-unigram feature space (64 md5 buckets) and target-domain
+# label with dsir_select (operators/sampling.py) — DSIR reweights toward the
+# target; this TRAINS the fastText/DCLM-style classifier that
+# q_quality_classifier applies at inference.
+LR_ROUNDS = 3
+LR_TARGET_SOURCES = ("src0", "src1", "src2")
+_Q20 = 1048576  # 2^20 fixed-point grid (the repo-wide exactness idiom)
+
+
+def _floordiv_exact(num, den):
+    """Exact integer floor division as identical integer ops in both
+    engines: ``(a - pmod(a, d)) / d`` with ``pmod = ((a % d) + d) % d``
+    (both engines' ``%`` takes the dividend's sign). The subtraction
+    makes the numerator exactly divisible, so the engine's double
+    division is exact and the BIGINT cast loses nothing."""
+    pm = ((num % den) + den) % den
+    return ((num - pm) / den).cast("long")
+
+
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING as unrolled dataflow: 3 rounds of
+    full-batch logistic-regression gradient descent over hashed-unigram
+    bucket counts, labels = target-domain membership. Returns the 64
+    learned weights. The novelty vs `quality_classifier` (inference with
+    hash-derived weights) is the iterative TRAINING loop — the same
+    unrolled-rounds shape as `domain_pagerank`, with every cross-engine
+    comparison kept exact:
+
+    * weights live on the integer 2^-20 grid; the per-doc logit is an
+      INTEGER dot product ``sum(c_b * w_b)`` (order-independent) whose
+      /2^20 is an exact power-of-two scale;
+    * the sigmoid is one exp on bit-identical doubles (the
+      bm25/unigram_logprob precedent);
+    * per-(doc, bucket) gradient contributions quantize back to the
+      grid (``floor(c·r·2^20 + .5)``) BEFORE the bucket sum, so gradient
+      accumulation is an integer sum — addition-order-independent, the
+      one thing a naive float gradient reduce can never be;
+    * the learning-rate step is an exact integer floor division by
+      n_docs (lr = 1/N, the classic full-batch scaling).
+
+    Scale shape: per round, ONE doc_id-keyed shuffle pair (logit agg +
+    residual join-back — both on uniform doc_id) and one 64-row bucket
+    aggregate (map-side combinable); the 64-row weight table broadcasts
+    back. Counts are computed once and kept in a keyed-swap cache
+    (scalar columns only). Rounds unroll in the plan (3 nested scans of
+    the cached counts); at 100 TB insert a localCheckpoint per round
+    exactly as domain_pagerank does."""
+    from .dedup import _persist_swap
+    from .sampling import _DSIR_BUCKET_SQL
+
+    docs = (widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .select("doc_id", "source", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1))
+        .alias("tok"))
+    tb = _persist_swap(
+        "logreg_tb",
+        toks.withColumn("b", F.expr(_DSIR_BUCKET_SQL))
+        .groupBy("doc_id", "b").agg(F.count("*").alias("c")))
+    y = _persist_swap(
+        "logreg_y",
+        docs.select("doc_id",
+                    F.when(F.col("source").isin(*LR_TARGET_SOURCES), 1)
+                    .otherwise(0).alias("y")))
+    n1 = docs.agg(F.count("*").alias("n"))
+
+    def grad(residuals: DataFrame) -> DataFrame:
+        """residuals: (doc_id, r double) -> (b, g) integer-grid sums."""
+        return (tb.join(residuals, "doc_id")
+                .select("b", F.floor(F.col("c") * F.col("r") * _Q20 + 0.5)
+                        .cast("long").alias("cq"))
+                .groupBy("b").agg(F.sum("cq").alias("g")))
+
+    # round 1: w=0 -> p=0.5 exactly -> r = 0.5 - y (exact halves)
+    g = grad(y.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r")))
+    w = (g.crossJoin(F.broadcast(n1))
+         .select("b", (-_floordiv_exact(F.col("g"), F.col("n")))
+                 .alias("w_q20")))
+    for _ in range(LR_ROUNDS - 1):
+        z = (tb.join(F.broadcast(w), "b")
+             .groupBy("doc_id")
+             .agg(F.sum(F.col("c") * F.col("w_q20")).alias("zint")))
+        res = (y.join(z, "doc_id", "left")
+               .select("doc_id",
+                       (F.lit(1.0)
+                        / (F.lit(1.0)
+                           + F.exp(-(F.coalesce("zint", F.lit(0))
+                                     .cast("double") / _Q20)))
+                        - F.col("y")).alias("r")))
+        g = grad(res)
+        w = (w.join(g, "b", "left").crossJoin(F.broadcast(n1))
+             .select("b", (F.col("w_q20")
+                           - _floordiv_exact(
+                               F.coalesce("g", F.lit(0)).cast("long"),
+                               F.col("n"))).alias("w_q20")))
+    return (w.select("b", "w_q20",
+                     (F.col("w_q20").cast("double") / _Q20).alias("w"))
+            .orderBy("b"))
+
+
+def _logreg_oracle() -> str:
+    from .sampling import _DSIR_BUCKET_SQL
+
+    tgt = str(LR_TARGET_SOURCES)
+    fd = ("CAST((({g}) - (((({g}) % n) + n) % n)) / n AS BIGINT)")
+    rounds = []
+    prev = None
+    for k in range(1, LR_ROUNDS):
+        rounds.append(f"""
+    z{k} AS (
+      SELECT t.doc_id, sum(t.c * w.w_q20) AS zint
+      FROM tb t JOIN w{k} w USING (b) GROUP BY t.doc_id),
+    res{k} AS (
+      SELECT y.doc_id,
+             1.0 / (1.0 + exp(-(CAST(coalesce(z.zint, 0) AS DOUBLE)
+                                / {_Q20}))) - y.y AS r
+      FROM yy y LEFT JOIN z{k} z ON z.doc_id = y.doc_id),
+    g{k + 1} AS (
+      SELECT t.b,
+             sum(CAST(floor(t.c * r.r * {_Q20} + 0.5) AS BIGINT)) AS g
+      FROM tb t JOIN res{k} r USING (doc_id) GROUP BY t.b),
+    w{k + 1} AS (
+      SELECT w.b,
+             w.w_q20 - {fd.format(g=f"coalesce(g.g, 0)")} AS w_q20
+      FROM w{k} w LEFT JOIN g{k + 1} g USING (b) CROSS JOIN nn)""")
+        prev = k + 1
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, coalesce(text, '') AS text FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM docs),
+    tb AS (
+      SELECT doc_id, {_DSIR_BUCKET_SQL} AS b, count(*) AS c
+      FROM (SELECT doc_id, tok FROM toks)
+      GROUP BY doc_id, {_DSIR_BUCKET_SQL}),
+    yy AS (
+      SELECT doc_id, CASE WHEN source IN {tgt} THEN 1 ELSE 0 END AS y
+      FROM docs),
+    nn AS (SELECT count(*) AS n FROM docs),
+    g1 AS (
+      SELECT t.b,
+             sum(CAST(floor(t.c * (0.5 - y.y) * {_Q20} + 0.5) AS BIGINT))
+               AS g
+      FROM tb t JOIN yy y USING (doc_id) GROUP BY t.b),
+    w1 AS (
+      SELECT b, -({fd.format(g="g")}) AS w_q20
+      FROM g1 CROSS JOIN nn),{",".join(rounds)}
+    SELECT b, CAST(w_q20 AS BIGINT) AS w_q20,
+           CAST(w_q20 AS DOUBLE) / {_Q20} AS w
+    FROM w{prev} ORDER BY b
+"""
+
+
+SEARCH_ORACLES["logreg_train"] = _logreg_oracle()

@@ -1466,3 +1466,55 @@ class TestNgramRepetitionDifferential:
             for n in range(5, 11):
                 assert r[f"dup{n}_frac"] == (exp[f"dup{n}"] or 0.0), (
                     d, n, text, r)
+
+
+class TestLogregTrain:
+    """Unrolled LR training: learned hashed-bucket weights must separate
+    target-domain docs from the rest, and the plan must stay window- and
+    cartesian-free."""
+
+    def test_learns_to_separate_target_sources(self, spark, tmp_path):
+        from hashlib import md5
+
+        from document_converter_api_spark.operators.search import (
+            LR_TARGET_SOURCES, q_logreg_train,
+        )
+        rows = []
+        for i in range(400):
+            src = f"src{i % 4}"
+            stem = ["alpha", "beta", "gamma", "delta"][i % 4]
+            rows.append((i, " ".join(f"{stem}{(i * 7 + j) % 50}"
+                                     for j in range(30)), "en", src, 30))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        w = {r.b: r.w for r in
+             q_logreg_train(spark, str(tmp_path)).collect()}
+
+        def score(text):
+            return sum(
+                w.get(int(md5(t.encode()).hexdigest()[:2], 16) % 64, 0.0)
+                for t in text.split(" "))
+
+        scores = [(score(t), s in LR_TARGET_SOURCES)
+                  for _, t, _, s, _ in rows]
+        tgt = [sc for sc, is_t in scores if is_t]
+        other = [sc for sc, is_t in scores if not is_t]
+        # 3 full-batch rounds must separate the two populations: every
+        # target doc above every delta-vocabulary doc would be perfect;
+        # require a strict mean gap and >90% correct at the midpoint cut
+        mid = (sum(tgt) / len(tgt) + sum(other) / len(other)) / 2
+        assert sum(tgt) / len(tgt) > sum(other) / len(other)
+        correct = (sum(1 for s in tgt if s > mid)
+                   + sum(1 for s in other if s <= mid))
+        assert correct / len(scores) > 0.9, (correct, mid)
+
+    def test_plan_no_window_no_cartesian(self, spark):
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators.search import (
+            q_logreg_train,
+        )
+        plan = plan_of(q_logreg_train(spark, "/root/testdata/sf0.001"))
+        assert "windowspecdefinition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

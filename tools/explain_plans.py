@@ -260,6 +260,12 @@ def main() -> None:
          "cluster-size aggregate (map-side combine collapses even a "
          "mega-cluster to one row per task) + two doc_id-keyed joins; "
          "weight 1/size is the single float op."),
+        ("logreg_train", "classifier training as unrolled dataflow: per "
+         "round one doc_id-keyed shuffle pair (integer-dot logit agg + "
+         "residual join-back) and a 64-row map-side-combining gradient "
+         "agg; the weight table broadcasts back; gradients quantize to "
+         "the 2^-20 grid BEFORE summing, so accumulation is an "
+         "order-independent integer sum."),
         ("weighted_sample", "quality-weighted importance sampling: keep "
          "decision is a scan-stage projection (52-bit exact draw vs "
          "n_chars weight); the only shuffle is the per-language report "
