@@ -1518,3 +1518,66 @@ class TestLogregTrain:
         plan = plan_of(q_logreg_train(spark, "/root/testdata/sf0.001"))
         assert "windowspecdefinition" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestLogregTrainDifferential:
+    """Randomized differential test: the learned w_q20 INTEGERS must be
+    byte-equal to an independent pure-Python implementation of the same
+    quantized gradient descent — integer equality, no tolerance."""
+
+    @staticmethod
+    def _py_train(rows, rounds=3, buckets=64, q=1048576):
+        import math
+        from collections import Counter, defaultdict
+        from hashlib import md5
+
+        def bucket(tok):
+            return int(md5(tok.encode()).hexdigest()[:2], 16) % buckets
+
+        tb = {}   # doc -> Counter(bucket -> count)
+        y = {}
+        for doc_id, text, _, src, _ in rows:
+            tb[doc_id] = Counter(bucket(t) for t in text.split(" "))
+            y[doc_id] = 1 if src in ("src0", "src1", "src2") else 0
+        n = len(rows)
+        w = defaultdict(int)
+        for k in range(rounds):
+            g = defaultdict(int)
+            for d, counts in tb.items():
+                if k == 0:
+                    r = 0.5 - y[d]
+                else:
+                    zint = sum(c * w[b] for b, c in counts.items())
+                    r = 1.0 / (1.0 + math.exp(-(zint / q))) - y[d]
+                for b, c in counts.items():
+                    g[b] += math.floor(c * r * q + 0.5)
+            for b, gb in g.items():
+                w[b] -= gb // n   # Python // floors: the exact step
+        return dict(w)
+
+    def test_weights_match_python_reference(self, spark, tmp_path):
+        import random
+
+        from document_converter_api_spark.operators.search import (
+            q_logreg_train,
+        )
+        rng = random.Random(42)
+        vocab = [f"tok{i}" for i in range(40)] + ["日本語", "café"]
+        rows = []
+        for d in range(120):
+            src = f"src{d % 5}"          # src0-2 target, src3-4 not
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(1, 35)))
+            rows.append((d, text, "en", src, len(text)))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r.b: r.w_q20 for r in
+               q_logreg_train(spark, str(tmp_path)).collect()}
+        exp = self._py_train(rows)
+        # buckets with no tokens never appear on either side
+        assert got == {b: w for b, w in exp.items()}, (
+            sorted(set(got) ^ set(exp)),
+            {b: (got.get(b), exp.get(b)) for b in got if
+             got.get(b) != exp.get(b)})
