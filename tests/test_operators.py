@@ -1581,3 +1581,61 @@ class TestLogregTrainDifferential:
             sorted(set(got) ^ set(exp)),
             {b: (got.get(b), exp.get(b)) for b in got if
              got.get(b) != exp.get(b)})
+
+
+class TestSketchDifferential:
+    """The sketch oracles share their SQL fragments between engines, so
+    DuckDB is NOT an independent check there. These tests recompute the
+    HLL register table and the Bloom word table from scratch in pure
+    Python (hashlib) over the real sf0.001 events and require EXACT
+    integer equality."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _user_ids(self):
+        import duckdb
+        con = duckdb.connect()
+        return [r[0] for r in con.execute(
+            f"SELECT user_id FROM parquet_scan("
+            f"'{self.SF}/events.parquet')").fetchall()]
+
+    def test_hll_registers_match_python(self, spark):
+        from hashlib import md5
+
+        from document_converter_api_spark.operators.sketch import (
+            hll_register_table,
+        )
+        ev = spark.read.parquet(f"{self.SF}/events.parquet") \
+            .select("user_id")
+        got = {r.register: r.rho_max
+               for r in hll_register_table(ev).collect()}
+        exp = {}
+        for uid in self._user_ids():
+            h = md5(str(uid).encode()).hexdigest()
+            reg = int(h[:2], 16)
+            z = h[2:18].lstrip("0")
+            if z == "":
+                rho = 65
+            else:
+                v = int(z[0], 16)
+                lead = 0 if v >= 8 else 1 if v >= 4 else 2 if v >= 2 else 3
+                rho = (16 - len(z)) * 4 + lead + 1
+            exp[reg] = max(exp.get(reg, 0), rho)
+        assert got == exp
+
+    def test_bloom_words_match_python(self, spark):
+        from hashlib import md5
+
+        from document_converter_api_spark.operators.sketch import (
+            BLOOM_BITS, BLOOM_K, bloom_words,
+        )
+        ev = spark.read.parquet(f"{self.SF}/events.parquet") \
+            .select("user_id")
+        got = {r.word: r.bits for r in bloom_words(ev).collect()}
+        exp = {}
+        for uid in self._user_ids():
+            for j in range(BLOOM_K):
+                h = md5(f"{uid}#{j}".encode()).hexdigest()
+                pos = int(h[:3], 16) % BLOOM_BITS
+                exp[pos // 32] = exp.get(pos // 32, 0) | (1 << (pos % 32))
+        assert got == exp
