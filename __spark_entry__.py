@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # covered locally by tools/check_oracle.py either way.
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
+    "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
     "dedup_weights", "logreg_train",
@@ -73,6 +74,11 @@ _GATE_WINDOW_FIRST = [
     "webhook_payloads",
     "line_dedup", "ann_lsh_bucketed", "corpus_curation",
 ]
+# displaced from the 50-entry window for the round-3-new WAT tier
+# (link_extract, host_linkgraph, anchor_stats, link_pagerank):
+# webhook_payloads, line_dedup, ann_lsh_bucketed, corpus_curation — all
+# driver-green earlier this round or last and still locally
+# oracle-checked every round by tools/check_oracle.py
 # displaced from the 50-entry window for the round-3-new semantic_dedup
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
@@ -306,6 +312,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucketed co-located join (sources/bucketed.py) — results == plain
         # join; the zero-Exchange plan property is pinned in test_plans.py
         "bucketed_join": _q_bucketed_join,
+        # WAT tier (operators/linkgraph.py): outlink extraction from the
+        # real fixture HTML (codegen'd regex scan), the aggregated host
+        # link graph, anchor-text stats, and PageRank over the EXTRACTED
+        # graph — crawl -> WAT -> domain ranking pinned end to end
+        "link_extract": _q_link_extract,
+        "host_linkgraph": _q_host_linkgraph,
+        "anchor_stats": _q_anchor_stats,
+        "link_pagerank": _q_link_pagerank,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
@@ -388,6 +402,30 @@ def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.sources.bucketed import q_bucketed_doc_join
     return q_bucketed_doc_join(spark, sf_dir)
+
+
+def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.linkgraph import q_link_extract
+    return q_link_extract(spark, sf_dir)
+
+
+def _q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.linkgraph import (
+        q_host_linkgraph,
+    )
+    return q_host_linkgraph(spark, sf_dir)
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.linkgraph import q_anchor_stats
+    return q_anchor_stats(spark, sf_dir)
+
+
+def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.linkgraph import (
+        q_link_pagerank,
+    )
+    return q_link_pagerank(spark, sf_dir)
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +745,13 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_pq"] = ann_pq_oracle_sql()
     repo_root = os.path.dirname(os.path.abspath(__file__))
     sql.update(oracle_sql_for_media(repo_root))
+    from document_converter_api_spark.operators.linkgraph import (
+        oracle_sql_for_links,
+    )
+    # n_nodes=16 is the smoke host-graph node count; pinned by
+    # tests/test_linkgraph.py so the Spark-side runtime count and this
+    # oracle constant cannot drift apart.
+    sql.update(oracle_sql_for_links(repo_root, n_nodes=16))
     from document_converter_api_spark.operators.skew import (
         host_cap_oracle, host_stats_oracle,
     )

@@ -61,6 +61,7 @@ BENCH_QUERIES = (
     "webhook_payloads", "bigram_logprob", "doc_line_dedup",
     "perplexity_buckets", "dsir_select", "ngram_repetition",
     "incremental_minhash", "dedup_weights", "logreg_train",
+    "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
 )
 
 
@@ -138,7 +139,11 @@ def main() -> None:
                   "corpus": scale,
                   "accumulators": acc_snapshot}
 
-    # 2) flagship operator queries at SF_DIR
+    # 2) flagship operator queries at SF_DIR. The WAT/linkgraph tier reads
+    # the pages corpus, not the sf tables — point it at the scale-matched
+    # corpus so its timings reflect bench volume (oracle runs leave this
+    # unset and get the committed smoke fixture the oracles interpolate).
+    os.environ["SPARK_GRAFT_PAGES"] = pages_path
     queries = entrymod.queries()
     for name in BENCH_QUERIES:
         fn = queries.get(name)

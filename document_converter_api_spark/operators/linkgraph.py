@@ -1,0 +1,306 @@
+"""WAT-tier link extraction: outlinks, the host link graph, anchor text,
+and PageRank over the EXTRACTED graph.
+
+Reference parity note: the reference service (``/root/reference/app/
+main.py``) converts documents one at a time and never looks at hyperlink
+structure. A webtext pipeline at crawl scale does: Common Crawl publishes
+WAT files (per-page outlink metadata) and a host/domain ranking computed
+from exactly this extracted graph. ``operators/graph.py`` already proves
+the PageRank ITERATION against the oracle but derives its edges from an
+arithmetic scheme because the ``documents`` table carries no hyperlinks
+(see its module docstring); this module closes that gap — links are
+extracted from the real fixture HTML payloads, so the oracle checks the
+extract → resolve → aggregate → rank chain end to end.
+
+Extraction is a single codegen'd projection (``regexp_extract_all`` over
+the UTF-8-decoded payload) — no Python, no explode-before-filter:
+
+* ``q_link_extract`` — one row per (page, outlink) with the resolved
+  target host. Relative hrefs resolve to the page's own host (RFC 3986
+  same-authority resolution; the fixture corpus has no ``../`` forms).
+* ``q_host_linkgraph`` — the aggregated host→host edge list with link
+  and distinct-page counts; this is the WAT reduction Common Crawl ships
+  as its domain graph.
+* ``q_anchor_stats`` — anchor-text term counts per target host (the
+  classic anchor-text relevance signal). The href and anchor captures
+  come from TWO group extractions of the SAME pattern, so positional
+  ``arrays_zip`` is sound (identical match sequence).
+* ``q_link_pagerank`` — 5 unrolled PageRank rounds over the distinct
+  extracted host edges (self-loops dropped, as in production host-graph
+  ranking). ``ref.example`` is a genuine dangling sink: its rank mass
+  evaporates rather than being redistributed (the unredistributed-
+  dangling PageRank variant); the oracle runs the identical recurrence
+  so the semantics are pinned, and the docstring is the contract.
+
+Scale notes (10^12 pages):
+
+* The regex scan is per-row, JVM-side, whole-stage-codegen'd — the
+  extraction stage is embarrassingly parallel and shuffle-free.
+* ``explode`` fans out ~50 links/page BEFORE the aggregation, but the
+  ``groupBy(src_host, dst_host)`` partial-aggregates map-side, so the
+  shuffle carries one partial row per (task, edge), not per link. Hub
+  hosts with 10^9 in-links arrive pre-combined — the same defense the
+  salted host agg (``operators/skew.py``) uses; AQE skew-join handles
+  any residual hot reducer.
+* The host graph output is ~10^8 rows from 10^12 pages — a 10^4×
+  reduction; everything downstream (PageRank) runs on the small table
+  and broadcasts into joins exactly as ``q_domain_pagerank`` documents.
+* ``countDistinct(url)`` inside the edge agg is the one expensive part
+  (exact distinct per edge). At web scale swap it for ``approx_count_
+  distinct`` (HLL, mergeable, still one shuffle) — kept exact here so
+  the oracle can check it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SMOKE = os.path.join("fixtures", "data", "pages_smoke.parquet")
+
+# one pattern, two capture groups — href and anchor text
+HREF_RE = 'href="([^"]+)"'
+ANCHOR_RE = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
+HOST_RE = "^https?://([^/]+)"
+
+LPR_ITERS = 5
+LPR_DAMPING = 0.85
+LPR_TELEPORT = 0.15
+
+
+def pages_path(repo_root: str | None = None) -> str:
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, PAGES_SMOKE)
+
+
+def _pages_df(spark: SparkSession) -> DataFrame:
+    """HTML rows of the pages corpus (``.html`` URL suffix marks the
+    format; fixture HTML payloads are pure UTF-8 by construction).
+
+    Defaults to the committed smoke corpus — the one the DuckDB oracles
+    interpolate — so correctness checks are reproducible; ``bench.py``
+    points ``SPARK_GRAFT_PAGES`` at the scale-matched corpus so the
+    timing rows measure real extraction volume, not the fixture."""
+    path = os.environ.get("SPARK_GRAFT_PAGES") or pages_path()
+    return (spark.read.parquet(path)
+            .filter(F.col("url").endswith(".html")))
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, link, src_host, dst_host, internal) — one row per outlink.
+
+    The decode + regex + resolve chain is one codegen'd projection; the
+    only wide op a caller adds later is their own aggregation."""
+    return (pages
+            .select(
+                "url",
+                F.explode(
+                    F.regexp_extract_all(F.decode("html", "UTF-8"),
+                                         F.lit(HREF_RE), 1)).alias("link"))
+            .withColumn("src_host", F.regexp_extract("url", HOST_RE, 1))
+            .withColumn("dst_host",
+                        F.when(F.col("link").startswith("http"),
+                               F.regexp_extract("link", HOST_RE, 1))
+                        .otherwise(F.col("src_host")))
+            .withColumn("internal",
+                        (F.col("dst_host") == F.col("src_host"))
+                        .cast("boolean")))
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlinks with resolved hosts (the WAT record body)."""
+    return (extract_links(_pages_df(spark))
+            .select("url", "link", "dst_host", "internal")
+            .orderBy("url", "link"))
+
+
+def host_linkgraph(pages: DataFrame) -> DataFrame:
+    return (extract_links(pages)
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("long").alias("n_links"),
+                 F.countDistinct("url").cast("long").alias("n_pages")))
+
+
+def q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated host→host edge list (link + distinct-page counts)."""
+    return (host_linkgraph(_pages_df(spark))
+            .orderBy("src_host", "dst_host"))
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text counts per target host: zip the href and anchor
+    captures of the SAME pattern, resolve the host, aggregate."""
+    pages = _pages_df(spark)
+    page = F.decode("html", "UTF-8")
+    zipped = (pages
+              .select(
+                  "url",
+                  F.explode(F.arrays_zip(
+                      F.regexp_extract_all(page, F.lit(ANCHOR_RE), 1)
+                      .alias("href"),
+                      F.regexp_extract_all(page, F.lit(ANCHOR_RE), 2)
+                      .alias("anchor"))).alias("z"))
+              .select("url",
+                      F.col("z.href").alias("href"),
+                      F.col("z.anchor").alias("anchor"))
+              .withColumn("src_host", F.regexp_extract("url", HOST_RE, 1))
+              .withColumn("dst_host",
+                          F.when(F.col("href").startswith("http"),
+                                 F.regexp_extract("href", HOST_RE, 1))
+                          .otherwise(F.col("src_host"))))
+    return (zipped.groupBy("dst_host", "anchor")
+            .agg(F.count("*").cast("long").alias("n_links"))
+            .filter(F.col("n_links") >= 3)
+            .orderBy("dst_host", "anchor"))
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the extracted host graph: distinct non-self edges,
+    5 unrolled rounds, uniform init 1/N, teleport (1-d)/N; dangling mass
+    (hosts with no outlinks, e.g. ``ref.example``) evaporates.
+
+    Same loop shape as ``q_domain_pagerank`` (localCheckpoint lineage
+    truncation per round, map-side-combined contribution agg) but the
+    edges come from the real extractor, so this pins crawl → WAT →
+    ranking end to end."""
+    edges = (extract_links(_pages_df(spark))
+             .select("src_host", "dst_host")
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    outdeg = edges.groupBy("src_host").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src_host").localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src_host").alias("id"))
+             .unionAll(edges.select(F.col("dst_host").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_nodes = nodes.count()          # one small driver sync, outside the loop
+    init = 1.0 / n_nodes
+    teleport = LPR_TELEPORT / n_nodes
+    ranks = nodes.withColumn("pr", F.lit(init))
+    for _ in range(LPR_ITERS):
+        contrib = (edges_deg.join(ranks, edges_deg.src_host == ranks.id)
+                   .groupBy("dst_host")
+                   .agg(F.sum(F.col("pr") / F.col("deg")).alias("s")))
+        ranks = (nodes.join(contrib, nodes.id == contrib.dst_host, "left")
+                 .select(F.col("id"),
+                         (F.lit(teleport)
+                          + F.lit(LPR_DAMPING) * F.coalesce("s", F.lit(0.0)))
+                         .alias("pr"))
+                 .localCheckpoint(eager=True))
+    return (ranks.join(outdeg, ranks.id == outdeg.src_host, "left")
+            .select(F.col("id").alias("host"),
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("long")
+                    .alias("out_deg"),
+                    F.round("pr", 9).alias("pagerank"))
+            .orderBy("host"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical regexes, identical resolution CASE, identical
+# unrolled recurrence with the same interpolated double literals.
+# ---------------------------------------------------------------------------
+
+_LINKS_CTE = """
+        links AS (
+          SELECT url,
+                 unnest(regexp_extract_all(decode(html),
+                        'href="([^"]+)"', 1)) AS link,
+                 regexp_extract(url, '^https?://([^/]+)', 1) AS src_host
+          FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
+        resolved AS (
+          SELECT url, link, src_host,
+                 CASE WHEN link LIKE 'http%'
+                      THEN regexp_extract(link, '^https?://([^/]+)', 1)
+                      ELSE src_host END AS dst_host
+          FROM links)"""
+
+
+def _link_pagerank_oracle(n_nodes: int) -> str:
+    init = 1.0 / n_nodes
+    teleport = LPR_TELEPORT / n_nodes
+    base = f"""
+        WITH {_LINKS_CTE},
+        edges AS (
+          SELECT DISTINCT src_host, dst_host FROM resolved
+          WHERE src_host <> dst_host),
+        outdeg AS (
+          SELECT src_host, count(*) AS deg FROM edges GROUP BY src_host),
+        nodes AS (
+          SELECT DISTINCT id FROM (
+            SELECT src_host AS id FROM edges
+            UNION ALL SELECT dst_host FROM edges)),
+        pr0 AS (SELECT id, {init!r} AS pr FROM nodes)"""
+    rounds = []
+    for k in range(1, LPR_ITERS + 1):
+        rounds.append(f""",
+        pr{k} AS (
+          SELECT n.id,
+                 {teleport!r} + {LPR_DAMPING!r} * coalesce(c.s, 0.0) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst_host, sum(p.pr / o.deg) AS s
+            FROM edges e
+            JOIN pr{k - 1} p ON e.src_host = p.id
+            JOIN outdeg o ON e.src_host = o.src_host
+            GROUP BY e.dst_host) c ON c.dst_host = n.id)""")
+    return base + "".join(rounds) + f"""
+        SELECT r.id AS host,
+               CAST(coalesce(o.deg, 0) AS BIGINT) AS out_deg,
+               round(r.pr, 9) AS pagerank
+        FROM pr{LPR_ITERS} r
+        LEFT JOIN outdeg o ON r.id = o.src_host
+        ORDER BY host
+    """
+
+
+LINKGRAPH_ORACLES = {
+    "link_extract": f"""
+        WITH {_LINKS_CTE}
+        SELECT url, link, dst_host,
+               (dst_host = src_host) AS internal
+        FROM resolved
+        ORDER BY url, link
+    """,
+    "host_linkgraph": f"""
+        WITH {_LINKS_CTE}
+        SELECT src_host, dst_host,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+        FROM resolved
+        GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host
+    """,
+    "anchor_stats": """
+        WITH pairs AS (
+          SELECT url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS anchor,
+                 regexp_extract(url, '^https?://([^/]+)', 1) AS src_host
+          FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
+        resolved AS (
+          SELECT anchor,
+                 CASE WHEN href LIKE 'http%'
+                      THEN regexp_extract(href, '^https?://([^/]+)', 1)
+                      ELSE src_host END AS dst_host
+          FROM pairs)
+        SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links
+        FROM resolved
+        GROUP BY dst_host, anchor
+        HAVING count(*) >= 3
+        ORDER BY dst_host, anchor
+    """,
+}
+
+
+def oracle_sql_for_links(repo_root: str, n_nodes: int) -> dict[str, str]:
+    path = pages_path(repo_root)
+    out = {k: v.replace("__PAGES_PARQUET__", path)
+           for k, v in LINKGRAPH_ORACLES.items()}
+    out["link_pagerank"] = (_link_pagerank_oracle(n_nodes)
+                            .replace("__PAGES_PARQUET__", path))
+    return out

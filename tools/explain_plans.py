@@ -299,6 +299,21 @@ def main() -> None:
         ("token_entropy", "token-distribution entropy: (doc_id, tok) "
          "counts spread corpus-hot tokens; per-doc window + re-agg on "
          "uniform doc_id; map-side combine both stages."),
+        ("link_extract", "WAT outlink extraction: decode + "
+         "regexp_extract_all + host resolution as ONE codegen'd scan "
+         "projection — no Python, no Exchange before the explode; "
+         "embarrassingly parallel at crawl scale."),
+        ("host_linkgraph", "host→host edge list: the ~50×/page explode "
+         "partial-aggregates map-side, so the shuffle carries one row "
+         "per (task, edge), not per link — hub hosts arrive "
+         "pre-combined."),
+        ("anchor_stats", "anchor-text signal: href+anchor captures of "
+         "the SAME pattern zipped positionally (identical match "
+         "sequence), then a map-side-combining (dst_host, anchor) agg."),
+        ("link_pagerank", "PageRank over the EXTRACTED host graph: "
+         "distinct non-self edges, out-degree joined once, per-round "
+         "contribution agg with localCheckpoint lineage truncation — "
+         "the shown plan is one round, not five stacked."),
     ):
         add(name, note, queries[name](spark, SF))
 
