@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # covered locally by tools/check_oracle.py either way.
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
+    "page_metadata", "lang_audit", "frontier_priority",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
@@ -75,10 +76,12 @@ _GATE_WINDOW_FIRST = [
     "line_dedup", "ann_lsh_bucketed", "corpus_curation",
 ]
 # displaced from the 50-entry window for the round-3-new WAT tier
-# (link_extract, host_linkgraph, anchor_stats, link_pagerank):
+# (link_extract, host_linkgraph, anchor_stats, link_pagerank) and the
+# head-metadata tier (page_metadata, lang_audit, frontier_priority):
+# dedup_ngram_jaccard, dedup_embedding_cosine, semantic_dedup,
 # webhook_payloads, line_dedup, ann_lsh_bucketed, corpus_curation — all
-# driver-green earlier this round or last and still locally
-# oracle-checked every round by tools/check_oracle.py
+# driver-green earlier this round or last (r2 rows for the dedup trio)
+# and still locally oracle-checked every round by tools/check_oracle.py
 # displaced from the 50-entry window for the round-3-new semantic_dedup
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
@@ -316,6 +319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real fixture HTML (codegen'd regex scan), the aggregated host
         # link graph, anchor-text stats, and PageRank over the EXTRACTED
         # graph — crawl -> WAT -> domain ranking pinned end to end
+        # Head-metadata tier (operators/pagemeta.py): WAT-style title/
+        # heading metadata, declared-vs-detected language audit, and
+        # PageRank x staleness recrawl prioritization
+        "page_metadata": _q_page_metadata,
+        "lang_audit": _q_lang_audit,
+        "frontier_priority": _q_frontier_priority,
         "link_extract": _q_link_extract,
         "host_linkgraph": _q_host_linkgraph,
         "anchor_stats": _q_anchor_stats,
@@ -407,6 +416,23 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.linkgraph import q_link_extract
     return q_link_extract(spark, sf_dir)
+
+
+def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import q_page_metadata
+    return q_page_metadata(spark, sf_dir)
+
+
+def _q_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import q_lang_audit
+    return q_lang_audit(spark, sf_dir)
+
+
+def _q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import (
+        q_frontier_priority,
+    )
+    return q_frontier_priority(spark, sf_dir)
 
 
 def _q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +778,10 @@ def oracle_sql() -> dict[str, str]:
     # tests/test_linkgraph.py so the Spark-side runtime count and this
     # oracle constant cannot drift apart.
     sql.update(oracle_sql_for_links(repo_root, n_nodes=16))
+    from document_converter_api_spark.operators.pagemeta import (
+        oracle_sql_for_pagemeta,
+    )
+    sql.update(oracle_sql_for_pagemeta(repo_root, n_nodes=16))
     from document_converter_api_spark.operators.skew import (
         host_cap_oracle, host_stats_oracle,
     )

@@ -62,6 +62,7 @@ BENCH_QUERIES = (
     "perplexity_buckets", "dsir_select", "ngram_repetition",
     "incremental_minhash", "dedup_weights", "logreg_train",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
+    "page_metadata", "lang_audit", "frontier_priority",
 )
 
 

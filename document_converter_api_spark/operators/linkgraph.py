@@ -157,16 +157,14 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dst_host", "anchor"))
 
 
-def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the extracted host graph: distinct non-self edges,
-    5 unrolled rounds, uniform init 1/N, teleport (1-d)/N; dangling mass
-    (hosts with no outlinks, e.g. ``ref.example``) evaporates.
-
-    Same loop shape as ``q_domain_pagerank`` (localCheckpoint lineage
-    truncation per round, map-side-combined contribution agg) but the
-    edges come from the real extractor, so this pins crawl → WAT →
-    ranking end to end."""
-    edges = (extract_links(_pages_df(spark))
+def host_ranks(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ranks(id, pr), outdeg(src_host, deg)) over the extracted host
+    graph: distinct non-self edges, ``LPR_ITERS`` unrolled rounds,
+    uniform init 1/N, teleport (1-d)/N; dangling mass (hosts with no
+    outlinks, e.g. ``ref.example``) evaporates. ``pr`` is the raw
+    (unrounded) rank so composers (``pagemeta.q_frontier_priority``)
+    stay bit-identical with oracles that consume the same CTE chain."""
+    edges = (extract_links(pages)
              .select("src_host", "dst_host")
              .filter(F.col("src_host") != F.col("dst_host"))
              .distinct()
@@ -191,6 +189,17 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + F.lit(LPR_DAMPING) * F.coalesce("s", F.lit(0.0)))
                          .alias("pr"))
                  .localCheckpoint(eager=True))
+    return ranks, outdeg
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the extracted host graph (see ``host_ranks``).
+
+    Same loop shape as ``q_domain_pagerank`` (localCheckpoint lineage
+    truncation per round, map-side-combined contribution agg) but the
+    edges come from the real extractor, so this pins crawl → WAT →
+    ranking end to end."""
+    ranks, outdeg = host_ranks(_pages_df(spark))
     return (ranks.join(outdeg, ranks.id == outdeg.src_host, "left")
             .select(F.col("id").alias("host"),
                     F.coalesce(F.col("deg"), F.lit(0)).cast("long")
@@ -219,7 +228,11 @@ _LINKS_CTE = """
           FROM links)"""
 
 
-def _link_pagerank_oracle(n_nodes: int) -> str:
+def pagerank_cte(n_nodes: int) -> str:
+    """WITH-body computing ``pr{LPR_ITERS}(id, pr)`` + ``outdeg`` from
+    ``__PAGES_PARQUET__`` — the shared recurrence both the pagerank
+    oracle and the frontier-priority oracle (operators/pagemeta.py)
+    append their own SELECT to."""
     init = 1.0 / n_nodes
     teleport = LPR_TELEPORT / n_nodes
     base = f"""
@@ -246,7 +259,11 @@ def _link_pagerank_oracle(n_nodes: int) -> str:
             JOIN pr{k - 1} p ON e.src_host = p.id
             JOIN outdeg o ON e.src_host = o.src_host
             GROUP BY e.dst_host) c ON c.dst_host = n.id)""")
-    return base + "".join(rounds) + f"""
+    return base + "".join(rounds)
+
+
+def _link_pagerank_oracle(n_nodes: int) -> str:
+    return pagerank_cte(n_nodes) + f"""
         SELECT r.id AS host,
                CAST(coalesce(o.deg, 0) AS BIGINT) AS out_deg,
                round(r.pr, 9) AS pagerank

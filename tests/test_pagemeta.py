@@ -1,0 +1,116 @@
+"""Head-metadata tier: metadata extraction invariants, declared-vs-
+detected language audit semantics, frontier-priority ordering, and
+plan purity.
+
+The reference service (/root/reference/app/main.py) has no notion of
+head metadata, language audit, or recrawl scheduling; this tier is the
+WAT-metadata / CCNet-audit / crawl-scheduler surface the webtext scope
+calls for (see operators/pagemeta.py docstring).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_converter_api_spark.operators import linkgraph as L
+from document_converter_api_spark.operators import pagemeta as M
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return M.q_page_metadata(spark, SF).collect()
+
+
+class TestPageMetadata:
+    def test_every_page_has_head_fields(self, meta):
+        assert len(meta) > 0
+        for r in meta:
+            assert r.title != "" and r.h1 != ""
+            assert r.declared_lang in ("en", "es", "de")
+
+    def test_n_links_agrees_with_link_extractor(self, spark, meta):
+        """Cross-operator consistency: the metadata count of href
+        attributes must equal the WAT extractor's per-page outlink
+        rows — same corpus, two independent operators."""
+        by_url = {r.url: r.n_links for r in meta}
+        counts = (L.extract_links(L._pages_df(spark))
+                  .groupBy("url").agg(F.count("*").alias("n")).collect())
+        assert {r.url: r.n for r in counts} == {
+            u: n for u, n in by_url.items() if n > 0}
+        assert sum(by_url.values()) == sum(r.n for r in counts)
+
+    def test_extraction_is_pure_catalyst(self, spark):
+        plan = (M.q_page_metadata(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Join" not in plan
+
+
+class TestLangAudit:
+    @pytest.fixture(scope="class")
+    def audit(self, spark):
+        return M.q_lang_audit(spark, SF).collect()
+
+    def test_match_rate_high_but_imperfect(self, audit):
+        """The declared attribute and the content detector agree on the
+        bulk of the corpus; the residue is short pages whose stopword
+        hits tie and fall to the 'en' tie-break — a real audit finds
+        real mismatches, it is not an identity check."""
+        n = len(audit)
+        matches = sum(r.match for r in audit)
+        assert 0.9 * n < matches < n
+
+    def test_mismatches_are_en_tiebreaks(self, audit):
+        for r in audit:
+            if not r.match:
+                assert r.pred_lang == "en"
+                assert r.declared_lang in ("es", "de")
+
+    def test_match_flag_consistent(self, audit):
+        for r in audit:
+            assert r.match == int(r.pred_lang == r.declared_lang)
+            hits = {"en": r.hits_en, "es": r.hits_es, "de": r.hits_de}
+            assert hits[r.pred_lang] == max(hits.values())
+
+    def test_audit_is_pure_catalyst(self, spark):
+        plan = (M.q_lang_audit(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Join" not in plan
+
+
+class TestFrontierPriority:
+    @pytest.fixture(scope="class")
+    def frontier(self, spark):
+        return M.q_frontier_priority(spark, SF).collect()
+
+    def test_covers_all_hosts_and_pages(self, spark, frontier, meta):
+        hosts = {r.host for r in frontier}
+        assert hosts == {u.split("/")[2] for u in (r.url for r in meta)}
+        assert sum(r.n_pages for r in frontier) == len(meta)
+
+    def test_fresh_hosts_never_queue(self, frontier):
+        for r in frontier:
+            assert r.priority >= 0
+            if r.hours_stale == 0:
+                assert r.priority == 0
+
+    def test_unlinked_hosts_rank_zero(self, frontier):
+        """Hosts with no cross-host edge are absent from the graph and
+        coalesce to rank 0; every ranked host clears the teleport
+        floor (0.15 / 16 nodes)."""
+        ranked = [r for r in frontier if r.pagerank > 0]
+        unranked = [r for r in frontier if r.pagerank == 0]
+        assert ranked and unranked
+        floor = L.LPR_TELEPORT / 16
+        assert all(r.pagerank >= floor - 1e-12 for r in ranked)
+        assert all(r.priority == 0 for r in unranked)
+
+    def test_ordered_by_priority_desc(self, frontier):
+        pris = [r.priority for r in frontier]
+        assert pris == sorted(pris, reverse=True)

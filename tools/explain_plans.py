@@ -314,6 +314,17 @@ def main() -> None:
          "distinct non-self edges, out-degree joined once, per-round "
          "contribution agg with localCheckpoint lineage truncation — "
          "the shown plan is one round, not five stacked."),
+        ("page_metadata", "WAT head metadata: title/h1/lang extraction "
+         "+ heading/paragraph/script/link counts as ONE codegen'd "
+         "projection — no Python, no Join, shuffle-free scan stage."),
+        ("lang_audit", "declared-vs-detected language audit: "
+         "script/style strip + tag strip + tokenize + per-language "
+         "stopword hits as materialized columns (HOF lambdas get no "
+         "CSE), argmax CASE — pure scan projection."),
+        ("frontier_priority", "recrawl scheduling: one map-side-combined "
+         "groupBy(host), 1-row corpus-max broadcast crossJoin, tiny "
+         "host-rank broadcast LEFT join — rank x ln(staleness) never "
+         "shuffles the page table twice."),
     ):
         add(name, note, queries[name](spark, SF))
 
