@@ -53,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "page_metadata", "lang_audit", "frontier_priority",
+    "host_quality", "crawl_budget",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
@@ -77,10 +78,11 @@ _GATE_WINDOW_FIRST = [
 ]
 # displaced from the 50-entry window for the round-3-new WAT tier
 # (link_extract, host_linkgraph, anchor_stats, link_pagerank) and the
-# head-metadata tier (page_metadata, lang_audit, frontier_priority):
+# pages-analysis tier (page_metadata, lang_audit, frontier_priority,
+# host_quality, crawl_budget): dedup_minhash_lsh, dedup_simhash,
 # dedup_ngram_jaccard, dedup_embedding_cosine, semantic_dedup,
 # webhook_payloads, line_dedup, ann_lsh_bucketed, corpus_curation — all
-# driver-green earlier this round or last (r2 rows for the dedup trio)
+# driver-green earlier this round or last (r2 rows for the dedup five)
 # and still locally oracle-checked every round by tools/check_oracle.py
 # displaced from the 50-entry window for the round-3-new semantic_dedup
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
@@ -325,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": _q_page_metadata,
         "lang_audit": _q_lang_audit,
         "frontier_priority": _q_frontier_priority,
+        "host_quality": _q_host_quality,
+        "crawl_budget": _q_crawl_budget,
         "link_extract": _q_link_extract,
         "host_linkgraph": _q_host_linkgraph,
         "anchor_stats": _q_anchor_stats,
@@ -433,6 +437,16 @@ def _q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_frontier_priority,
     )
     return q_frontier_priority(spark, sf_dir)
+
+
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import q_host_quality
+    return q_host_quality(spark, sf_dir)
+
+
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import q_crawl_budget
+    return q_crawl_budget(spark, sf_dir)
 
 
 def _q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,7 +57,7 @@ from .linkgraph import (
     pages_path,
     pagerank_cte,
 )
-from .text_analysis import LANG_ORDER, STOPWORDS
+from .text_analysis import _ALL_STOPS, LANG_ORDER, STOPWORDS
 
 DECLARED_RE = '<html lang="([a-z]+)"'
 TITLE_RE = "<title>([^<]*)</title>"
@@ -164,6 +164,87 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("priority"), "host"))
 
 
+HQ_MIN_STOP_DENSITY = 0.02   # below: boilerplate/gibberish-heavy domain
+HQ_MIN_TOKS_PER_PAGE = 120   # below: thin-content domain
+CRAWL_BUDGET = 1000          # fetch slots per scheduling round
+
+
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style DOMAIN-level quality gate: micro-averaged stopword
+    density and tokens/page per host, with a low-quality flag.
+
+    Web curation filters whole domains, not just pages — a host whose
+    aggregate text is thin or stopword-starved is dropped wholesale
+    (FineWeb's URL/domain filtering stage). Sums are integers, so the
+    per-host means are single exact-operand double divisions — identical
+    IEEE results cross-engine, no tolerance needed. One map-side-combined
+    ``groupBy(host)``; at 10^12 pages the output is ~10^8 host rows."""
+    page = _page()
+    toks = F.split(F.lower(visible_text(page)), "[^a-z]+", -1)
+    per_page = (_pages_df(spark)
+                .select(F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                        toks.alias("toks"))
+                .select("host",
+                        F.size(F.filter("toks", lambda t: t != F.lit("")))
+                        .cast("long").alias("n_toks"),
+                        F.size(F.filter("toks", lambda t:
+                                        t.isin(*_ALL_STOPS)))
+                        .cast("long").alias("n_stops")))
+    agg = (per_page.groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_pages"),
+                F.sum("n_toks").alias("n_tokens"),
+                F.sum("n_stops").alias("n_stopwords")))
+    toks_pp = F.round(F.col("n_tokens") / F.col("n_pages"), 6)
+    density = F.round(F.col("n_stopwords") / F.col("n_tokens"), 6)
+    return (agg.select(
+        "host", "n_pages", "n_tokens", "n_stopwords",
+        toks_pp.alias("toks_per_page"),
+        density.alias("stop_density"),
+        ((density < HQ_MIN_STOP_DENSITY)
+         | (toks_pp < HQ_MIN_TOKS_PER_PAGE)).alias("low_quality"))
+        .orderBy("host"))
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder allocation of ``CRAWL_BUDGET`` fetch slots
+    across hosts, proportional to frontier priority — the step after
+    ``q_frontier_priority`` in a real scheduler.
+
+    All arithmetic is integer-exact: priorities are snapped to their
+    parts-per-billion grid (they ARE ``round(x, 9)`` values, so the
+    snap is lossless), base shares are ``(ppb x B) div total``, and the
+    leftover R slots go to the R largest ``(remainder, host)`` pairs.
+    The top-up is Spark's ``orderBy().limit(R)`` — a distributed
+    ``TakeOrderedAndProject`` top-k, never a global window; the oracle
+    reaches the same set through a ``row_number`` window (cross-
+    ALGORITHM agreement, as in ``operators/temporal.py``). Two 1-row
+    driver syncs (total, R) — same class as PageRank's node count."""
+    fr = q_frontier_priority(spark, sf_dir)
+    grid = fr.select(
+        "host",
+        F.round(F.col("priority") * 1e9).cast("long").alias("ppb"))
+    tot = int(grid.agg(F.sum("ppb")).collect()[0][0] or 0)
+    if tot == 0:   # empty/unranked frontier: nothing to schedule
+        return (grid.select("host", "ppb",
+                            F.lit(0).cast("long").alias("base"),
+                            F.lit(0).cast("int").alias("topup"),
+                            F.lit(0).cast("long").alias("alloc"))
+                .orderBy(F.desc("alloc"), "host"))
+    shares = grid.select(
+        "host", "ppb",
+        F.expr(f"(ppb * {CRAWL_BUDGET}L) DIV {tot}L").alias("base"),
+        F.expr(f"(ppb * {CRAWL_BUDGET}L) % {tot}L").alias("rem"))
+    r_left = CRAWL_BUDGET - int(shares.agg(F.sum("base")).collect()[0][0])
+    top = (shares.orderBy(F.desc("rem"), "host").limit(r_left)
+           .select("host", F.lit(1).cast("int").alias("topup")))
+    return (shares.join(top, "host", "left")
+            .select("host", "ppb", "base",
+                    F.coalesce("topup", F.lit(0)).cast("int").alias("topup"),
+                    (F.col("base") + F.coalesce("topup", F.lit(0)))
+                    .cast("long").alias("alloc"))
+            .orderBy(F.desc("alloc"), "host"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — identical regexes, stopword lists, argmax CASE, and the
 # shared PageRank CTE chain from linkgraph.pagerank_cte.
@@ -246,9 +327,79 @@ def _frontier_oracle(n_nodes: int) -> str:
     """
 
 
+_HOST_QUALITY_SQL = f"""
+    WITH toks AS (
+      SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             string_split_regex(lower(regexp_replace(regexp_replace(
+                 decode(html),
+                 '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>',
+                 ' ', 'g'), '<[^>]*>', ' ', 'g')), '[^a-z]+') AS t
+      FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
+    pp AS (
+      SELECT host,
+             CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS n_toks,
+             CAST(len(list_filter(t, x -> x IN
+                 ({_in_list(_ALL_STOPS)}))) AS BIGINT) AS n_stops
+      FROM toks),
+    agg AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(n_stops) AS BIGINT) AS n_stopwords
+      FROM pp GROUP BY host)
+    SELECT host, n_pages, n_tokens, n_stopwords,
+           round(n_tokens / n_pages, 6) AS toks_per_page,
+           round(n_stopwords / n_tokens, 6) AS stop_density,
+           (round(n_stopwords / n_tokens, 6) < {HQ_MIN_STOP_DENSITY!r}
+            OR round(n_tokens / n_pages, 6) < {HQ_MIN_TOKS_PER_PAGE})
+             AS low_quality
+    FROM agg ORDER BY host
+"""
+
+
+def _crawl_budget_oracle(n_nodes: int) -> str:
+    """Same integer-grid largest-remainder allocation, but the top-R
+    selection is a row_number window instead of Spark's TakeOrdered
+    top-k — cross-ALGORITHM agreement."""
+    frontier = _frontier_oracle(n_nodes)
+    # strip the trailing ORDER BY so the frontier can sit in a CTE
+    body = frontier[: frontier.rindex("ORDER BY")]
+    head, sel = body.split("SELECT h.host,", 1)
+    return f"""{head}
+        , fr AS (SELECT h.host, {sel}),
+        grid AS (
+          SELECT host,
+                 CAST(round(priority * 1000000000.0) AS BIGINT) AS ppb
+          FROM fr),
+        tot AS (SELECT CAST(sum(ppb) AS BIGINT) AS total FROM grid),
+        shares AS (
+          SELECT g.host, g.ppb,
+                 CASE WHEN t.total = 0 THEN 0
+                      ELSE (g.ppb * {CRAWL_BUDGET}) // t.total END AS base,
+                 CASE WHEN t.total = 0 THEN 0
+                      ELSE (g.ppb * {CRAWL_BUDGET}) % t.total END AS rem,
+                 t.total AS total
+          FROM grid g CROSS JOIN tot t),
+        rleft AS (
+          SELECT {CRAWL_BUDGET} - CAST(sum(base) AS BIGINT) AS r
+          FROM shares),
+        ranked AS (
+          SELECT host, ppb, base, total,
+                 row_number() OVER (ORDER BY rem DESC, host) AS rn
+          FROM shares)
+        SELECT k.host, k.ppb, CAST(k.base AS BIGINT) AS base,
+               CAST(CASE WHEN k.total > 0 AND k.rn <= l.r
+                         THEN 1 ELSE 0 END AS INT) AS topup,
+               CAST(k.base + CASE WHEN k.total > 0 AND k.rn <= l.r
+                                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked k CROSS JOIN rleft l
+        ORDER BY alloc DESC, k.host
+    """
+
+
 PAGEMETA_ORACLES = {
     "page_metadata": _META_SQL,
     "lang_audit": _AUDIT_SQL,
+    "host_quality": _HOST_QUALITY_SQL,
 }
 
 
@@ -258,4 +409,6 @@ def oracle_sql_for_pagemeta(repo_root: str, n_nodes: int) -> dict[str, str]:
            for k, v in PAGEMETA_ORACLES.items()}
     out["frontier_priority"] = (_frontier_oracle(n_nodes)
                                 .replace("__PAGES_PARQUET__", path))
+    out["crawl_budget"] = (_crawl_budget_oracle(n_nodes)
+                           .replace("__PAGES_PARQUET__", path))
     return out

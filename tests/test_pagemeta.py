@@ -114,3 +114,53 @@ class TestFrontierPriority:
     def test_ordered_by_priority_desc(self, frontier):
         pris = [r.priority for r in frontier]
         assert pris == sorted(pris, reverse=True)
+
+
+class TestHostQuality:
+    @pytest.fixture(scope="class")
+    def hq(self, spark):
+        return M.q_host_quality(spark, SF).collect()
+
+    def test_counts_consistent(self, hq):
+        assert len(hq) > 0
+        for r in hq:
+            assert 0 < r.n_stopwords <= r.n_tokens
+            assert r.n_pages > 0
+
+    def test_flag_matches_thresholds(self, hq):
+        for r in hq:
+            expect = (r.stop_density < M.HQ_MIN_STOP_DENSITY
+                      or r.toks_per_page < M.HQ_MIN_TOKS_PER_PAGE)
+            assert r.low_quality == expect
+
+    def test_gate_separates_hosts(self, hq):
+        """The thresholds must actually partition the corpus — a gate
+        that passes or fails everything tests nothing."""
+        flags = {r.low_quality for r in hq}
+        assert flags == {True, False}
+
+
+class TestCrawlBudget:
+    @pytest.fixture(scope="class")
+    def budget(self, spark):
+        return M.q_crawl_budget(spark, SF).collect()
+
+    def test_budget_fully_allocated(self, budget):
+        assert sum(r.alloc for r in budget) == M.CRAWL_BUDGET
+
+    def test_alloc_is_base_plus_binary_topup(self, budget):
+        for r in budget:
+            assert r.topup in (0, 1)
+            assert r.alloc == r.base + r.topup
+
+    def test_within_one_slot_of_proportional(self, budget):
+        """Largest-remainder = every host within 1 slot of its ideal
+        fractional share (the classic quota property)."""
+        tot = sum(r.ppb for r in budget)
+        for r in budget:
+            ideal = M.CRAWL_BUDGET * r.ppb / tot
+            assert ideal - 1 < r.alloc < ideal + 1
+
+    def test_same_hosts_as_frontier(self, spark, budget):
+        fr = M.q_frontier_priority(spark, SF).collect()
+        assert {r.host for r in budget} == {r.host for r in fr}

@@ -325,6 +325,13 @@ def main() -> None:
          "groupBy(host), 1-row corpus-max broadcast crossJoin, tiny "
          "host-rank broadcast LEFT join — rank x ln(staleness) never "
          "shuffles the page table twice."),
+        ("host_quality", "domain-level quality gate: per-page token/"
+         "stopword counts in the scan projection, ONE map-side-combined "
+         "groupBy(host) — integer sums, exact-operand mean divisions."),
+        ("crawl_budget", "largest-remainder budget split: integer ppb "
+         "grid, base = div, top-R remainder via orderBy+limit = "
+         "TakeOrderedAndProject (never a global window), host-keyed "
+         "topup join."),
     ):
         add(name, note, queries[name](spark, SF))
 
