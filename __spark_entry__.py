@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "page_metadata", "lang_audit", "frontier_priority",
-    "host_quality", "crawl_budget",
+    "host_quality", "crawl_budget", "template_detect",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priority": _q_frontier_priority,
         "host_quality": _q_host_quality,
         "crawl_budget": _q_crawl_budget,
+        "template_detect": _q_template_detect,
         "link_extract": _q_link_extract,
         "host_linkgraph": _q_host_linkgraph,
         "anchor_stats": _q_anchor_stats,
@@ -447,6 +448,13 @@ def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.pagemeta import q_crawl_budget
     return q_crawl_budget(spark, sf_dir)
+
+
+def _q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import (
+        q_template_detect,
+    )
+    return q_template_detect(spark, sf_dir)
 
 
 def _q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,7 +63,7 @@ BENCH_QUERIES = (
     "incremental_minhash", "dedup_weights", "logreg_train",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
     "page_metadata", "lang_audit", "frontier_priority",
-    "host_quality", "crawl_budget",
+    "host_quality", "crawl_budget", "template_detect",
 )
 
 

@@ -167,6 +167,38 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("priority"), "host"))
 
 
+def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template clusters: pages grouped by the run-collapsed tag
+    sequence of their DOM — the structural (content-blind) dup signal a
+    boilerplate trainer or template-aware extractor clusters on. Two
+    pages with different text but the same skeleton share a cluster;
+    collapsing consecutive repeats makes the signature robust to how
+    many <p>/<li> a template instance emitted.
+
+    The collapse is an indexed-lambda array filter (keep tag i if it
+    differs from tag i-1) — Spark's 0-based ``filter(tags, (x, i) ->
+    ...)`` against ``element_at`` (1-based) and DuckDB's 1-based
+    ``list_filter`` express the identical window. One scan projection +
+    one map-side-combined (host, template) agg; at 10^12 pages the
+    output is bounded by distinct templates, orders of magnitude
+    smaller than pages."""
+    tags = F.regexp_extract_all(_page(), F.lit("<([a-z][a-z0-9]*)"), 1)
+    pages = (_pages_df(spark)
+             .select("url",
+                     F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                     tags.alias("tags")))
+    collapsed = F.filter(
+        "tags", lambda x, i: (i == F.lit(0)) | (x != F.element_at("tags", i)))
+    tpl = pages.select(
+        "url", "host",
+        F.md5(F.array_join(collapsed, "/")).alias("template_id"))
+    return (tpl.groupBy("host", "template_id")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.min("url").alias("example_url"))
+            .filter(F.col("n_pages") >= 2)
+            .orderBy("host", "template_id"))
+
+
 HQ_MIN_STOP_DENSITY = 0.02   # below: boilerplate/gibberish-heavy domain
 HQ_MIN_TOKS_PER_PAGE = 120   # below: thin-content domain
 CRAWL_BUDGET = 1000          # fetch slots per scheduling round
@@ -397,10 +429,28 @@ def _crawl_budget_oracle(n_nodes: int) -> str:
     """
 
 
+_TEMPLATE_SQL = """
+    WITH t AS (
+      SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract_all(decode(html), '<([a-z][a-z0-9]*)', 1) AS tags
+      FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
+    c AS (
+      SELECT url, host,
+             md5(array_to_string(list_filter(tags,
+                 (x, i) -> i = 1 OR x <> tags[i - 1]), '/')) AS template_id
+      FROM t)
+    SELECT host, template_id, CAST(count(*) AS BIGINT) AS n_pages,
+           min(url) AS example_url
+    FROM c GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY host, template_id
+"""
+
+
 PAGEMETA_ORACLES = {
     "page_metadata": _META_SQL,
     "lang_audit": _AUDIT_SQL,
     "host_quality": _HOST_QUALITY_SQL,
+    "template_detect": _TEMPLATE_SQL,
 }
 
 

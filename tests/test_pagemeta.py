@@ -164,3 +164,47 @@ class TestCrawlBudget:
     def test_same_hosts_as_frontier(self, spark, budget):
         fr = M.q_frontier_priority(spark, SF).collect()
         assert {r.host for r in budget} == {r.host for r in fr}
+
+
+class TestTemplateDetect:
+    @pytest.fixture(scope="class")
+    def clusters(self, spark):
+        return M.q_template_detect(spark, SF).collect()
+
+    def test_finds_real_clusters(self, clusters):
+        assert len(clusters) > 0
+        assert all(r.n_pages >= 2 for r in clusters)
+
+    def test_cluster_members_share_skeleton(self, spark, clusters):
+        """Recompute the collapsed tag sequence in plain Python for the
+        largest cluster's host and check every member pair matches —
+        the structural grouping is real, not a hash accident."""
+        import re
+        top = max(clusters, key=lambda r: r.n_pages)
+        rows = (L._pages_df(spark)
+                .filter(F.col("url").startswith(f"https://{top.host}/"))
+                .select("url", "html").collect())
+        def skeleton(html: bytes) -> str:
+            tags = re.findall(r"<([a-z][a-z0-9]*)", html.decode("utf-8"))
+            out = []
+            for t in tags:
+                if not out or out[-1] != t:
+                    out.append(t)
+            return "/".join(out)
+        import hashlib
+        by_tpl = {}
+        for r in rows:
+            tid = hashlib.md5(skeleton(r.html).encode()).hexdigest()
+            by_tpl.setdefault(tid, []).append(r.url)
+        assert len(by_tpl[top.template_id]) == top.n_pages
+        assert top.example_url == min(by_tpl[top.template_id])
+
+    def test_content_blind(self, clusters, spark):
+        """Members of a structural cluster still differ in text — the
+        signal is orthogonal to content dedup (no duplicate bodies
+        exist in the fixture at all)."""
+        page = F.decode("html", "UTF-8")
+        n_dup_bodies = (L._pages_df(spark)
+                        .groupBy(F.md5(page).alias("h"))
+                        .count().filter("count > 1").count())
+        assert n_dup_bodies == 0 and len(clusters) > 0

@@ -332,6 +332,10 @@ def main() -> None:
          "grid, base = div, top-R remainder via orderBy+limit = "
          "TakeOrderedAndProject (never a global window), host-keyed "
          "topup join."),
+        ("template_detect", "structural dup clusters: run-collapsed "
+         "tag-sequence md5 in the scan projection (indexed-lambda "
+         "array filter), one map-side-combined (host, template) agg — "
+         "output bounded by distinct templates."),
     ):
         add(name, note, queries[name](spark, SF))
 
