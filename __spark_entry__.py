@@ -52,9 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # covered locally by tools/check_oracle.py either way.
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
+    "index_gate", "canonical_clusters", "structured_data", "readability",
     "page_metadata", "lang_audit", "frontier_priority",
     "host_quality", "crawl_budget", "template_detect",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
+    "frontier_discovery",
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
     "dedup_weights", "logreg_train",
@@ -334,6 +336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_linkgraph": _q_host_linkgraph,
         "anchor_stats": _q_anchor_stats,
         "link_pagerank": _q_link_pagerank,
+        "frontier_discovery": _q_frontier_discovery,
+        # Head-tags tier (operators/headtags.py): robots noindex/
+        # canonical index-eligibility gate, canonical-URL dup clusters,
+        # OpenGraph/JSON-LD structured-data extraction
+        "index_gate": _q_index_gate,
+        "canonical_clusters": _q_canonical_clusters,
+        "structured_data": _q_structured_data,
+        # Flesch reading-ease over the extracted main text
+        "readability": _q_readability,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
@@ -423,6 +434,30 @@ def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_link_extract(spark, sf_dir)
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.pagemeta import q_readability
+    return q_readability(spark, sf_dir)
+
+
+def _q_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.headtags import q_index_gate
+    return q_index_gate(spark, sf_dir)
+
+
+def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.headtags import (
+        q_canonical_clusters,
+    )
+    return q_canonical_clusters(spark, sf_dir)
+
+
+def _q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.headtags import (
+        q_structured_data,
+    )
+    return q_structured_data(spark, sf_dir)
+
+
 def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.pagemeta import q_page_metadata
     return q_page_metadata(spark, sf_dir)
@@ -474,6 +509,13 @@ def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_link_pagerank,
     )
     return q_link_pagerank(spark, sf_dir)
+
+
+def _q_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.linkgraph import (
+        q_frontier_discovery,
+    )
+    return q_frontier_discovery(spark, sf_dir)
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +846,10 @@ def oracle_sql() -> dict[str, str]:
         oracle_sql_for_pagemeta,
     )
     sql.update(oracle_sql_for_pagemeta(repo_root, n_nodes=16))
+    from document_converter_api_spark.operators.headtags import (
+        oracle_sql_for_headtags,
+    )
+    sql.update(oracle_sql_for_headtags(repo_root))
     from document_converter_api_spark.operators.skew import (
         host_cap_oracle, host_stats_oracle,
     )

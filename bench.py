@@ -64,6 +64,8 @@ BENCH_QUERIES = (
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
     "page_metadata", "lang_audit", "frontier_priority",
     "host_quality", "crawl_budget", "template_detect",
+    "index_gate", "canonical_clusters", "structured_data", "readability",
+    "frontier_discovery",
 )
 
 

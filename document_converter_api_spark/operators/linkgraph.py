@@ -60,8 +60,12 @@ from pyspark.sql import functions as F
 
 PAGES_SMOKE = os.path.join("fixtures", "data", "pages_smoke.parquet")
 
-# one pattern, two capture groups — href and anchor text
-HREF_RE = 'href="([^"]+)"'
+# one pattern, two capture groups — href and anchor text.
+# Outlinks are ANCHOR elements only: head-level href carriers
+# (<link rel="canonical">) are crawl metadata, not edges — they belong
+# to operators/headtags.py, and counting them here would wrongly feed
+# self-referential canonical targets into the host graph.
+HREF_RE = '<a href="([^"]+)"'
 ANCHOR_RE = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
 HOST_RE = "^https?://([^/]+)"
 
@@ -157,6 +161,43 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dst_host", "anchor"))
 
 
+def q_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-URL discovery: outlink targets the crawl has NOT fetched
+    yet, aggregated per destination host — the step that GROWS a
+    crawler's frontier (``pagemeta.q_frontier_priority`` ranks hosts
+    already seen; this finds the unseen URLs to seed).
+
+    Relative hrefs resolve against the source page's authority
+    (RFC 3986 §5: root-relative → scheme://host + path); the candidate
+    set is ``distinct`` resolved targets LEFT ANTI-joined against the
+    crawled url column.
+
+    Scale notes (10^12 pages): the anti-join keys BOTH sides on the
+    url hash — one co-partitioned Exchange pair, sort-merge anti, no
+    broadcast needed or possible at that size; candidates arrive
+    pre-shrunk by the ``distinct`` (itself map-side partial). Nothing
+    ever carries body bytes — url strings only."""
+    pages = _pages_df(spark)
+    resolved = (extract_links(pages)
+                .select(
+                    "url", "dst_host",
+                    F.when(F.col("link").startswith("http"), F.col("link"))
+                    .when(F.col("link").startswith("/"),
+                          F.concat(F.lit("https://"), F.col("src_host"),
+                                   F.col("link")))
+                    .otherwise(F.concat(F.lit("https://"), F.col("src_host"),
+                                        F.lit("/"), F.col("link")))
+                    .alias("target")))
+    crawled = pages.select(F.col("url").alias("target"))
+    fresh = (resolved
+             .join(crawled, "target", "left_anti")
+             .groupBy("dst_host")
+             .agg(F.countDistinct("target").cast("long").alias("n_urls"),
+                  F.countDistinct("url").cast("long").alias("n_sources"),
+                  F.min("target").alias("first_url")))
+    return fresh.orderBy(F.desc("n_urls"), "dst_host")
+
+
 def host_ranks(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(ranks(id, pr), outdeg(src_host, deg)) over the extracted host
     graph: distinct non-self edges, ``LPR_ITERS`` unrolled rounds,
@@ -217,7 +258,7 @@ _LINKS_CTE = """
         links AS (
           SELECT url,
                  unnest(regexp_extract_all(decode(html),
-                        'href="([^"]+)"', 1)) AS link,
+                        '<a href="([^"]+)"', 1)) AS link,
                  regexp_extract(url, '^https?://([^/]+)', 1) AS src_host
           FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
         resolved AS (
@@ -289,6 +330,31 @@ LINKGRAPH_ORACLES = {
         FROM resolved
         GROUP BY src_host, dst_host
         ORDER BY src_host, dst_host
+    """,
+    "frontier_discovery": f"""
+        WITH {_LINKS_CTE},
+        targets AS (
+          SELECT url, dst_host,
+                 CASE WHEN link LIKE 'http%' THEN link
+                      WHEN link LIKE '/%'
+                        THEN 'https://' || src_host || link
+                      ELSE 'https://' || src_host || '/' || link
+                 END AS target
+          FROM resolved),
+        crawled AS (
+          SELECT url AS target FROM '__PAGES_PARQUET__'
+          WHERE url LIKE '%.html'),
+        fresh AS (
+          SELECT t.* FROM targets t
+          WHERE NOT EXISTS (SELECT 1 FROM crawled c
+                            WHERE c.target = t.target))
+        SELECT dst_host,
+               CAST(count(DISTINCT target) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_sources,
+               min(target) AS first_url
+        FROM fresh
+        GROUP BY dst_host
+        ORDER BY n_urls DESC, dst_host
     """,
     "anchor_stats": """
         WITH pairs AS (

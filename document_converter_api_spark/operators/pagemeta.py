@@ -136,6 +136,55 @@ def q_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the EXTRACTED main text (the ``text``
+    column — the corpus the extraction stage feeds downstream).
+
+    The classic quality gate for training-corpus curation: sentence
+    count from terminal-punctuation runs, word count and vowel-group
+    syllable approximation from one lowercased pass — three
+    ``regexp_extract_all`` sizes in a single codegen'd projection, zero
+    shuffle, so it rides the same scan as every other per-page signal.
+    Guards: ``greatest(1, …)`` keeps ratios defined on punctuation-free
+    or empty pages. All three counts are integers; the two ratios and
+    the score are single-rounding IEEE-double expressions — the same
+    fragment both engines run, so the oracle compares hashes exactly
+    (the ``ln``/divide bit-identity this repo pins elsewhere).
+
+    Scale note: pure scan-stage projection over 10^12 pages; the only
+    wide op is the deterministic ``orderBy`` a caller can drop."""
+    low = F.lower(F.col("text"))
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+        .cast("long"))
+    n_words = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), 0)).cast("long"))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0)) \
+        .cast("long")
+    base = (_pages_df(spark)
+            .select("url",
+                    n_sent.alias("n_sentences"),
+                    n_words.alias("n_words"),
+                    n_syll.alias("n_syllables")))
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    flesch = F.round(F.lit(206.835) - F.lit(1.015) * wps
+                     - F.lit(84.6) * spw, 4)
+    return (base
+            .withColumn("words_per_sentence", F.round(wps, 4))
+            .withColumn("syllables_per_word", F.round(spw, 4))
+            .withColumn("flesch", flesch)
+            .withColumn("band",
+                        F.when(F.col("flesch") >= 90, "very_easy")
+                        .when(F.col("flesch") >= 70, "easy")
+                        .when(F.col("flesch") >= 50, "standard")
+                        .when(F.col("flesch") >= 30, "difficult")
+                        .otherwise("very_difficult"))
+            .orderBy("url"))
+
+
 def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl schedule: priority = PageRank x ln(1 + hours stale).
 
@@ -446,11 +495,44 @@ _TEMPLATE_SQL = """
 """
 
 
+_READABILITY_SQL = """
+    WITH c AS (
+      SELECT url,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             greatest(1, len(regexp_extract_all(lower(text), '[a-z]+')))
+               AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
+    r AS (
+      SELECT url,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_syllables AS BIGINT) AS n_syllables,
+             round(n_words / n_sentences, 4) AS words_per_sentence,
+             round(n_syllables / n_words, 4) AS syllables_per_word,
+             round(206.835 - 1.015 * (n_words / n_sentences)
+                   - 84.6 * (n_syllables / n_words), 4) AS flesch
+      FROM c)
+    SELECT url, n_sentences, n_words, n_syllables,
+           words_per_sentence, syllables_per_word, flesch,
+           CASE WHEN flesch >= 90 THEN 'very_easy'
+                WHEN flesch >= 70 THEN 'easy'
+                WHEN flesch >= 50 THEN 'standard'
+                WHEN flesch >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM r
+    ORDER BY url
+"""
+
+
 PAGEMETA_ORACLES = {
     "page_metadata": _META_SQL,
     "lang_audit": _AUDIT_SQL,
     "host_quality": _HOST_QUALITY_SQL,
     "template_detect": _TEMPLATE_SQL,
+    "readability": _READABILITY_SQL,
 }
 
 

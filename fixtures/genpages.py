@@ -91,7 +91,56 @@ def _link_farm(rng: random.Random, n: int) -> str:
     )
 
 
-def _build_html(rng: random.Random, lang: str, idx: int) -> tuple[bytes, str]:
+def _head_extras(idx: int, lang: str, host: str, title: str) -> str:
+    """Deterministic head-tag extras (canonical / meta-robots /
+    OpenGraph / JSON-LD) for the head-tags operator tier
+    (``operators/headtags.py``).
+
+    Drawn from a DEDICATED rng seeded by idx so the main content
+    stream is untouched — the page body is byte-identical with or
+    without this block, which keeps the extraction goldens stable.
+    Head content never reaches the extracted text (title/meta/link are
+    head metadata; the JSON-LD script body is stripped by the script
+    rule), so ``truth`` is unaffected by construction.
+    """
+    hrng = random.Random(0x4EAD5EED ^ (idx * 2654435761))
+    lines = []
+    p = hrng.random()
+    if p < 0.30:
+        # self-canonical: the page IS its canonical form
+        lines.append(f'<link rel="canonical" '
+                     f'href="https://{host}/{lang}/page-{idx:06d}.html">')
+    elif p < 0.50:
+        # cluster canonical: idx-bucket siblings on the same host share
+        # one target → real canonical dup clusters, biggest on the
+        # Zipf-hot host
+        lines.append(f'<link rel="canonical" '
+                     f'href="https://{host}/canonical/{idx // 8:06d}">')
+    q = hrng.random()
+    if q < 0.12:
+        lines.append('<meta name="robots" content="noindex, follow">')
+    elif q < 0.20:
+        lines.append('<meta name="robots" content="index, nofollow">')
+    elif q < 0.25:
+        lines.append('<meta name="robots" content="noindex, nofollow">')
+    if hrng.random() < 0.55:
+        og_type = "article" if hrng.random() < 0.7 else "website"
+        desc = _sentence(hrng, lang, 8).rstrip(".")
+        lines.append(f'<meta property="og:title" content="{title}">')
+        lines.append(f'<meta property="og:type" content="{og_type}">')
+        lines.append(f'<meta property="og:description" content="{desc}">')
+    if hrng.random() < 0.30:
+        jtype = hrng.choice(["Article", "NewsArticle", "BlogPosting"])
+        wc = hrng.randint(100, 2000)
+        lines.append(
+            '<script type="application/ld+json">'
+            f'{{"@context": "https://schema.org", "@type": "{jtype}", '
+            f'"headline": "{title}", "wordCount": {wc}}}</script>')
+    return "\n".join(lines)
+
+
+def _build_html(rng: random.Random, lang: str, idx: int,
+                host: str = "example.com") -> tuple[bytes, str]:
     """Return (payload, ground-truth main plain text)."""
     title = _sentence(rng, lang, 4).rstrip(".")
     heads = []
@@ -158,6 +207,13 @@ def _build_html(rng: random.Random, lang: str, idx: int) -> tuple[bytes, str]:
         truth_parts.append(q)
 
     nav = _link_farm(rng, rng.randint(8, 16))
+    # deterministic self-permalink on ~60% of pages (real-web header
+    # idiom) — the one outlink class that resolves to a CRAWLED url, so
+    # frontier discovery's anti-join has genuine hits. Dedicated rng:
+    # main content stream stays untouched (same rule as _head_extras).
+    prng = random.Random(0x9E44F00D ^ (idx * 2654435761))
+    permalink = (f'<a href="https://{host}/{lang}/page-{idx:06d}.html">'
+                 f'permalink</a> ' if prng.random() < 0.6 else "")
     footer = _link_farm(rng, rng.randint(5, 10))
     aside = _paragraph(rng, "en")[:80]
     ad = "Buy now! " + _link_farm(rng, 3)
@@ -166,11 +222,12 @@ def _build_html(rng: random.Random, lang: str, idx: int) -> tuple[bytes, str]:
 <html lang="{lang}">
 <head>
 <title>{title}</title>
+{_head_extras(idx, lang, host, title)}
 <style>body {{ margin: 0; }} .ads {{ color: red }}</style>
 <script>var t = "tracker"; load(t);</script>
 </head>
 <body>
-<header><div class="logo">SiteLogo</div>{_link_farm(rng, 4)}</header>
+<header><div class="logo">SiteLogo</div>{permalink}{_link_farm(rng, 4)}</header>
 <nav class="main-nav">{nav}</nav>
 <div class="ads">{ad}</div>
 <main>
@@ -415,7 +472,7 @@ def gen_pages(n: int, seed: int = 42,
         r = rng.random()
         if r < 0.78:
             ext = "html"
-            payload, truth = _build_html(rng, lang, i)
+            payload, truth = _build_html(rng, lang, i, host)
         elif r < 0.88:
             ext = "pdf"
             payload, truth = _build_pdf(rng, lang)

@@ -33,11 +33,17 @@ class TestLinkExtract:
         assert mismatch == 0
         assert rel.count() > 0
 
-    def test_absolute_links_hit_ref_example(self, spark, pages):
+    def test_absolute_links_hit_ref_example_or_self(self, spark, pages):
+        """Absolute targets are the content citation (ref.example) or
+        the page's own self-permalink (src host) — nothing else."""
         links = L.extract_links(pages)
         ext = links.filter(F.col("link").startswith("http"))
-        hosts = {r.dst_host for r in ext.select("dst_host").distinct().collect()}
+        cross = ext.filter(F.col("dst_host") != F.col("src_host"))
+        hosts = {r.dst_host
+                 for r in cross.select("dst_host").distinct().collect()}
         assert hosts == {"ref.example"}
+        # self-permalinks exist and resolve internal
+        assert ext.filter(F.col("dst_host") == F.col("src_host")).count() > 0
 
     def test_internal_flag_matches_host_equality(self, spark, pages):
         links = L.extract_links(pages)
@@ -119,3 +125,38 @@ class TestLinkPagerank:
         top = max(rows, key=lambda r: r.pagerank)
         assert top.host == "ref.example"
         assert top.out_deg == 0
+
+
+class TestFrontierDiscovery:
+    @pytest.fixture(scope="class")
+    def frontier(self, spark):
+        return L.q_frontier_discovery(spark, "/root/testdata/sf0.01").collect()
+
+    def test_antijoin_removes_crawled_permalinks(self, spark, frontier):
+        """~60% of fixture pages carry a self-permalink anchor that IS a
+        crawled url — the anti-join must remove every one of them."""
+        pages = L._pages_df(spark)
+        crawled = {r.url for r in pages.select("url").collect()}
+        # the raw resolved-target set genuinely overlaps the crawl...
+        raw = L.extract_links(pages).select("link").collect()
+        overlap = sum(1 for r in raw if r.link in crawled)
+        assert overlap > 0
+        # ...and nothing in the frontier is already crawled
+        for r in frontier:
+            assert r.first_url not in crawled
+
+    def test_counts_are_consistent(self, frontier):
+        assert len(frontier) > 0
+        for r in frontier:
+            assert r.n_urls >= 1 and r.n_sources >= 1
+        sizes = [r.n_urls for r in frontier]
+        assert sizes == sorted(sizes, reverse=True)
+
+    def test_plan_is_distributed_anti_join(self, spark):
+        plan = (L.q_frontier_discovery(spark, "/root/testdata/sf0.01")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "LeftAnti" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

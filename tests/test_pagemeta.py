@@ -208,3 +208,41 @@ class TestTemplateDetect:
                         .groupBy(F.md5(page).alias("h"))
                         .count().filter("count > 1").count())
         assert n_dup_bodies == 0 and len(clusters) > 0
+
+
+class TestReadability:
+    @pytest.fixture(scope="class")
+    def scores(self, spark):
+        return M.q_readability(spark, SF).collect()
+
+    def test_counts_match_python_recompute(self, spark, scores):
+        """Sentence/word/syllable counts equal an independent re-read
+        of the fixture text with Python's re module."""
+        import re as _re
+        texts = {r.url: r.text for r in
+                 L._pages_df(spark).select("url", "text").collect()}
+        for r in scores[:50]:
+            t = texts[r.url]
+            assert r.n_sentences == max(1, len(_re.findall(r"[.!?]+", t)))
+            assert r.n_words == max(1, len(_re.findall(r"[a-z]+", t.lower())))
+            assert r.n_syllables == len(_re.findall(r"[aeiouy]+", t.lower()))
+
+    def test_score_formula(self, scores):
+        for r in scores:
+            wps = r.n_words / r.n_sentences
+            spw = r.n_syllables / r.n_words
+            assert abs(r.flesch - (206.835 - 1.015 * wps - 84.6 * spw)) < 5e-4
+            assert r.band in ("very_easy", "easy", "standard",
+                              "difficult", "very_difficult")
+
+    def test_corpus_is_not_degenerate(self, scores):
+        """Fixture sentences are 6-14 word-soup words — the corpus must
+        spread across bands rather than collapse into one."""
+        assert len({r.band for r in scores}) >= 2
+
+    def test_is_pure_scan_projection(self, spark):
+        plan = (M.q_readability(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Join" not in plan
