@@ -53,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "index_gate", "canonical_clusters", "structured_data", "readability",
+    "charset_audit",
     "page_metadata", "lang_audit", "frontier_priority",
     "host_quality", "crawl_budget", "template_detect",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
@@ -345,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": _q_structured_data,
         # Flesch reading-ease over the extracted main text
         "readability": _q_readability,
+        # raw-byte BOM/declared-charset audit (includes .htm legacy rows)
+        "charset_audit": _q_charset_audit,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
@@ -442,6 +445,11 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.headtags import q_index_gate
     return q_index_gate(spark, sf_dir)
+
+
+def _q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.headtags import q_charset_audit
+    return q_charset_audit(spark, sf_dir)
 
 
 def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,7 @@ convert → ``.text_content``; failures are captured, never raised
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass
 
 from .docx import docx_to_markdown
@@ -28,9 +29,42 @@ class ExtractResult:
     error: str | None
 
 
+# HTML5 §8.2.2.2 pre-scan: the charset declaration must appear in the
+# first 1024 bytes to be honored. Closed alias map — unknown names fall
+# through to the utf-8 → latin-1 chain rather than raising LookupError.
+_CHARSET_RE = _re.compile(rb'charset=["\']?([A-Za-z0-9_\-]+)', _re.I)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "ascii": "ascii", "us-ascii": "ascii",
+}
+
+
 def decode_payload(payload: bytes) -> str:
-    """Bytes → text for HTML payloads: utf-8 with latin-1 fallback (never
-    fails; Common-Crawl reality)."""
+    """Bytes → text for HTML payloads, Common-Crawl reality order:
+
+    1. byte-order mark (authoritative per WHATWG encoding sniffing) —
+       UTF-8 / UTF-16LE / UTF-16BE, decoded leniently;
+    2. ``charset=`` declared in the first 1024 bytes (HTML5 pre-scan
+       window), via a closed alias map so a lying or exotic declaration
+       can't raise;
+    3. strict utf-8, then latin-1 (maps every byte — never fails).
+    """
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", "replace")
+    if payload.startswith(b"\xff\xfe"):
+        return payload[2:].decode("utf-16-le", "replace")
+    if payload.startswith(b"\xfe\xff"):
+        return payload[2:].decode("utf-16-be", "replace")
+    m = _CHARSET_RE.search(payload[:1024])
+    if m:
+        codec = _CHARSET_ALIASES.get(m.group(1).decode("ascii").lower())
+        if codec:
+            try:
+                return payload.decode(codec)
+            except UnicodeDecodeError:
+                pass  # declaration lied — fall through to the chain
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:

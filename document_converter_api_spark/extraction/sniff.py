@@ -27,6 +27,12 @@ def sniff_content_type(payload: bytes, url: str = "") -> str:
         return "docx"
     if any(m in low for m in HTML_MARKERS) or low.startswith(b"<"):
         return "html"
+    # BOM-prefixed markup (urls lie; UTF-16 bytes defeat the ASCII
+    # marker scan above). Mirrored in sniff_content_type_expr.
+    if payload[:4] in (b"\xff\xfe<\x00", b"\xfe\xff\x00<"):
+        return "html"
+    if payload[:4] == b"\xef\xbb\xbf<":
+        return "html"
     m = _EXT_RE.search(url or "")
     ext = m.group(1).lower() if m else ""
     if ext in ("html", "htm", "xhtml"):

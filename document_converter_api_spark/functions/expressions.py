@@ -46,10 +46,16 @@ def sniff_content_type_expr(payload: Column, url: Column) -> Column:
         | head_txt.contains("<body")
         | F.ltrim(head_txt).startswith("<")
     )
+    # BOM-prefixed markup: UTF-16LE '<', UTF-16BE '<', UTF-8 BOM + '<'
+    # (mirrors sniff_content_type's BOM branch — UTF-16 bytes defeat
+    # the latin-1 marker scan, so match the raw prefix instead)
+    is_bom_markup = head4.isin("FFFE3C00", "FEFF003C") | (
+        F.hex(F.substring(payload, 1, 4)) == F.lit("EFBBBF3C"))
     return (
         F.when(head5 == F.lit("255044462D"), F.lit("pdf"))          # %PDF-
         .when(head4 == F.lit("504B0304"), F.lit("docx"))            # PK\x03\x04
         .when(is_htmlish, F.lit("html"))
+        .when(is_bom_markup, F.lit("html"))
         .when(ext.isin("html", "htm", "xhtml"), F.lit("html"))
         .when(ext == "pdf", F.lit("pdf"))
         .when(ext == "docx", F.lit("docx"))

@@ -44,6 +44,8 @@ Scale notes (10^12 pages):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -141,6 +143,104 @@ def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def crawl_gate(pages: DataFrame) -> DataFrame:
+    """Pre-extraction crawl-control gate — the production composition
+    of ``q_index_gate``/``q_canonical_clusters`` (jobs/webcorpus.py
+    runs it BEFORE the Arrow extraction stage, because every page it
+    drops is extraction compute saved).
+
+    Keep rules:
+    * ``noindex`` pages drop (robots meta);
+    * no canonical or self-canonical → keep;
+    * cross-canonicalized to a CRAWLED url → drop (the target page is
+      the survivor — the site itself told us this is a duplicate);
+    * cross-canonicalized to an uncrawled target → the cluster keeps
+      exactly one representative (min url), like a search engine
+      canonicalizing a mirror farm whose canonical form it never saw.
+
+    The flag scan decodes ISO-8859-1 (maps every byte — legacy-charset
+    or binary rows can never error the gate; the patterns are pure
+    ASCII so windows-1252 heads still match, and UTF-16 heads simply
+    match nothing → default-allow, the crawl-polite choice).
+
+    Scale shape (10^12 pages): the noindex/self-canonical majority
+    passes in the SCAN projection — no shuffle, no join, payload bytes
+    never move. Only the cross-canonical minority (a few % of a real
+    crawl) is joined: skinny (url, canonical) rows do the anti-join
+    against crawled urls and the min-url cluster pick; the payloads of
+    that minority re-enter via one semi-join keyed on url (AQE
+    broadcasts the tiny keeper set)."""
+    page = F.decode("html", "ISO-8859-1")
+    flagged = pages.withColumn(
+        "_robots", F.regexp_extract(page, ROBOTS_RE, 1)).withColumn(
+        "_canon", F.regexp_extract(page, CANON_RE, 1))
+    ok = flagged.filter(~F.col("_robots").contains("noindex"))
+    cross = (F.col("_canon") != "") & (F.col("_canon") != F.col("url"))
+    plain = ok.filter(~cross).drop("_robots", "_canon")
+    crossed = ok.filter(cross)
+    crawled = pages.select(F.col("url").alias("_canon"))
+    keepers = (crossed.select("url", "_canon")
+               .join(crawled, "_canon", "left_anti")
+               .groupBy("_canon").agg(F.min("url").alias("url"))
+               .select("url"))
+    crossed_kept = (crossed.drop("_robots", "_canon")
+                    .join(keepers, "url", "left_semi"))
+    return plain.unionByName(crossed_kept)
+
+
+_W1252_HEX = 'charset="windows-1252"'.encode().hex().upper()
+_UTF8_HEX = 'charset="utf-8"'.encode().hex().upper()
+# first 1024 payload bytes = 2048 hex chars: the HTML5 pre-scan window
+_HEAD_HEX_LEN = 2048
+
+
+def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page encoding audit over the RAW bytes — BOM detection plus
+    first-declared ``charset=`` in the HTML5 pre-scan window (1024
+    bytes), the exact precedence ``extraction/core.decode_payload``
+    applies, so this query measures how much of a crawl needs the
+    transcode path before UTF-8-only processing can touch it.
+
+    Both engines read the bytes through the SAME ``substr(hex(html),
+    1, 2048)`` fragment — neither ever utf-8-decodes the payload, so
+    legacy-encoded pages can't error the audit that exists to find
+    them. Declared-charset detection is a closed-set position compare
+    (windows-1252 vs utf-8, first occurrence wins — matching the
+    decoder's first-match rule); production would regexp a leniently
+    decoded prefix for the open set, and would hex only a sliced
+    prefix rather than the whole payload.
+
+    Scale note: pure scan projection; includes ``.htm`` legacy rows
+    the utf-8-only pages-tier queries exclude."""
+    pages = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_PAGES") or pages_path())
+    markup = pages.filter(F.col("url").endswith(".html")
+                          | F.col("url").endswith(".htm"))
+    head_hex = F.substring(F.hex(F.col("html")), 1, _HEAD_HEX_LEN)
+    base = markup.select(
+        "url",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        head_hex.alias("head_hex"))
+    bom = (F.when(F.substring("head_hex", 1, 6) == "EFBBBF", "utf8")
+           .when(F.substring("head_hex", 1, 4) == "FFFE", "utf16le")
+           .when(F.substring("head_hex", 1, 4) == "FEFF", "utf16be")
+           .otherwise("none"))
+    w_pos = F.expr(f"locate('{_W1252_HEX}', head_hex)")
+    u_pos = F.expr(f"locate('{_UTF8_HEX}', head_hex)")
+    declared = (F.when((w_pos > 0) & ((u_pos == 0) | (w_pos < u_pos)),
+                       "windows-1252")
+                .when(u_pos > 0, "utf-8")
+                .otherwise("none"))
+    return (base
+            .withColumn("bom", bom)
+            .withColumn("declared", declared)
+            .withColumn("needs_transcode",
+                        F.col("bom").isin("utf16le", "utf16be")
+                        | (F.col("declared") == "windows-1252"))
+            .select("url", "n_bytes", "bom", "declared", "needs_transcode")
+            .orderBy("url"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — identical regexes and eligibility CASE logic.
 # ---------------------------------------------------------------------------
@@ -193,6 +293,33 @@ HEADTAGS_ORACLES = {
         GROUP BY canonical
         HAVING count(*) >= 2
         ORDER BY cluster_size DESC, canonical
+    """,
+    "charset_audit": f"""
+        WITH base AS (
+          SELECT url,
+                 CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                 substr(hex(html), 1, {_HEAD_HEX_LEN}) AS head_hex
+          FROM '__PAGES_PARQUET__'
+          WHERE url LIKE '%.html' OR url LIKE '%.htm'),
+        flagged AS (
+          SELECT url, n_bytes,
+                 CASE WHEN substr(head_hex, 1, 6) = 'EFBBBF' THEN 'utf8'
+                      WHEN substr(head_hex, 1, 4) = 'FFFE' THEN 'utf16le'
+                      WHEN substr(head_hex, 1, 4) = 'FEFF' THEN 'utf16be'
+                      ELSE 'none' END AS bom,
+                 strpos(head_hex, '{_W1252_HEX}') AS w_pos,
+                 strpos(head_hex, '{_UTF8_HEX}') AS u_pos
+          FROM base)
+        SELECT url, n_bytes, bom,
+               CASE WHEN w_pos > 0 AND (u_pos = 0 OR w_pos < u_pos)
+                    THEN 'windows-1252'
+                    WHEN u_pos > 0 THEN 'utf-8'
+                    ELSE 'none' END AS declared,
+               bom IN ('utf16le', 'utf16be')
+                 OR (w_pos > 0 AND (u_pos = 0 OR w_pos < u_pos))
+                 AS needs_transcode
+        FROM flagged
+        ORDER BY url
     """,
     "structured_data": f"""
         SELECT url,

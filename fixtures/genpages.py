@@ -105,6 +105,9 @@ def _head_extras(idx: int, lang: str, host: str, title: str) -> str:
     """
     hrng = random.Random(0x4EAD5EED ^ (idx * 2654435761))
     lines = []
+    if hrng.random() < 0.70:
+        # most modern pages declare their (utf-8) encoding
+        lines.append('<meta charset="utf-8">')
     p = hrng.random()
     if p < 0.30:
         # self-canonical: the page IS its canonical form
@@ -137,6 +140,37 @@ def _head_extras(idx: int, lang: str, host: str, title: str) -> str:
             f'{{"@context": "https://schema.org", "@type": "{jtype}", '
             f'"headline": "{title}", "wordCount": {wc}}}</script>')
     return "\n".join(lines)
+
+
+# accent repairs for the legacy-charset branch: words the ASCII pools
+# flatten, restored so the payload has genuine non-ASCII bytes (a pure
+# ASCII body encodes identically in every charset — the decode path
+# would never be exercised)
+_ACCENTS = (
+    ("uber", "über"), ("qualitat", "qualität"),       # de
+    ("rapido", "rápido"), ("particion", "partición"),  # es
+    ("analisis", "análisis"), ("indice", "índice"),
+    ("quality", "qualité"),                            # en (loanword)
+)
+
+
+def _legacy_encode(payload: bytes, truth: str,
+                   idx: int) -> tuple[bytes, str]:
+    """Re-encode a built page as a legacy-charset variant: accent
+    restoration in body AND truth, then windows-1252 with a declared
+    ``<meta charset>`` (70%) or BOM'd UTF-16LE (30%). Decoding these
+    correctly is the extraction core's charset tier
+    (``extraction/core.decode_payload``)."""
+    text = payload.decode("utf-8")
+    for a, b in _ACCENTS:
+        text = text.replace(a, b)
+        truth = truth.replace(a, b)
+    crng = random.Random(0xC4A125E7 ^ (idx * 2654435761))
+    if crng.random() < 0.70:
+        text = text.replace(
+            "<title>", '<meta charset="windows-1252">\n<title>', 1)
+        return text.encode("cp1252"), truth
+    return b"\xff\xfe" + text.encode("utf-16-le"), truth
 
 
 def _build_html(rng: random.Random, lang: str, idx: int,
@@ -473,6 +507,12 @@ def gen_pages(n: int, seed: int = 42,
         if r < 0.78:
             ext = "html"
             payload, truth = _build_html(rng, lang, i, host)
+            if r >= 0.765:
+                # legacy-charset variant: same rng consumption as the
+                # plain branch (zero drift for every other page), .htm
+                # suffix keeps the utf-8-only pages-tier queries clean
+                ext = "htm"
+                payload, truth = _legacy_encode(payload, truth, i)
         elif r < 0.88:
             ext = "pdf"
             payload, truth = _build_pdf(rng, lang)

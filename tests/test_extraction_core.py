@@ -446,3 +446,85 @@ def test_denied_container_beyond_depth_cap_stays_suppressed():
         + "</div>" * 300 + "</body></html>")
     assert "recommended boilerplate" not in md
     assert "keep this long enough" in md
+
+
+class TestCharsetDecoding:
+    """decode_payload's WHATWG-order charset tier: BOM > declared in
+    the 1024-byte pre-scan window > utf-8 > latin-1 (never fails)."""
+
+    def test_utf8_bom_stripped(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        assert decode_payload(b"\xef\xbb\xbf<p>caf\xc3\xa9</p>") == "<p>café</p>"
+
+    def test_utf16le_bom(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        raw = b"\xff\xfe" + "<p>qualität</p>".encode("utf-16-le")
+        assert decode_payload(raw) == "<p>qualität</p>"
+
+    def test_utf16be_bom(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        raw = b"\xfe\xff" + "<p>rápido</p>".encode("utf-16-be")
+        assert decode_payload(raw) == "<p>rápido</p>"
+
+    def test_declared_cp1252(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        raw = ('<meta charset="windows-1252"><p>über — €</p>').encode("cp1252")
+        assert decode_payload(raw) == '<meta charset="windows-1252"><p>über — €</p>'
+
+    def test_lying_declaration_falls_through(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        # declares ascii but carries utf-8 bytes: strict ascii fails,
+        # chain lands on utf-8
+        raw = '<meta charset="ascii"><p>café</p>'.encode("utf-8")
+        assert decode_payload(raw) == '<meta charset="ascii"><p>café</p>'
+
+    def test_unknown_declaration_ignored(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        raw = '<meta charset="klingon-8"><p>ok</p>'.encode("utf-8")
+        assert decode_payload(raw) == '<meta charset="klingon-8"><p>ok</p>'
+
+    def test_declaration_outside_prescan_window_ignored(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        # cp1252-only byte 0x96 (en dash) with the declaration past
+        # 1024 bytes: utf-8 fails, latin-1 fallback maps 0x96 to U+0096
+        raw = (b"<p>" + b"x" * 1100
+               + b'charset="windows-1252"</p>\x96')
+        out = decode_payload(raw)
+        assert out.endswith("\x96")
+
+    def test_bom_beats_declaration(self):
+        from document_converter_api_spark.extraction.core import decode_payload
+        body = '<meta charset="windows-1252"><p>naïve</p>'
+        raw = b"\xff\xfe" + body.encode("utf-16-le")
+        assert decode_payload(raw) == body
+
+    def test_sniff_bom_markup(self):
+        from document_converter_api_spark.extraction.sniff import (
+            sniff_content_type,
+        )
+        u16 = b"\xff\xfe" + "<!DOCTYPE html><html>".encode("utf-16-le")
+        assert sniff_content_type(u16, "") == "html"
+        u16be = b"\xfe\xff" + "<html>".encode("utf-16-be")
+        assert sniff_content_type(u16be, "") == "html"
+        assert sniff_content_type(b"\xef\xbb\xbf<html>", "") == "html"
+
+    def test_legacy_fixture_pages_extract_with_accents(self):
+        """End-to-end: every committed .htm fixture page decodes and
+        its markdown carries the restored non-ASCII accents."""
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.extraction.core import (
+            extract_document,
+        )
+        t = pq.read_table("fixtures/data/pages_smoke.parquet")
+        rows = [(u, h) for u, h in
+                zip(t["url"].to_pylist(), t["html"].to_pylist())
+                if u.endswith(".htm")]
+        assert len(rows) >= 5
+        accented = 0
+        for url, html in rows:
+            res = extract_document(html, url)
+            assert res.error is None, (url, res.error)
+            assert res.markdown
+            if any(ch in res.markdown for ch in "üáéíö"):
+                accented += 1
+        assert accented == len(rows)

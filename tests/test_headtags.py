@@ -163,3 +163,67 @@ class TestPlans:
         body = plan.split("AdaptiveSparkPlan")[-1]
         # sort for the orderBy + hash for the groupBy — nothing else
         assert body.count("Exchange") <= 2
+
+
+class TestCharsetAudit:
+    @pytest.fixture(scope="class")
+    def audit(self, spark):
+        return H.q_charset_audit(spark, SF).collect()
+
+    def test_matches_python_recompute(self, spark, audit):
+        """BOM + first-declared-charset agree with a byte-level Python
+        pass applying decode_payload's exact precedence."""
+        import pyarrow.parquet as pq
+        from document_converter_api_spark.operators.linkgraph import pages_path
+        t = pq.read_table(pages_path())
+        exp = {}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if not (url.endswith(".html") or url.endswith(".htm")):
+                continue
+            if html.startswith(b"\xef\xbb\xbf"):
+                bom = "utf8"
+            elif html.startswith(b"\xff\xfe"):
+                bom = "utf16le"
+            elif html.startswith(b"\xfe\xff"):
+                bom = "utf16be"
+            else:
+                bom = "none"
+            head = html[:1024]
+            w = head.find(b'charset="windows-1252"')
+            u = head.find(b'charset="utf-8"')
+            if w >= 0 and (u < 0 or w < u):
+                declared = "windows-1252"
+            elif u >= 0:
+                declared = "utf-8"
+            else:
+                declared = "none"
+            exp[url] = (bom, declared,
+                        bom in ("utf16le", "utf16be")
+                        or declared == "windows-1252")
+        got = {r.url: (r.bom, r.declared, r.needs_transcode) for r in audit}
+        assert got == exp
+
+    def test_finds_the_legacy_rows(self, audit):
+        """The .htm rows are exactly the transcode set; .html rows are
+        utf-8-clean (no BOM, never windows-1252)."""
+        htm = [r for r in audit if r.url.endswith(".htm")]
+        html = [r for r in audit if r.url.endswith(".html")]
+        assert len(htm) >= 5 and len(html) > len(htm)
+        assert all(r.needs_transcode for r in htm)
+        assert all(not r.needs_transcode for r in html)
+        assert {r.bom for r in htm} == {"none", "utf16le"}
+        assert all(r.declared == "windows-1252"
+                   for r in htm if r.bom == "none")
+        assert all(r.bom == "none" for r in html)
+
+    def test_never_decodes_the_payload(self, spark):
+        """The audit exists to FIND undecodable pages — its plan must
+        not contain a utf-8 decode of html (hex() only)."""
+        plan = (H.q_charset_audit(spark, SF)
+                ._jdf.queryExecution().analyzed().toString())
+        assert "decode(" not in plan.lower().replace("hex(", "")
+        ex = (H.q_charset_audit(spark, SF)
+              ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in ex
+        assert "ArrowEvalPython" not in ex
+        assert "Join" not in ex
