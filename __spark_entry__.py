@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "index_gate", "canonical_clusters", "structured_data", "readability",
-    "charset_audit",
+    "charset_audit", "robots_rules", "robots_compliance",
     "page_metadata", "lang_audit", "frontier_priority",
     "host_quality", "crawl_budget", "template_detect",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         # raw-byte BOM/declared-charset audit (includes .htm legacy rows)
         "charset_audit": _q_charset_audit,
+        # robots-exclusion tier (operators/robots.py)
+        "robots_rules": _q_robots_rules,
+        "robots_compliance": _q_robots_compliance,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
@@ -450,6 +453,18 @@ def _q_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.headtags import q_charset_audit
     return q_charset_audit(spark, sf_dir)
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.robots import q_robots_rules
+    return q_robots_rules(spark, sf_dir)
+
+
+def _q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.robots import (
+        q_robots_compliance,
+    )
+    return q_robots_compliance(spark, sf_dir)
 
 
 def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
         oracle_sql_for_headtags,
     )
     sql.update(oracle_sql_for_headtags(repo_root))
+    from document_converter_api_spark.operators.robots import (
+        oracle_sql_for_robots,
+    )
+    sql.update(oracle_sql_for_robots(repo_root))
     from document_converter_api_spark.operators.skew import (
         host_cap_oracle, host_stats_oracle,
     )

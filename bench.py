@@ -65,7 +65,7 @@ BENCH_QUERIES = (
     "page_metadata", "lang_audit", "frontier_priority",
     "host_quality", "crawl_budget", "template_detect",
     "index_gate", "canonical_clusters", "structured_data", "readability",
-    "frontier_discovery", "charset_audit",
+    "frontier_discovery", "charset_audit", "robots_compliance",
 )
 
 

@@ -1,0 +1,140 @@
+"""Robots-exclusion tier: per-host rule extraction and a crawl
+compliance audit.
+
+Reference parity note: the reference service (``/root/reference/app/
+main.py``) converts uploads and never fetches, so it has no robots
+surface. A crawler MUST have one: robots.txt is the only opt-out
+mechanism a site controls, and a production pipeline both (a) parses
+the rules it fetched and (b) audits the crawl log against them —
+CC publishes exactly such compliance reports. The fixture corpus
+carries one ``/robots.txt`` row per host (plain-text payload; the
+extraction format gate correctly REJECTS them — robots is crawl
+metadata, not corpus content — and this module is their consumer).
+
+* ``q_robots_rules`` — (host, rule) Disallow prefixes plus the host's
+  optional Crawl-delay: one decode + ``regexp_extract_all`` + explode.
+* ``q_robots_compliance`` — join every fetched page's path against its
+  host's Disallow prefixes: per-host fetch count, rule count,
+  violation count and the first violating url. The rule table is tiny
+  (hosts × rules) → broadcast hash join; the fetch log never shuffles.
+
+Scale notes (10^12 pages): rules are ~10^8 hosts × a handful of rows —
+broadcast-able after the one small ``groupBy(host)``; the compliance
+pass is scan-projection + broadcast join + one map-side-combined host
+aggregate. Prefix match is ``startswith`` (Spark) / ``starts_with``
+(DuckDB) on the url path — same semantics, hash-identical output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .linkgraph import HOST_RE, pages_path
+
+DISALLOW_RE = "Disallow: (\\S+)"
+DELAY_RE = "Crawl-delay: ([0-9]+)"
+
+
+def _all_rows(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_PAGES") or pages_path())
+
+
+def robots_rules(pages: DataFrame) -> DataFrame:
+    """(host, rule, crawl_delay) — one exploded row per Disallow."""
+    body = F.decode("html", "ISO-8859-1")  # ascii rules; never errors
+    return (pages
+            .filter(F.col("url").endswith("/robots.txt"))
+            .select(
+                F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                F.explode(F.regexp_extract_all(body, F.lit(DISALLOW_RE), 1))
+                .alias("rule"),
+                F.expr(f"CAST(nullif(regexp_extract(decode(html, "
+                       f"'ISO-8859-1'), '{DELAY_RE}', 1), '') AS BIGINT)")
+                .alias("crawl_delay")))
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return robots_rules(_all_rows(spark)).orderBy("host", "rule")
+
+
+def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-compliance report: fetched pages whose path falls
+    under a Disallow prefix are violations the scheduler must fix."""
+    rows = _all_rows(spark)
+    fetched = (rows
+               .filter(~F.col("url").endswith("/robots.txt"))
+               .select(
+                   "url",
+                   F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                   F.regexp_replace("url", "^https?://[^/]+", "")
+                   .alias("path")))
+    rules = robots_rules(rows).select("host", "rule")
+    hits = (fetched.join(F.broadcast(rules), "host", "left")
+            .withColumn("violation",
+                        F.col("rule").isNotNull()
+                        & F.expr("startswith(path, rule)")))
+    return (hits.groupBy("host")
+            .agg(F.countDistinct("url").cast("long").alias("n_fetched"),
+                 F.countDistinct("rule").cast("long").alias("n_rules"),
+                 F.countDistinct(F.when(F.col("violation"), F.col("url")))
+                 .cast("long").alias("n_violations"),
+                 F.min(F.when(F.col("violation"), F.col("url")))
+                 .alias("first_violation"))
+            .orderBy("host"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical regexes, identical prefix-match semantics.
+# ---------------------------------------------------------------------------
+
+_RULES_CTE = f"""
+        rules AS (
+          SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+                 unnest(regexp_extract_all(decode(html),
+                        'Disallow: (\\S+)', 1)) AS rule,
+                 CAST(nullif(regexp_extract(decode(html),
+                      'Crawl-delay: ([0-9]+)', 1), '') AS BIGINT)
+                   AS crawl_delay
+          FROM '__PAGES_PARQUET__'
+          WHERE url LIKE '%/robots.txt')"""
+
+ROBOTS_ORACLES = {
+    "robots_rules": f"""
+        WITH {_RULES_CTE}
+        SELECT host, rule, crawl_delay FROM rules
+        ORDER BY host, rule
+    """,
+    "robots_compliance": f"""
+        WITH {_RULES_CTE},
+        fetched AS (
+          SELECT url,
+                 regexp_extract(url, '{HOST_RE}', 1) AS host,
+                 regexp_replace(url, '^https?://[^/]+', '') AS path
+          FROM '__PAGES_PARQUET__'
+          WHERE url NOT LIKE '%/robots.txt'),
+        hits AS (
+          SELECT f.host, f.url, r.rule,
+                 r.rule IS NOT NULL AND starts_with(f.path, r.rule)
+                   AS violation
+          FROM fetched f LEFT JOIN rules r ON f.host = r.host)
+        SELECT host,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_fetched,
+               CAST(count(DISTINCT rule) AS BIGINT) AS n_rules,
+               CAST(count(DISTINCT CASE WHEN violation THEN url END)
+                    AS BIGINT) AS n_violations,
+               min(CASE WHEN violation THEN url END) AS first_violation
+        FROM hits
+        GROUP BY host
+        ORDER BY host
+    """,
+}
+
+
+def oracle_sql_for_robots(repo_root: str) -> dict[str, str]:
+    path = pages_path(repo_root)
+    return {k: v.replace("__PAGES_PARQUET__", path)
+            for k, v in ROBOTS_ORACLES.items()}

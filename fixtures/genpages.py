@@ -539,6 +539,24 @@ def gen_pages(n: int, seed: int = 42,
         payloads.append(payload)
         texts.append(truth)
         langs.append(lang)
+    # one robots.txt per host, appended AFTER the page loop (dedicated
+    # rng — zero drift for the page rows). Not extractable content: the
+    # format gate rejects them (correct — robots.txt is crawl-control
+    # metadata, consumed by operators/robots.py, never by extraction).
+    for k, host in enumerate(HOSTS):
+        rrng = random.Random(0x0B075 ^ (k * 2654435761))
+        lines = ["User-agent: *", "Disallow: /admin"]
+        if rrng.random() < 0.35:
+            lines.append(f"Disallow: /{rrng.choice(['de', 'es'])}/")
+        if rrng.random() < 0.25:
+            lines.append(f"Disallow: /cat/{rrng.randint(1, 99)}")
+        if rrng.random() < 0.50:
+            lines.append(f"Crawl-delay: {rrng.randint(1, 10)}")
+        urls.append(f"https://{host}/robots.txt")
+        tss.append(BASE_TS)
+        payloads.append(("\n".join(lines) + "\n").encode("ascii"))
+        texts.append("")
+        langs.append("en")
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),

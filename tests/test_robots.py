@@ -1,0 +1,112 @@
+"""Robots-exclusion tier: rule-parse parity with Python, compliance
+join semantics, broadcast plan shape, and the extraction-gate seam
+(robots rows are rejected content, consumed only by this tier)."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from document_converter_api_spark.operators import robots as R
+from document_converter_api_spark.operators.linkgraph import pages_path
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def raw():
+    t = pq.read_table(pages_path())
+    return list(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    return R.q_robots_rules(spark, SF).collect()
+
+
+@pytest.fixture(scope="module")
+def compliance(spark):
+    return R.q_robots_compliance(spark, SF).collect()
+
+
+class TestRules:
+    def test_matches_python_recompute(self, raw, rules):
+        exp = []
+        for url, html in raw:
+            if not url.endswith("/robots.txt"):
+                continue
+            host = re.match(r"^https?://([^/]+)", url).group(1)
+            body = html.decode("ascii")
+            delay = re.search(r"Crawl-delay: ([0-9]+)", body)
+            delay = int(delay.group(1)) if delay else None
+            for rule in re.findall(r"Disallow: (\S+)", body):
+                exp.append((host, rule, delay))
+        got = [(r.host, r.rule, r.crawl_delay) for r in rules]
+        assert sorted(got) == sorted(exp)
+        assert len(exp) > 0
+
+    def test_every_host_publishes(self, rules):
+        hosts = {r.host for r in rules}
+        assert len(hosts) == 20
+        # the universal baseline rule is everywhere
+        assert all(any(r.rule == "/admin" and r.host == h for r in rules)
+                   for h in hosts)
+
+
+class TestCompliance:
+    def test_matches_python_recompute(self, raw, compliance):
+        rules_by_host: dict[str, set] = {}
+        for url, html in raw:
+            if url.endswith("/robots.txt"):
+                host = re.match(r"^https?://([^/]+)", url).group(1)
+                rules_by_host[host] = set(
+                    re.findall(r"Disallow: (\S+)", html.decode("ascii")))
+        exp: dict[str, list] = {}
+        for url, _ in raw:
+            if url.endswith("/robots.txt"):
+                continue
+            host = re.match(r"^https?://([^/]+)", url).group(1)
+            path = re.sub(r"^https?://[^/]+", "", url)
+            row = exp.setdefault(host, [0, 0, set()])
+            row[0] += 1
+            row[1] = len(rules_by_host.get(host, ()))
+            if any(path.startswith(ru) for ru in rules_by_host.get(host, ())):
+                row[2].add(url)
+        got = {r.host: (r.n_fetched, r.n_rules, r.n_violations,
+                        r.first_violation) for r in compliance}
+        for host, (n, nr, viol) in exp.items():
+            assert got[host] == (
+                n, nr, len(viol), min(viol) if viol else None)
+
+    def test_violations_exist_and_are_language_paths(self, compliance):
+        """At least one host disallows /de/ or /es/ and has fetched
+        pages under it — the audit finds a real residue."""
+        v = [r for r in compliance if r.n_violations > 0]
+        assert v
+        assert all(re.search(r"/(de|es)/", r.first_violation) for r in v)
+
+    def test_rules_join_is_broadcast(self, spark):
+        plan = (R.q_robots_compliance(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestExtractionSeam:
+    def test_robots_rows_are_rejected_content(self, raw):
+        """The format gate must tag robots.txt as unsupported — crawl
+        metadata never leaks into the corpus."""
+        from document_converter_api_spark.extraction.core import (
+            extract_document,
+        )
+        rows = [(u, h) for u, h in raw if u.endswith("/robots.txt")]
+        assert len(rows) == 20
+        for url, html in rows:
+            res = extract_document(html, url)
+            assert res.markdown is None
+            assert res.error.startswith("unsupported_content_type")
