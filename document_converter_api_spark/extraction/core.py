@@ -30,9 +30,14 @@ class ExtractResult:
 
 
 # HTML5 §8.2.2.2 pre-scan: the charset declaration must appear in the
-# first 1024 bytes to be honored. Closed alias map — unknown names fall
-# through to the utf-8 → latin-1 chain rather than raising LookupError.
-_CHARSET_RE = _re.compile(rb'charset=["\']?([A-Za-z0-9_\-]+)', _re.I)
+# first 1024 bytes to be honored, and only INSIDE a <meta> tag — a bare
+# context-free 'charset=' match would honor charset tokens in urls,
+# scripts, or comments, and because the latin-1 fallback never fails, a
+# false match silently mojibakes a valid UTF-8 page. Closed alias map —
+# unknown names fall through to the utf-8 → latin-1 chain rather than
+# raising LookupError.
+_CHARSET_RE = _re.compile(
+    rb'<meta[^>]{0,200}?charset=["\']?([A-Za-z0-9_\-]+)', _re.I)
 _CHARSET_ALIASES = {
     "utf-8": "utf-8", "utf8": "utf-8",
     "windows-1252": "cp1252", "cp1252": "cp1252",

@@ -48,9 +48,8 @@ def sniff_content_type_expr(payload: Column, url: Column) -> Column:
     )
     # BOM-prefixed markup: UTF-16LE '<', UTF-16BE '<', UTF-8 BOM + '<'
     # (mirrors sniff_content_type's BOM branch — UTF-16 bytes defeat
-    # the latin-1 marker scan, so match the raw prefix instead)
-    is_bom_markup = head4.isin("FFFE3C00", "FEFF003C") | (
-        F.hex(F.substring(payload, 1, 4)) == F.lit("EFBBBF3C"))
+    # the latin-1 marker scan, so match the raw 4-byte prefix instead)
+    is_bom_markup = head4.isin("FFFE3C00", "FEFF003C", "EFBBBF3C")
     return (
         F.when(head5 == F.lit("255044462D"), F.lit("pdf"))          # %PDF-
         .when(head4 == F.lit("504B0304"), F.lit("docx"))            # PK\x03\x04

@@ -44,12 +44,10 @@ Scale notes (10^12 pages):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .linkgraph import HOST_RE, _pages_df, pages_path
+from .linkgraph import HOST_RE, _pages_df, all_pages_df, pages_path
 
 # one capture group each; identical strings are interpolated into the
 # DuckDB oracles below so both engines run the same pattern
@@ -152,11 +150,14 @@ def crawl_gate(pages: DataFrame) -> DataFrame:
     Keep rules:
     * ``noindex`` pages drop (robots meta);
     * no canonical or self-canonical → keep;
-    * cross-canonicalized to a CRAWLED url → drop (the target page is
-      the survivor — the site itself told us this is a duplicate);
-    * cross-canonicalized to an uncrawled target → the cluster keeps
-      exactly one representative (min url), like a search engine
-      canonicalizing a mirror farm whose canonical form it never saw.
+    * cross-canonicalized to a target that SURVIVES the gate → drop
+      (the target page is the survivor — the site itself told us this
+      is a duplicate);
+    * cross-canonicalized to a target that is uncrawled OR itself
+      dropped (e.g. a noindex canonical) → the cluster keeps exactly
+      one representative (min url), like a search engine
+      canonicalizing a mirror farm whose canonical form it never saw —
+      a cluster must never vanish with no survivor.
 
     The flag scan decodes ISO-8859-1 (maps every byte — legacy-charset
     or binary rows can never error the gate; the patterns are pure
@@ -178,7 +179,11 @@ def crawl_gate(pages: DataFrame) -> DataFrame:
     cross = (F.col("_canon") != "") & (F.col("_canon") != F.col("url"))
     plain = ok.filter(~cross).drop("_robots", "_canon")
     crossed = ok.filter(cross)
-    crawled = pages.select(F.col("url").alias("_canon"))
+    # survivors are pages that PASS the gate as themselves — if the
+    # canonical target was crawled but is itself dropped (noindex), the
+    # cluster must still keep a representative, or its content vanishes
+    # with no survivor (round-3 review)
+    crawled = plain.select(F.col("url").alias("_canon"))
     keepers = (crossed.select("url", "_canon")
                .join(crawled, "_canon", "left_anti")
                .groupBy("_canon").agg(F.min("url").alias("url"))
@@ -212,9 +217,7 @@ def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: pure scan projection; includes ``.htm`` legacy rows
     the utf-8-only pages-tier queries exclude."""
-    pages = spark.read.parquet(
-        os.environ.get("SPARK_GRAFT_PAGES") or pages_path())
-    markup = pages.filter(F.col("url").endswith(".html")
+    markup = all_pages_df(spark).filter(F.col("url").endswith(".html")
                           | F.col("url").endswith(".htm"))
     head_hex = F.substring(F.hex(F.col("html")), 1, _HEAD_HEX_LEN)
     base = markup.select(
@@ -225,10 +228,19 @@ def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            .when(F.substring("head_hex", 1, 4) == "FFFE", "utf16le")
            .when(F.substring("head_hex", 1, 4) == "FEFF", "utf16be")
            .otherwise("none"))
-    w_pos = F.expr(f"locate('{_W1252_HEX}', head_hex)")
-    u_pos = F.expr(f"locate('{_UTF8_HEX}', head_hex)")
-    declared = (F.when((w_pos > 0) & ((u_pos == 0) | (w_pos < u_pos)),
-                       "windows-1252")
+    # byte-aligned match only: a 1-based locate() over hex text lands on
+    # a byte boundary iff the position is ODD — without the check a
+    # payload whose bytes encode the pattern shifted by half a byte
+    # would flag a declaration no byte-level reader sees (round-3
+    # review). Declared is only consulted when there is NO BOM —
+    # decode_payload's precedence exactly.
+    w_raw = F.expr(f"locate('{_W1252_HEX}', head_hex)")
+    u_raw = F.expr(f"locate('{_UTF8_HEX}', head_hex)")
+    w_pos = F.when(w_raw % 2 == 1, w_raw).otherwise(F.lit(0))
+    u_pos = F.when(u_raw % 2 == 1, u_raw).otherwise(F.lit(0))
+    declared = (F.when(F.col("bom") != "none", "none")
+                .when((w_pos > 0) & ((u_pos == 0) | (w_pos < u_pos)),
+                      "windows-1252")
                 .when(u_pos > 0, "utf-8")
                 .otherwise("none"))
     return (base
@@ -301,24 +313,32 @@ HEADTAGS_ORACLES = {
                  substr(hex(html), 1, {_HEAD_HEX_LEN}) AS head_hex
           FROM '__PAGES_PARQUET__'
           WHERE url LIKE '%.html' OR url LIKE '%.htm'),
-        flagged AS (
+        raw AS (
           SELECT url, n_bytes,
                  CASE WHEN substr(head_hex, 1, 6) = 'EFBBBF' THEN 'utf8'
                       WHEN substr(head_hex, 1, 4) = 'FFFE' THEN 'utf16le'
                       WHEN substr(head_hex, 1, 4) = 'FEFF' THEN 'utf16be'
                       ELSE 'none' END AS bom,
-                 strpos(head_hex, '{_W1252_HEX}') AS w_pos,
-                 strpos(head_hex, '{_UTF8_HEX}') AS u_pos
-          FROM base)
-        SELECT url, n_bytes, bom,
-               CASE WHEN w_pos > 0 AND (u_pos = 0 OR w_pos < u_pos)
-                    THEN 'windows-1252'
-                    WHEN u_pos > 0 THEN 'utf-8'
-                    ELSE 'none' END AS declared,
+                 strpos(head_hex, '{_W1252_HEX}') AS w_raw,
+                 strpos(head_hex, '{_UTF8_HEX}') AS u_raw
+          FROM base),
+        flagged AS (
+          SELECT url, n_bytes, bom,
+                 CASE WHEN w_raw % 2 = 1 THEN w_raw ELSE 0 END AS w_pos,
+                 CASE WHEN u_raw % 2 = 1 THEN u_raw ELSE 0 END AS u_pos
+          FROM raw),
+        decided AS (
+          SELECT url, n_bytes, bom,
+                 CASE WHEN bom <> 'none' THEN 'none'
+                      WHEN w_pos > 0 AND (u_pos = 0 OR w_pos < u_pos)
+                        THEN 'windows-1252'
+                      WHEN u_pos > 0 THEN 'utf-8'
+                      ELSE 'none' END AS declared
+          FROM flagged)
+        SELECT url, n_bytes, bom, declared,
                bom IN ('utf16le', 'utf16be')
-                 OR (w_pos > 0 AND (u_pos = 0 OR w_pos < u_pos))
-                 AS needs_transcode
-        FROM flagged
+                 OR declared = 'windows-1252' AS needs_transcode
+        FROM decided
         ORDER BY url
     """,
     "structured_data": f"""

@@ -80,6 +80,16 @@ def pages_path(repo_root: str | None = None) -> str:
     return os.path.join(root, PAGES_SMOKE)
 
 
+def all_pages_df(spark: SparkSession) -> DataFrame:
+    """EVERY fetched row of the pages corpus (html, legacy .htm, pdf,
+    docx, rejects, robots.txt) — the one place the env-var/default
+    corpus resolution lives; consumers that need a subset filter on top
+    (``_pages_df`` for the utf-8 html population, ``operators/robots``
+    for /robots.txt rows, ``headtags.q_charset_audit`` for markup)."""
+    path = os.environ.get("SPARK_GRAFT_PAGES") or pages_path()
+    return spark.read.parquet(path)
+
+
 def _pages_df(spark: SparkSession) -> DataFrame:
     """HTML rows of the pages corpus (``.html`` URL suffix marks the
     format; fixture HTML payloads are pure UTF-8 by construction).
@@ -88,9 +98,7 @@ def _pages_df(spark: SparkSession) -> DataFrame:
     interpolate — so correctness checks are reproducible; ``bench.py``
     points ``SPARK_GRAFT_PAGES`` at the scale-matched corpus so the
     timing rows measure real extraction volume, not the fixture."""
-    path = os.environ.get("SPARK_GRAFT_PAGES") or pages_path()
-    return (spark.read.parquet(path)
-            .filter(F.col("url").endswith(".html")))
+    return all_pages_df(spark).filter(F.col("url").endswith(".html"))
 
 
 def extract_links(pages: DataFrame) -> DataFrame:
@@ -187,8 +195,13 @@ def q_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("link")))
                     .otherwise(F.concat(F.lit("https://"), F.col("src_host"),
                                         F.lit("/"), F.col("link")))
-                    .alias("target")))
-    crawled = pages.select(F.col("url").alias("target"))
+                    .alias("target"))
+                .distinct())
+    # "already fetched" means ANY fetched url — .htm legacy pages,
+    # PDFs, robots.txt — not just the .html subset the link extractor
+    # reads, or fetched non-html urls would re-enter the frontier as
+    # "new" (round-3 review)
+    crawled = all_pages_df(spark).select(F.col("url").alias("target"))
     fresh = (resolved
              .join(crawled, "target", "left_anti")
              .groupBy("dst_host")
@@ -342,8 +355,7 @@ LINKGRAPH_ORACLES = {
                  END AS target
           FROM resolved),
         crawled AS (
-          SELECT url AS target FROM '__PAGES_PARQUET__'
-          WHERE url LIKE '%.html'),
+          SELECT url AS target FROM '__PAGES_PARQUET__'),
         fresh AS (
           SELECT t.* FROM targets t
           WHERE NOT EXISTS (SELECT 1 FROM crawled c

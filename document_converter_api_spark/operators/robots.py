@@ -27,30 +27,30 @@ aggregate. Prefix match is ``startswith`` (Spark) / ``starts_with``
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .linkgraph import HOST_RE, pages_path
+from .linkgraph import HOST_RE, all_pages_df, pages_path
 
 DISALLOW_RE = "Disallow: (\\S+)"
 DELAY_RE = "Crawl-delay: ([0-9]+)"
 
 
-def _all_rows(spark: SparkSession) -> DataFrame:
-    return spark.read.parquet(
-        os.environ.get("SPARK_GRAFT_PAGES") or pages_path())
-
-
 def robots_rules(pages: DataFrame) -> DataFrame:
-    """(host, rule, crawl_delay) — one exploded row per Disallow."""
+    """(host, rule, crawl_delay) — one exploded row per Disallow.
+
+    ``explode_outer``, not ``explode``: a robots.txt carrying only a
+    Crawl-delay (no Disallow) is common on the real web, and an inner
+    explode would drop the host entirely — losing the delay the
+    scheduler needs (round-3 review). Such hosts emit one row with
+    ``rule IS NULL``."""
     body = F.decode("html", "ISO-8859-1")  # ascii rules; never errors
     return (pages
             .filter(F.col("url").endswith("/robots.txt"))
             .select(
                 F.regexp_extract("url", HOST_RE, 1).alias("host"),
-                F.explode(F.regexp_extract_all(body, F.lit(DISALLOW_RE), 1))
+                F.explode_outer(
+                    F.regexp_extract_all(body, F.lit(DISALLOW_RE), 1))
                 .alias("rule"),
                 F.expr(f"CAST(nullif(regexp_extract(decode(html, "
                        f"'ISO-8859-1'), '{DELAY_RE}', 1), '') AS BIGINT)")
@@ -58,13 +58,13 @@ def robots_rules(pages: DataFrame) -> DataFrame:
 
 
 def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return robots_rules(_all_rows(spark)).orderBy("host", "rule")
+    return robots_rules(all_pages_df(spark)).orderBy("host", "rule")
 
 
 def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-compliance report: fetched pages whose path falls
     under a Disallow prefix are violations the scheduler must fix."""
-    rows = _all_rows(spark)
+    rows = all_pages_df(spark)
     fetched = (rows
                .filter(~F.col("url").endswith("/robots.txt"))
                .select(
@@ -91,11 +91,17 @@ def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracles — identical regexes, identical prefix-match semantics.
 # ---------------------------------------------------------------------------
 
+# unnest of an empty list emits no row in DuckDB — wrap in a one-NULL
+# list so a Disallow-free robots.txt keeps its host row (the Spark side
+# is explode_outer; same semantics)
 _RULES_CTE = f"""
         rules AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
-                 unnest(regexp_extract_all(decode(html),
-                        'Disallow: (\\S+)', 1)) AS rule,
+                 unnest(CASE WHEN len(regexp_extract_all(decode(html),
+                             'Disallow: (\\S+)', 1)) = 0
+                        THEN [CAST(NULL AS VARCHAR)]
+                        ELSE regexp_extract_all(decode(html),
+                             'Disallow: (\\S+)', 1) END) AS rule,
                  CAST(nullif(regexp_extract(decode(html),
                       'Crawl-delay: ([0-9]+)', 1), '') AS BIGINT)
                    AS crawl_delay

@@ -545,7 +545,9 @@ def gen_pages(n: int, seed: int = 42,
     # metadata, consumed by operators/robots.py, never by extraction).
     for k, host in enumerate(HOSTS):
         rrng = random.Random(0x0B075 ^ (k * 2654435761))
-        lines = ["User-agent: *", "Disallow: /admin"]
+        lines = ["User-agent: *"]
+        if rrng.random() < 0.90:   # a few hosts publish delay-only files
+            lines.append("Disallow: /admin")
         if rrng.random() < 0.35:
             lines.append(f"Disallow: /{rrng.choice(['de', 'es'])}/")
         if rrng.random() < 0.25:

@@ -54,25 +54,38 @@ def run_webcorpus_job(spark: SparkSession, input_path: str,
     pages = spark.read.parquet(input_path)
     n_pages = pages.count()
     gated = crawl_gate(pages)
-    n_gated = gated.count()
 
+    # persist `results`: the Arrow extraction stage is the dominant
+    # cost and three consumers follow (the parquet write, the failure
+    # count, the gated-count identity) — without the cache each .count()
+    # would re-run the whole gate+extract DAG (round-3 review)
     results, rejects = extract_pipeline(
         gated, max_bytes=max_bytes or MAX_FILE_SIZE)
-    ok = results.filter(F.col("error").isNull()
-                        & F.col("markdown").isNotNull())
-    # doc_id is the url hash — stable across reruns, and the
-    # (doc_id, url) map rides along so corpus rows stay traceable to
-    # their source pages
-    extracted = ok.select(
-        F.xxhash64("url").alias("doc_id"),
-        "url", "lang",
-        F.col("markdown").alias("text"))
-    extracted_path = os.path.join(output_root, "extracted")
-    extracted.write.mode("overwrite").parquet(extracted_path)
+    results = results.persist()
+    try:
+        ok = results.filter(F.col("error").isNull()
+                            & F.col("markdown").isNotNull())
+        # doc_id is the url hash — stable across reruns, and the
+        # (doc_id, url) map rides along so corpus rows stay traceable
+        # to their source pages
+        extracted = ok.select(
+            F.xxhash64("url").alias("doc_id"),
+            "url", "lang",
+            F.col("markdown").alias("text"))
+        extracted_path = os.path.join(output_root, "extracted")
+        extracted.write.mode("overwrite").parquet(extracted_path)
 
-    n_extracted = spark.read.parquet(extracted_path).count()
-    n_failed = results.filter(F.col("error").isNotNull()).count()
-    n_rejected = rejects.count()
+        n_extracted = spark.read.parquet(extracted_path).count()
+        n_results = results.count()
+        n_failed = n_results - n_extracted
+        # rejects come off the pre-Arrow prepare stage (no extraction
+        # re-run), and every gated page lands in exactly one of the two
+        # sides, so the gate volume is an identity — never a re-scan of
+        # the gate joins
+        n_rejected = rejects.count()
+        n_gated = n_results + n_rejected
+    finally:
+        results.unpersist()
 
     stats = run_curation_job(
         spark, extracted_path, output_root, langs,

@@ -492,6 +492,16 @@ class TestCharsetDecoding:
         out = decode_payload(raw)
         assert out.endswith("\x96")
 
+    def test_charset_token_outside_meta_is_ignored(self):
+        """A 'charset=' inside a url/script must NOT be honored — with
+        the never-failing latin-1 fallback a context-free match would
+        silently mojibake a valid UTF-8 page (round-3 review)."""
+        from document_converter_api_spark.extraction.core import decode_payload
+        raw = ('<a href="/x?charset=iso-8859-1">l</a><p>café</p>'
+               ).encode("utf-8")
+        assert decode_payload(raw) == \
+            '<a href="/x?charset=iso-8859-1">l</a><p>café</p>'
+
     def test_bom_beats_declaration(self):
         from document_converter_api_spark.extraction.core import decode_payload
         body = '<meta charset="windows-1252"><p>naïve</p>'

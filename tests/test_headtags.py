@@ -191,7 +191,10 @@ class TestCharsetAudit:
             head = html[:1024]
             w = head.find(b'charset="windows-1252"')
             u = head.find(b'charset="utf-8"')
-            if w >= 0 and (u < 0 or w < u):
+            if bom != "none":
+                declared = "none"   # BOM wins — decode_payload never
+                                    # reads a declaration under a BOM
+            elif w >= 0 and (u < 0 or w < u):
                 declared = "windows-1252"
             elif u >= 0:
                 declared = "utf-8"

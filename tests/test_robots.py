@@ -42,18 +42,26 @@ class TestRules:
             body = html.decode("ascii")
             delay = re.search(r"Crawl-delay: ([0-9]+)", body)
             delay = int(delay.group(1)) if delay else None
-            for rule in re.findall(r"Disallow: (\S+)", body):
-                exp.append((host, rule, delay))
+            found = re.findall(r"Disallow: (\S+)", body)
+            if found:
+                for rule in found:
+                    exp.append((host, rule, delay))
+            else:
+                # delay-only robots: host must survive with rule NULL
+                # (explode_outer — round-3 review)
+                exp.append((host, None, delay))
         got = [(r.host, r.rule, r.crawl_delay) for r in rules]
-        assert sorted(got) == sorted(exp)
+        key = lambda t: (t[0], t[1] or "", t[2] or -1)  # noqa: E731
+        assert sorted(got, key=key) == sorted(exp, key=key)
         assert len(exp) > 0
 
     def test_every_host_publishes(self, rules):
         hosts = {r.host for r in rules}
         assert len(hosts) == 20
-        # the universal baseline rule is everywhere
-        assert all(any(r.rule == "/admin" and r.host == h for r in rules)
-                   for h in hosts)
+        # a delay-only host keeps its crawl_delay despite zero rules
+        delay_only = [r for r in rules if r.rule is None]
+        assert delay_only and all(r.crawl_delay is not None
+                                  for r in delay_only)
 
 
 class TestCompliance:

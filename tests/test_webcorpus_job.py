@@ -48,6 +48,12 @@ def _mini_pages(spark):
         # nofollow alone never costs the page — keeps
         ("https://a.ex/p7.html",
          html('<meta name="robots" content="index, nofollow">')),
+        # cross-canonical to a CRAWLED-but-DROPPED target (p9 is
+        # noindex): the cluster must keep a representative — p8
+        ("https://a.ex/p8.html",
+         html('<link rel="canonical" href="https://a.ex/p9.html">')),
+        ("https://a.ex/p9.html",
+         html('<meta name="robots" content="noindex">')),
     ]
     return spark.createDataFrame(rows, "url string, html binary")
 
@@ -60,6 +66,8 @@ class TestCrawlGate:
             "https://a.ex/p3.html",   # self-canonical
             "https://a.ex/p5.html",   # min-url cluster representative
             "https://a.ex/p7.html",   # nofollow-only
+            "https://a.ex/p8.html",   # target crawled but noindex —
+                                      # cluster keeps a representative
         }
 
     def test_legacy_bytes_never_error_the_gate(self, spark):
