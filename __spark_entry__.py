@@ -91,6 +91,17 @@ _GATE_WINDOW_FIRST = [
 # and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
 # since r1 with green driver rows in r1 AND r2; still checked locally
 # every round by tools/check_oracle.py)
+# displaced for the eight round-3-session-4 queries (index_gate,
+# canonical_clusters, structured_data, readability, charset_audit,
+# robots_rules, robots_compliance, frontier_discovery): cms_topk,
+# bloom_filter, histogram_quantiles, host_stats_salted + the r2-driver-
+# green dedup/ANN block slid past 50. The window now holds ZERO entries
+# that already have a driver row (verified against CORRECTNESS_r02);
+# the 14 never-driver-checked queries left outside (sketch quartet,
+# semantic_dedup, webhook_payloads, snapshot_diff, mojibake_repair,
+# chunk_overlap, weighted_sample, host_cap_sample, sessionize,
+# crawl_rate, bucketed_join) stay covered by tools/check_oracle.py
+# every round — a 50-slot window cannot hold 64 never-checked entries.
 # displaced for the eight round-3-new queries (bigram_logprob,
 # doc_line_dedup, perplexity_buckets, dsir_select, ngram_repetition,
 # incremental_minhash, dedup_weights, logreg_train): snapshot_diff,

@@ -87,6 +87,18 @@ class TestCrawlGate:
         pages = spark.read.parquet(PAGES)
         assert crawl_gate(pages).columns == pages.columns
 
+    def test_plan_shape(self, spark):
+        """Anti for the orphan-cluster pick, semi to re-admit the
+        representatives; no Python, no nested-loop — the majority path
+        is a pure scan filter."""
+        plan = (crawl_gate(spark.read.parquet(PAGES))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "LeftAnti" in plan and "LeftSemi" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestWebcorpusJob:
     @pytest.fixture(scope="class")

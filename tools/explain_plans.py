@@ -360,6 +360,42 @@ def main() -> None:
              .select("doc_id", "lang", "label"))
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    # round-3 session-4 webtext tiers
+    from document_converter_api_spark.operators.headtags import crawl_gate
+    add("crawl_gate",
+        "pre-extraction crawl-control gate: the noindex/self-canonical "
+        "majority passes in the SCAN projection (no shuffle, payload "
+        "bytes never move); only the cross-canonical minority takes the "
+        "skinny (url, canonical) LeftAnti + the keeper LeftSemi — at "
+        "100 TB the gate costs one scan plus joins over a few % of "
+        "rows, and every dropped page is Arrow-stage compute saved.",
+        crawl_gate(pages))
+    add("frontier_discovery",
+        "relative-href resolution in the scan, distinct candidates, "
+        "then a url-hash LeftAnti against ALL fetched urls — one "
+        "co-partitioned Exchange pair, sort-merge anti, no broadcast "
+        "needed or possible at corpus scale; url strings only, never "
+        "body bytes.",
+        queries["frontier_discovery"](spark, SF))
+    add("robots_compliance",
+        "the rules table (hosts x a handful of Disallow rows) rides a "
+        "BroadcastHashJoin into the fetch log — the 10^12-row side "
+        "never shuffles; one map-side-combined groupBy(host) closes "
+        "the audit.",
+        queries["robots_compliance"](spark, SF))
+    add("charset_audit",
+        "raw-byte BOM + declared-charset audit as a pure scan "
+        "projection over substr(hex(html)) — no decode of the payload "
+        "it exists to flag, no Python, no joins; the one Exchange is "
+        "the deterministic presentation orderBy a caller can drop.",
+        queries["charset_audit"](spark, SF))
+    add("canonical_clusters",
+        "URL-level dedup from declared canonicals: the aggregate "
+        "shuffles one small (canonical, url) row per canonicalized "
+        "page — min(url) is order-free so partial combine applies; "
+        "body bytes never move.",
+        queries["canonical_clusters"](spark, SF))
+
     out = [
         "# PLANS.md — physical-plan evidence (generated by tools/explain_plans.py)",
         "",
