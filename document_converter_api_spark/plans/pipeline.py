@@ -110,8 +110,16 @@ def run_extraction_job(
     fail_after_commits: int | None = None,
     input_format: str = "parquet",
     webhook_url: str | None = None,
+    gate: bool = False,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
+
+    ``gate=True`` applies the crawl-control gate
+    (``operators/headtags.crawl_gate``: robots-noindex drop +
+    canonical-cluster collapse) BEFORE the format/size gates — every
+    gated page is Arrow-stage compute saved, and the gate is a pure
+    function of the input so resume semantics are unchanged (the same
+    page lands in the same lineage granule on every rerun).
 
     ``fail_after_commits`` injects a crash after N commit groups — the resume
     test's kill switch (SURVEY.md §5.2.4).
@@ -151,6 +159,9 @@ def run_extraction_job(
             # completed), and commit-group filters prune at the scan
             num_partitions = layout_p
         pages = spark.read.parquet(input_path)
+    if gate:
+        from ..operators.headtags import crawl_gate
+        pages = crawl_gate(pages)
     valid, rejects = prepare_pages(pages, max_bytes=max_bytes,
                                    num_partitions=num_partitions)
 

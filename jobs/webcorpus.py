@@ -13,12 +13,15 @@ Stages (each a tier this repo ships and oracle-checks separately):
    robots-``noindex`` pages and collapse canonical-URL duplicate
    clusters BEFORE extraction: every gated page is Arrow-stage compute
    saved. URL-level dedup needs no content bytes at all.
-2. **extraction** (``operators/extract.extract_pipeline``) — the
-   salted, Arrow-batched HTML/PDF/DOCX → markdown core with the
-   charset tier (BOM / declared windows-1252 / UTF-16 legacy pages
-   decode inline), size gate, format gate, per-doc error capture.
+2. **extraction** (``plans/pipeline.run_extraction_job`` with
+   ``gate=True``) — the salted, Arrow-batched HTML/PDF/DOCX →
+   markdown core with the charset tier (BOM / declared windows-1252 /
+   UTF-16 legacy pages decode inline), size gate, format gate,
+   per-doc error capture, AND per-partition lineage: a killed build
+   re-submitted with the same output root resumes at partition
+   granularity, never re-paying completed Arrow work.
 3. **materialize** the extracted docs table (plain parquet under
-   ``<output>/extracted``) — the production checkpoint boundary: a
+   ``<output>/extracted``) — the curation checkpoint boundary: a
    re-run of curation never re-pays extraction.
 4. **curation** (``jobs/curate.run_curation_job``) — exact dedup,
    Gopher gate, language-ID filter, PII redaction, deterministic
@@ -42,50 +45,44 @@ def run_webcorpus_job(spark: SparkSession, input_path: str,
                       output_root: str,
                       langs: tuple[str, ...] = ("en",),
                       max_bytes: int | None = None,
+                      partitions: int = 64,
                       pack_budget: int | None = None,
                       strip_lines: bool = False,
                       drop_ppl_tail: bool = False) -> dict:
-    from document_converter_api_spark.operators.extract import (
-        MAX_FILE_SIZE, extract_pipeline,
+    """Crawl → gate → extract → curate, with the extraction stage on
+    the lineage-resumable pipeline (``plans/pipeline.run_extraction_job``
+    with ``gate=True``): a killed build re-submitted with the same
+    ``output_root`` skips completed partition granules instead of
+    re-paying the Arrow stage — the north-rule checkpoint contract
+    carried into the end-to-end job."""
+    from document_converter_api_spark.operators.extract import MAX_FILE_SIZE
+    from document_converter_api_spark.plans.pipeline import (
+        run_extraction_job,
     )
-    from document_converter_api_spark.operators.headtags import crawl_gate
+    from document_converter_api_spark.sources.tableio import ManifestTable
     from jobs.curate import run_curation_job
 
-    pages = spark.read.parquet(input_path)
-    n_pages = pages.count()
-    gated = crawl_gate(pages)
+    n_pages = spark.read.parquet(input_path).count()
+    ex_root = os.path.join(output_root, "extraction")
+    ex_stats = run_extraction_job(
+        spark, input_path, ex_root,
+        num_partitions=partitions,
+        max_bytes=max_bytes or MAX_FILE_SIZE,
+        gate=True)
 
-    # persist `results`: the Arrow extraction stage is the dominant
-    # cost and three consumers follow (the parquet write, the failure
-    # count, the gated-count identity) — without the cache each .count()
-    # would re-run the whole gate+extract DAG (round-3 review)
-    results, rejects = extract_pipeline(
-        gated, max_bytes=max_bytes or MAX_FILE_SIZE)
-    results = results.persist()
-    try:
-        ok = results.filter(F.col("error").isNull()
-                            & F.col("markdown").isNotNull())
-        # doc_id is the url hash — stable across reruns, and the
-        # (doc_id, url) map rides along so corpus rows stay traceable
-        # to their source pages
-        extracted = ok.select(
-            F.xxhash64("url").alias("doc_id"),
-            "url", "lang",
-            F.col("markdown").alias("text"))
-        extracted_path = os.path.join(output_root, "extracted")
-        extracted.write.mode("overwrite").parquet(extracted_path)
-
-        n_extracted = spark.read.parquet(extracted_path).count()
-        n_results = results.count()
-        n_failed = n_results - n_extracted
-        # rejects come off the pre-Arrow prepare stage (no extraction
-        # re-run), and every gated page lands in exactly one of the two
-        # sides, so the gate volume is an identity — never a re-scan of
-        # the gate joins
-        n_rejected = rejects.count()
-        n_gated = n_results + n_rejected
-    finally:
-        results.unpersist()
+    results = ManifestTable(os.path.join(ex_root, "results")).read(spark)
+    ok = results.filter(F.col("error").isNull()
+                        & F.col("markdown").isNotNull())
+    # doc_id is the url hash — stable across reruns, and the
+    # (doc_id, url) map rides along so corpus rows stay traceable to
+    # their source pages
+    extracted = ok.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url", "lang",
+        F.col("markdown").alias("text"))
+    extracted_path = os.path.join(output_root, "extracted")
+    extracted.write.mode("overwrite").parquet(extracted_path)
+    n_extracted = spark.read.parquet(extracted_path).count()
 
     stats = run_curation_job(
         spark, extracted_path, output_root, langs,
@@ -93,11 +90,11 @@ def run_webcorpus_job(spark: SparkSession, input_path: str,
         drop_ppl_tail=drop_ppl_tail)
     stats.update({
         "input_pages": n_pages,
-        "gated_pages": n_gated,
-        "gate_dropped": n_pages - n_gated,
         "extracted_docs": n_extracted,
-        "extract_failures": n_failed,
-        "rejected_pages": n_rejected,
+        "extraction": {k: ex_stats.get(k) for k in
+                       ("resumed", "skipped_partitions",
+                        "processed_partitions", "docs", "failures",
+                        "bytes_in", "bytes_out")},
     })
     return stats
 
@@ -108,6 +105,8 @@ def main() -> None:  # pragma: no cover - CLI
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--langs", default="en")
     ap.add_argument("--max-bytes", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=64,
+                    help="lineage granules for the resumable extraction")
     ap.add_argument("--pack-budget", type=int, default=None)
     ap.add_argument("--strip-repeated-lines", action="store_true")
     ap.add_argument("--drop-ppl-tail", action="store_true")
@@ -124,7 +123,8 @@ def main() -> None:  # pragma: no cover - CLI
     stats = run_webcorpus_job(
         spark, args.input, args.output,
         tuple(args.langs.split(",")),
-        max_bytes=args.max_bytes, pack_budget=args.pack_budget,
+        max_bytes=args.max_bytes, partitions=args.partitions,
+        pack_budget=args.pack_budget,
         strip_lines=args.strip_repeated_lines,
         drop_ppl_tail=args.drop_ppl_tail)
     print(json.dumps(stats))

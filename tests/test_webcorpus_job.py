@@ -109,11 +109,13 @@ class TestWebcorpusJob:
 
     def test_stage_counts_chain(self, result):
         root, stats = result
-        assert stats["gated_pages"] < stats["input_pages"]
-        assert stats["gate_dropped"] > 0
-        assert 0 < stats["extracted_docs"] <= stats["gated_pages"]
+        ex = stats["extraction"]
+        gated = ex["docs"] + ex["failures"]
+        assert 0 < gated < stats["input_pages"]   # the gate really drops
+        assert 0 < stats["extracted_docs"] <= ex["docs"]
         assert stats["curated_docs"] > 0
         assert stats["curated_docs"] <= stats["extracted_docs"]
+        assert ex["resumed"] is False and ex["skipped_partitions"] == 0
 
     def test_gate_ran_before_extraction(self, spark, result):
         """No noindex page's url appears in the extracted table."""
@@ -142,3 +144,16 @@ class TestWebcorpusJob:
         root2 = str(tmp_path / "again")
         stats2 = run_webcorpus_job(spark, PAGES, root2, langs=("en",))
         assert stats1 == stats2
+
+    def test_resume_skips_extraction(self, spark, result):
+        """Re-submitting with the SAME output root resumes: every
+        extraction partition skips, and the curated corpus is
+        byte-stable (idempotent per-split replace)."""
+        root, stats1 = result
+        stats2 = run_webcorpus_job(spark, PAGES, root, langs=("en",))
+        ex = stats2["extraction"]
+        assert ex["resumed"] is True
+        assert ex["skipped_partitions"] == 64
+        assert ex["processed_partitions"] == 0
+        assert stats2["extracted_docs"] == stats1["extracted_docs"]
+        assert stats2["splits"] == stats1["splits"]
