@@ -54,6 +54,7 @@ _GATE_WINDOW_FIRST = [
     # brand-new in round 3 — no driver artifact, freshest code
     "index_gate", "canonical_clusters", "structured_data", "readability",
     "charset_audit", "robots_rules", "robots_compliance",
+    "delay_compliance",
     "page_metadata", "lang_audit", "frontier_priority",
     "host_quality", "crawl_budget", "template_detect",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
@@ -362,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robots-exclusion tier (operators/robots.py)
         "robots_rules": _q_robots_rules,
         "robots_compliance": _q_robots_compliance,
+        # declared Crawl-delay vs actual fetch spacing (robots x temporal)
+        "delay_compliance": _q_delay_compliance,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
@@ -469,6 +472,13 @@ def _q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.robots import q_robots_rules
     return q_robots_rules(spark, sf_dir)
+
+
+def _q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.robots import (
+        q_delay_compliance,
+    )
+    return q_delay_compliance(spark, sf_dir)
 
 
 def _q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:

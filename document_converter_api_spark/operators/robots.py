@@ -87,6 +87,48 @@ def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host"))
 
 
+def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared Crawl-delay vs ACTUAL per-host fetch spacing — the
+    politeness audit composed with the robots tier: per host, the
+    minimum/mean gap between consecutive fetches (``warc_ts``, integer
+    microseconds end to end — cross-engine exact, same discipline as
+    ``operators/temporal.q_politeness_audit``) against the delay the
+    host's robots.txt requested, and whether the crawl complied.
+
+    Hosts that declare no delay report ``crawl_delay NULL`` and are
+    vacuously compliant. One keyed window + re-agg sharing a single
+    host Exchange, then a broadcast join of the tiny per-host delay
+    table — the fetch log never shuffles twice."""
+    from pyspark.sql.window import Window
+
+    rows = all_pages_df(spark)
+    fetched = (rows
+               .filter(~F.col("url").endswith("/robots.txt"))
+               .select(F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                       "url",
+                       F.unix_micros(F.col("warc_ts").cast("timestamp"))
+                       .alias("us")))
+    w = Window.partitionBy("host").orderBy("us", "url")
+    gaps = (fetched.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+            .filter(F.col("gap_us").isNotNull()))
+    agg = (gaps.groupBy("host")
+           .agg((F.count("*") + 1).cast("long").alias("n_fetches"),
+                F.min("gap_us").alias("min_gap_us"),
+                F.round(F.sum("gap_us") / F.count("*") / 1e6, 4)
+                .alias("mean_gap_s")))
+    delays = (robots_rules(rows)
+              .groupBy("host")
+              .agg(F.max("crawl_delay").alias("crawl_delay")))
+    return (agg.join(F.broadcast(delays), "host", "left")
+            .select("host", "n_fetches", "min_gap_us", "mean_gap_s",
+                    "crawl_delay",
+                    (F.col("crawl_delay").isNull()
+                     | (F.col("min_gap_us")
+                        >= F.col("crawl_delay") * 1_000_000))
+                    .alias("compliant"))
+            .orderBy("host"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — identical regexes, identical prefix-match semantics.
 # ---------------------------------------------------------------------------
@@ -113,6 +155,35 @@ ROBOTS_ORACLES = {
         WITH {_RULES_CTE}
         SELECT host, rule, crawl_delay FROM rules
         ORDER BY host, rule
+    """,
+    "delay_compliance": f"""
+        WITH {_RULES_CTE},
+        delays AS (
+          SELECT host, max(crawl_delay) AS crawl_delay
+          FROM rules GROUP BY host),
+        fetched AS (
+          SELECT regexp_extract(url, '{HOST_RE}', 1) AS host, url,
+                 epoch_us(warc_ts) AS us
+          FROM '__PAGES_PARQUET__'
+          WHERE url NOT LIKE '%/robots.txt'),
+        gaps AS (
+          SELECT host,
+                 us - lag(us) OVER (PARTITION BY host
+                                    ORDER BY us, url) AS gap_us
+          FROM fetched),
+        agg AS (
+          SELECT host,
+                 CAST(count(*) + 1 AS BIGINT) AS n_fetches,
+                 min(gap_us) AS min_gap_us,
+                 round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4)
+                   AS mean_gap_s
+          FROM gaps WHERE gap_us IS NOT NULL GROUP BY host)
+        SELECT a.host, a.n_fetches, a.min_gap_us, a.mean_gap_s,
+               d.crawl_delay,
+               d.crawl_delay IS NULL
+                 OR a.min_gap_us >= d.crawl_delay * 1000000 AS compliant
+        FROM agg a LEFT JOIN delays d ON a.host = d.host
+        ORDER BY a.host
     """,
     "robots_compliance": f"""
         WITH {_RULES_CTE},

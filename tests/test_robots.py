@@ -118,3 +118,55 @@ class TestExtractionSeam:
             res = extract_document(html, url)
             assert res.markdown is None
             assert res.error.startswith("unsupported_content_type")
+
+
+class TestDelayCompliance:
+    @pytest.fixture(scope="module")
+    def report(self, spark):
+        return R.q_delay_compliance(spark, SF).collect()
+
+    def test_matches_python_recompute(self, raw, report):
+        """Per-host min/mean gap + compliance equal a byte-level
+        Python pass over the fixture timestamps and robots bodies."""
+        import pyarrow.parquet as pq
+        from collections import defaultdict
+        t = pq.read_table(pages_path())
+        by_host = defaultdict(list)
+        delays = {}
+        for url, ts, html in zip(t["url"].to_pylist(),
+                                 t["warc_ts"].to_pylist(),
+                                 t["html"].to_pylist()):
+            host = re.match(r"^https?://([^/]+)", url).group(1)
+            if url.endswith("/robots.txt"):
+                m = re.search(rb"Crawl-delay: ([0-9]+)", html)
+                if m:
+                    delays[host] = int(m.group(1))
+                continue
+            by_host[host].append((int(ts.timestamp() * 1_000_000), url))
+        got = {r.host: r for r in report}
+        for host, rows in by_host.items():
+            if len(rows) < 2:
+                assert host not in got  # no gaps — nothing to audit
+                continue
+            rows.sort()
+            gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+            r = got[host]
+            assert r.n_fetches == len(rows)
+            assert r.min_gap_us == min(gaps)
+            assert r.crawl_delay == delays.get(host)
+            want = (delays.get(host) is None
+                    or min(gaps) >= delays[host] * 1_000_000)
+            assert r.compliant == want
+
+    def test_fixture_crawl_is_polite(self, report):
+        """The deterministic 7-minute timestamp walk can never violate
+        a <=10s declared delay — and declared delays DO exist."""
+        assert any(r.crawl_delay is not None for r in report)
+        assert all(r.compliant for r in report)
+
+    def test_single_shuffle_plus_broadcast(self, spark):
+        plan = (R.q_delay_compliance(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
