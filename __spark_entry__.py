@@ -42,74 +42,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver's correctness gate covers only the FIRST 50 entries of
-# queries(). Rotate the least-proven operators into that window: first the
-# queries ADDED this round (no driver artifact exists for them at all),
-# then the never-driver-checked remainder from past rounds (r2's gate saw
-# only its first 50; the rest were checked via the local comparator
-# replica), then the dedup/ANN tier whose code changed this round. The
-# long-stable §2.8 scalar / TPC-H queries take the tail — they have two
-# rounds of green driver rows already. All 96 registered queries stay
-# covered locally by tools/check_oracle.py either way.
+# queries(). Round-4 rotation (VERDICT r3 item 3): lead with the 14
+# queries that have NO green driver row across r1-r3 (token_pack red in
+# r3, host_stats_salted red in r1, 12 never windowed), then the round-4
+# additions/changes (url_aliases new; robots latin-1 oracles +
+# single-fetch hosts; linkgraph scheme-relative resolution touches five
+# oracles; dedup_clusters' convergence sum; semantic_dedup's arrow
+# default), then the same-file neighbors and the r3-new tier that has
+# exactly one green row. Displaced (all with >=1 green driver row and
+# still locally oracle-checked every round by tools/check_oracle.py):
+# the multimodal trio, temporal tier, sampling tail, ANN tier,
+# dedup r1/r2 block, streaming twins, and the long-stable 2.8
+# scalar/TPC-H queries.
 _GATE_WINDOW_FIRST = [
-    # brand-new in round 3 — no driver artifact, freshest code
-    "index_gate", "canonical_clusters", "structured_data", "readability",
-    "charset_audit", "robots_rules", "robots_compliance",
-    "delay_compliance",
-    "page_metadata", "lang_audit", "frontier_priority",
-    "host_quality", "crawl_budget", "template_detect",
+    # never driver-green across r1-r3
+    "token_pack", "host_stats_salted", "bloom_filter", "chunk_overlap",
+    "cms_topk", "crawl_rate", "histogram_quantiles", "host_cap_sample",
+    "kmv_distinct", "mojibake_repair", "semantic_dedup", "snapshot_diff",
+    "webhook_payloads", "weighted_sample",
+    # brand-new in round 4
+    "url_aliases",
+    # operators/oracles changed in round 4
+    "delay_compliance", "robots_rules", "robots_compliance",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
-    "frontier_discovery",
+    "frontier_discovery", "frontier_priority", "dedup_clusters",
+    # same-file neighbors of round-4 changes (headtags/pagemeta/dedup),
+    # single green row (r3)
+    "index_gate", "canonical_clusters", "structured_data",
+    "charset_audit", "readability", "page_metadata", "lang_audit",
+    "host_quality", "crawl_budget", "template_detect",
+    # r3-new tier with exactly one green driver row
     "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
     "dsir_select", "ngram_repetition", "incremental_minhash",
-    "dedup_weights", "logreg_train",
-    # never driver-checked (past r2's 50-entry window)
-    "decontaminate", "token_pack", "unicode_normalize", "unigram_logprob",
-    "doc_repetition", "bpe_pair_stats",
-    "token_entropy", "mix_sample", "blocklist_filter",
-    "source_terms", "split_assign", "length_buckets",
-    "bm25_search", "quality_classifier", "domain_pagerank",
-    "multimodal_decode", "multimodal_frame_sample",
-    "multimodal_audio_features", "asof_join", "range_join",
-    "range_join_variable", "politeness_audit", "hll_distinct",
-    "kmv_distinct", "cms_topk", "bloom_filter", "histogram_quantiles",
-    "host_stats_salted",
-    # dedup/ANN tier — operators changed in round 3
-    "span_dedup", "dedup_clusters", "incremental_dedup", "ann_ivf",
-    "ann_pq", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "semantic_dedup",
-    "webhook_payloads",
-    "line_dedup", "ann_lsh_bucketed", "corpus_curation",
+    "dedup_weights", "logreg_train", "decontaminate",
+    "unicode_normalize", "unigram_logprob", "doc_repetition",
+    "bpe_pair_stats", "token_entropy", "mix_sample",
 ]
-# displaced from the 50-entry window for the round-3-new WAT tier
-# (link_extract, host_linkgraph, anchor_stats, link_pagerank) and the
-# pages-analysis tier (page_metadata, lang_audit, frontier_priority,
-# host_quality, crawl_budget): dedup_minhash_lsh, dedup_simhash,
-# dedup_ngram_jaccard, dedup_embedding_cosine, semantic_dedup,
-# webhook_payloads, line_dedup, ann_lsh_bucketed, corpus_curation — all
-# driver-green earlier this round or last (r2 rows for the dedup five)
-# and still locally oracle-checked every round by tools/check_oracle.py
-# displaced from the 50-entry window for the round-3-new semantic_dedup
-# and webhook_payloads: dedup_exact and ann_cosine_topk (both unchanged
-# since r1 with green driver rows in r1 AND r2; still checked locally
-# every round by tools/check_oracle.py)
-# displaced for the eight round-3-session-4 queries (index_gate,
-# canonical_clusters, structured_data, readability, charset_audit,
-# robots_rules, robots_compliance, frontier_discovery): cms_topk,
-# bloom_filter, histogram_quantiles, host_stats_salted + the r2-driver-
-# green dedup/ANN block slid past 50. The window now holds ZERO entries
-# that already have a driver row (verified against CORRECTNESS_r02);
-# the 14 never-driver-checked queries left outside (sketch quartet,
-# semantic_dedup, webhook_payloads, snapshot_diff, mojibake_repair,
-# chunk_overlap, weighted_sample, host_cap_sample, sessionize,
-# crawl_rate, bucketed_join) stay covered by tools/check_oracle.py
-# every round — a 50-slot window cannot hold 64 never-checked entries.
-# displaced for the eight round-3-new queries (bigram_logprob,
-# doc_line_dedup, perplexity_buckets, dsir_select, ngram_repetition,
-# incremental_minhash, dedup_weights, logreg_train): snapshot_diff,
-# mojibake_repair, chunk_overlap, weighted_sample, bucketed_join,
-# crawl_rate, host_cap_sample, sessionize — all stable, plan-pinned
-# (crawl_rate/sessionize additionally stream==batch pinned), and still
-# locally oracle-checked every round by tools/check_oracle.py.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -346,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q_crawl_budget,
         "template_detect": _q_template_detect,
         "link_extract": _q_link_extract,
+        # RFC-3986 url normalization + alias clustering (frontier dedup)
+        "url_aliases": _q_url_aliases,
         "host_linkgraph": _q_host_linkgraph,
         "anchor_stats": _q_anchor_stats,
         "link_pagerank": _q_link_pagerank,
@@ -452,6 +422,11 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.linkgraph import q_link_extract
     return q_link_extract(spark, sf_dir)
+
+
+def _q_url_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.linkgraph import q_url_aliases
+    return q_url_aliases(spark, sf_dir)
 
 
 def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -704,8 +704,8 @@ def _build_decryptor(data: bytes, objs):
     file is not encrypted. Raises :class:`PdfEncryptedError` when the file
     IS encrypted but needs a real password or an unsupported scheme —
     exactly the cases that stay tagged ``encrypted``."""
-    from .pdf_crypt import StandardDecryptor, compute_key, \
-        verify_user_password
+    from .pdf_crypt import (StandardDecryptor, compute_key, compute_key_r6,
+                            verify_user_password, verify_user_password_r6)
 
     found = _find_encrypt_dict(data, objs)
     if found is None:
@@ -727,6 +727,26 @@ def _build_decryptor(data: bytes, objs):
     u_entry = _dict_string(enc, rb"/U")
     if o_entry is None or u_entry is None or len(o_entry) < 32:
         raise PdfEncryptedError("malformed /O//U entries")
+    if v == 5:
+        # AES-256 "AESV3" (ISO 32000-2; R=5 is the deprecated Adobe
+        # variant). The file key unwraps from /UE, so neither /P, /ID
+        # nor /Length participates; per-object keys are the file key.
+        if r not in (5, 6):
+            raise PdfEncryptedError(f"unsupported encryption V=5 R={r}")
+        ue_entry = _dict_string(enc, rb"/UE")
+        if ue_entry is None:
+            raise PdfEncryptedError("AESV3 without /UE entry")
+        try:
+            verified = verify_user_password_r6(u_entry, r, password=b"")
+            key = (compute_key_r6(u_entry, ue_entry, r, password=b"")
+                   if verified else b"")
+        except Exception as e:  # malformed crypto metadata → stable tag
+            raise PdfEncryptedError(
+                f"undecryptable encrypt dict: {e}") from e
+        if not verified:
+            raise PdfEncryptedError(
+                "password-protected (non-empty user password)")
+        return StandardDecryptor(key, aes=True, v5=True), enc_num
     aes = False
     if v == 4:
         if b"/AESV2" in enc_scrub:
@@ -734,7 +754,6 @@ def _build_decryptor(data: bytes, objs):
         elif b"/V2" not in enc_scrub:
             raise PdfEncryptedError("unsupported V4 crypt filter")
     elif v not in (1, 2) or r not in (2, 3):
-        # V5/R5-6 = AES-256 (AESV3) and anything newer/odder
         raise PdfEncryptedError(f"unsupported encryption V={v} R={r}")
     # any PDF whitespace may separate the key from the value (§7.2.2)
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false",
@@ -780,13 +799,13 @@ def pdf_to_text(data: bytes) -> str:
     ToUnicode decoding and correct page order under xref streams), linear
     stream scan otherwise.
 
-    Encrypted files (Standard handler RC4-40/RC4-128/AES-128 "AESV2")
-    with an EMPTY user password — the overwhelmingly common
-    owner-password-only restriction case the reference reads via qpdf —
-    are decrypted in place; genuinely passworded files and unsupported
-    schemes (AES-256/AESV3) raise :class:`PdfEncryptedError`, and
-    image-only documents :class:`PdfNeedsOcrError`, per the module
-    degradation contract."""
+    Encrypted files (Standard handler RC4-40/RC4-128/AES-128 "AESV2"/
+    AES-256 "AESV3" R5-R6) with an EMPTY user password — the
+    overwhelmingly common owner-password-only restriction case the
+    reference reads via qpdf — are decrypted in place; genuinely
+    passworded files and unsupported schemes raise
+    :class:`PdfEncryptedError`, and image-only documents
+    :class:`PdfNeedsOcrError`, per the module degradation contract."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
 

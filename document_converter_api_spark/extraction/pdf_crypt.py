@@ -4,19 +4,26 @@ The reference ships qpdf (/root/reference/Dockerfile:25) and so reads the
 most common "encrypted" PDFs on a real crawl: files encrypted with an
 OWNER password only (print/copy restrictions), whose USER password is
 empty — any reader can open them. This module implements the public
-ISO 32000-1 §7.6 Standard security handler for exactly that case:
+ISO 32000-1 §7.6 / ISO 32000-2 §7.6.4 Standard security handler for
+exactly that case:
 
 * key derivation (Algorithm 2) for revisions R=2 (RC4-40), R=3/4
   (RC4-128 / AES-128 "AESV2");
-* user-password verification (Algorithms 4/5) — only an EMPTY user
-  password is attempted; anything else stays tagged ``encrypted``;
-* per-object keys (Algorithm 1) and RC4 / AES-128-CBC stream decryption.
+* AES-256 "AESV3" (V=5): R=6 key derivation via the ISO 32000-2
+  Algorithm 2.B iterated SHA-256/384/512 hash, plus the deprecated
+  Adobe R=5 single-SHA-256 variant — /U validates the (empty) user
+  password, /UE unwraps the 256-bit file key;
+* user-password verification (Algorithms 4/5, resp. 2.A step f) — only
+  an EMPTY user password is attempted; anything else stays tagged
+  ``encrypted``;
+* per-object keys (Algorithm 1; V=5 uses the file key directly) and
+  RC4 / AES-CBC stream decryption.
 
-Both cipher primitives are self-contained pure Python (RC4 is ~10 lines;
-AES-128 is the textbook FIPS-197 cipher with both directions, the forward
-direction existing so tests can build real encrypted fixtures and prove a
-round trip rather than pinning canned bytes). Pure Python; no Spark
-imports; no third-party crypto.
+All cipher primitives are self-contained pure Python (RC4 is ~10 lines;
+AES-128/256 is the textbook FIPS-197 cipher with both directions, the
+forward direction existing so tests can build real encrypted fixtures and
+prove a round trip rather than pinning canned bytes). Pure Python; no
+Spark imports; no third-party crypto.
 """
 
 from __future__ import annotations
@@ -99,15 +106,24 @@ _MUL = {c: bytes(_mul(x, c) for x in range(256))
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """128-bit key schedule → 11 round keys of 16 bytes (FIPS-197 §5.2)."""
-    words = [key[i:i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 §5.2 key schedule: 128-bit → 11 round keys, 256-bit →
+    15 round keys (Nk = 4 or 8, Nr = Nk + 6)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError(f"unsupported AES key length {len(key)}")
+    nr = nk + 6
+    total = 4 * (nr + 1)
+    words = [key[i:i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, total):
         temp = words[i - 1]
-        if i % 4 == 0:
-            temp = bytes((_SBOX[temp[1]] ^ _RCON[i // 4 - 1],
+        if i % nk == 0:
+            temp = bytes((_SBOX[temp[1]] ^ _RCON[i // nk - 1],
                           _SBOX[temp[2]], _SBOX[temp[3]], _SBOX[temp[0]]))
-        words.append(bytes(x ^ y for x, y in zip(words[i - 4], temp)))
-    return [b"".join(words[i:i + 4]) for i in range(0, 44, 4)]
+        elif nk == 8 and i % nk == 4:
+            # AES-256 extra SubWord (no rotate, no Rcon)
+            temp = bytes(_SBOX[b] for b in temp)
+        words.append(bytes(x ^ y for x, y in zip(words[i - nk], temp)))
+    return [b"".join(words[i:i + 4]) for i in range(0, total, 4)]
 
 
 def _add_round_key(s: bytearray, rk: bytes) -> None:
@@ -142,21 +158,23 @@ def _mix_columns(s: bytearray, inv: bool) -> None:
 
 
 def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
     _add_round_key(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         _sub_shift(s, _SBOX, inv=False)
         _mix_columns(s, inv=False)
         _add_round_key(s, rks[rnd])
     _sub_shift(s, _SBOX, inv=False)
-    _add_round_key(s, rks[10])
+    _add_round_key(s, rks[nr])
     return bytes(s)
 
 
 def _aes_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
-    _add_round_key(s, rks[10])
-    for rnd in range(9, 0, -1):
+    _add_round_key(s, rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         _sub_shift(s, _INV_SBOX, inv=True)
         _add_round_key(s, rks[rnd])
         _mix_columns(s, inv=True)
@@ -188,15 +206,38 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     """Forward CBC with PKCS#7 pad and IV prefix (fixture builder)."""
-    rks = _expand_key(key)
     pad = 16 - (len(plaintext) % 16)
-    pt = plaintext + bytes([pad]) * pad
-    out = bytearray(iv)
+    return iv + aes_cbc_encrypt_nopad(key, iv,
+                                      plaintext + bytes([pad]) * pad)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """Raw CBC, no padding, no IV prefix — the mode ISO 32000-2 uses for
+    the Algorithm 2.B hash rounds and the /UE//OE key wrap."""
+    if len(plaintext) % 16:
+        raise ValueError("CBC-nopad plaintext not a whole block multiple")
+    rks = _expand_key(key)
+    out = bytearray()
     prev = iv
-    for i in range(0, len(pt), 16):
-        block = bytes(x ^ y for x, y in zip(pt[i:i + 16], prev))
+    for i in range(0, len(plaintext), 16):
+        block = bytes(x ^ y for x, y in zip(plaintext[i:i + 16], prev))
         prev = _aes_encrypt_block(rks, block)
         out.extend(prev)
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decrypt, no padding, no IV prefix (/UE//OE unwrap)."""
+    if len(data) % 16:
+        raise ValueError("CBC-nopad ciphertext not a whole block multiple")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i:i + 16]
+        dec = _aes_decrypt_block(rks, block)
+        out.extend(x ^ y for x, y in zip(dec, prev))
+        prev = block
     return bytes(out)
 
 
@@ -263,6 +304,87 @@ def verify_user_password(key: bytes, u_entry: bytes, id0: bytes,
     return u_entry[:16] == want[:16]
 
 
+# ---------------------------------------------------------------------------
+# AES-256 revisions (ISO 32000-2 §7.6.4.3.4 Algorithm 2.B / §7.6.4.4.8;
+# R=5 is the deprecated Adobe ExtensionLevel-3 single-SHA-256 variant)
+# ---------------------------------------------------------------------------
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: iterated SHA-256/384/512 password hash.
+
+    At least 64 rounds; from round 64 on, stop once the last byte of the
+    round's AES output E is ≤ (round − 32). ``udata`` is the 48-byte /U
+    string when hashing an OWNER password, else empty."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        rnd += 1
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _hash_r56(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_2b(password, salt, udata)
+
+
+def verify_user_password_r6(u_entry: bytes, r: int,
+                            password: bytes = b"") -> bool:
+    """Algorithm 2.A step f (user path): hash(password, validation salt)
+    must equal the first 32 bytes of the 48-byte /U string."""
+    if len(u_entry) < 48:
+        raise ValueError("AESV3 /U entry shorter than 48 bytes")
+    return _hash_r56(password, u_entry[32:40], b"", r) == u_entry[:32]
+
+
+def compute_key_r6(u_entry: bytes, ue_entry: bytes, r: int,
+                   password: bytes = b"") -> bytes:
+    """Algorithm 2.A step g (user path): the intermediate key
+    hash(password, key salt) AES-256-CBC-decrypts /UE (zero IV, no
+    padding) into the 256-bit file encryption key."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        raise ValueError("AESV3 /U or /UE entry too short")
+    ik = _hash_r56(password, u_entry[40:48], b"", r)
+    return aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue_entry[:32])
+
+
+def compute_u_ue_r6(password: bytes, file_key: bytes, vsalt: bytes,
+                    ksalt: bytes, r: int = 6) -> tuple[bytes, bytes]:
+    """Fixture-side Algorithm 8: build the /U (48 bytes) and /UE (32
+    bytes) entries for a chosen file key and salts."""
+    u = _hash_r56(password, vsalt, b"", r) + vsalt + ksalt
+    ik = _hash_r56(password, ksalt, b"", r)
+    ue = aes_cbc_encrypt_nopad(ik, b"\x00" * 16, file_key)
+    return u, ue
+
+
+def compute_o_oe_r6(owner_pw: bytes, file_key: bytes, u_entry: bytes,
+                    vsalt: bytes, ksalt: bytes,
+                    r: int = 6) -> tuple[bytes, bytes]:
+    """Fixture-side Algorithm 9: /O//OE — the owner hashes salt the full
+    48-byte /U string as ``udata``."""
+    o = _hash_r56(owner_pw, vsalt, u_entry[:48], r) + vsalt + ksalt
+    ik = _hash_r56(owner_pw, ksalt, u_entry[:48], r)
+    oe = aes_cbc_encrypt_nopad(ik, b"\x00" * 16, file_key)
+    return o, oe
+
+
+def compute_perms_r6(p: int, encrypt_metadata: bool, file_key: bytes,
+                     rand4: bytes = b"\x00\x00\x00\x00") -> bytes:
+    """Fixture-side Algorithm 10: the /Perms entry — 16 plaintext bytes
+    (P as LE int32, 0xFF×4, 'T'/'F', 'adb', 4 free bytes) AES-256-ECB
+    encrypted with the file key (ECB of one block == CBC with zero IV)."""
+    block = (struct.pack("<i", p if p < 2 ** 31 else p - 2 ** 32)
+             + b"\xff\xff\xff\xff"
+             + (b"T" if encrypt_metadata else b"F") + b"adb" + rand4)
+    return aes_cbc_encrypt_nopad(file_key, b"\x00" * 16, block)
+
+
 def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     """Algorithm 1: per-object key."""
     h = hashlib.md5(file_key + num.to_bytes(3, "little")
@@ -272,14 +394,24 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 
 
 class StandardDecryptor:
-    """Per-object stream/string decryption for a verified file key."""
+    """Per-object stream/string decryption for a verified file key.
 
-    def __init__(self, file_key: bytes, aes: bool):
+    ``v5`` (AESV3): ISO 32000-2 drops the per-object MD5 derivation —
+    every stream/string uses the 256-bit file key directly, same
+    IV-prefix + PKCS#7 CBC stream layout."""
+
+    def __init__(self, file_key: bytes, aes: bool, v5: bool = False):
         self.file_key = file_key
-        self.aes = aes
+        self.aes = aes or v5
+        self.v5 = v5
+
+    def _key(self, num: int, gen: int) -> bytes:
+        if self.v5:
+            return self.file_key
+        return object_key(self.file_key, num, gen, self.aes)
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        k = object_key(self.file_key, num, gen, self.aes)
+        k = self._key(num, gen)
         if self.aes:
             return aes_cbc_decrypt(k, data)
         return rc4(k, data)
@@ -287,7 +419,7 @@ class StandardDecryptor:
     def encrypt(self, num: int, gen: int, data: bytes,
                 iv: bytes = b"\x00" * 16) -> bytes:
         """Fixture-side inverse (RC4 is symmetric; AES needs an IV)."""
-        k = object_key(self.file_key, num, gen, self.aes)
+        k = self._key(num, gen)
         if self.aes:
             return aes_cbc_encrypt(k, iv, data)
         return rc4(k, data)

@@ -528,8 +528,9 @@ CURATION_ORACLES = {
           FROM documents),
         cum AS (
           SELECT doc_id, n_toks,
-                 sum(n_toks) OVER (ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum_toks
+                 CAST(sum(n_toks) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_toks
           FROM toks)
         SELECT doc_id, n_toks, cum_toks,
                CAST(floor((cum_toks - n_toks) / {float(PACK_BUDGET)})

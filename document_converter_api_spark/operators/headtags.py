@@ -150,14 +150,17 @@ def crawl_gate(pages: DataFrame) -> DataFrame:
     Keep rules:
     * ``noindex`` pages drop (robots meta);
     * no canonical or self-canonical → keep;
-    * cross-canonicalized to a target that SURVIVES the gate → drop
-      (the target page is the survivor — the site itself told us this
-      is a duplicate);
-    * cross-canonicalized to a target that is uncrawled OR itself
-      dropped (e.g. a noindex canonical) → the cluster keeps exactly
-      one representative (min url), like a search engine
-      canonicalizing a mirror farm whose canonical form it never saw —
-      a cluster must never vanish with no survivor.
+    * cross-canonicalized pages resolve by CONNECTED COMPONENT over
+      the (url → canonical) edges — canonical declarations are
+      duplicate declarations, so they compose transitively (A→B→C is
+      one duplicate cluster, not two): a component containing any
+      plain survivor keeps only that survivor; a component with none
+      (uncrawled or noindex canonical targets, canonical CYCLES)
+      keeps exactly one representative (min crawled url), like a
+      search engine canonicalizing a mirror farm whose canonical form
+      it never saw — a cluster must never vanish with no survivor.
+      (The round-3 single-hop rule over-kept chains: with A→B→C both
+      A and B survived; round-3 advice.)
 
     The flag scan decodes ISO-8859-1 (maps every byte — legacy-charset
     or binary rows can never error the gate; the patterns are pure
@@ -167,10 +170,16 @@ def crawl_gate(pages: DataFrame) -> DataFrame:
     Scale shape (10^12 pages): the noindex/self-canonical majority
     passes in the SCAN projection — no shuffle, no join, payload bytes
     never move. Only the cross-canonical minority (a few % of a real
-    crawl) is joined: skinny (url, canonical) rows do the anti-join
-    against crawled urls and the min-url cluster pick; the payloads of
-    that minority re-enter via one semi-join keyed on url (AQE
-    broadcasts the tiny keeper set)."""
+    crawl) reaches the component resolution, as skinny xxhash64 edge
+    rows — the same min-label propagation ``dedup.cc_min_labels`` runs
+    for LSH clusters (loud on diameter > max_iters; canonical chains
+    that deep are pathological). Production note: widen the node ids
+    to 128 bits (md5-derived) at 10^12 urls — a 64-bit birthday
+    collision would merge two unrelated clusters and over-drop. The
+    payloads of the minority re-enter via one semi-join keyed on url
+    (AQE broadcasts the tiny keeper set)."""
+    from .dedup import cc_min_labels
+
     page = F.decode("html", "ISO-8859-1")
     flagged = pages.withColumn(
         "_robots", F.regexp_extract(page, ROBOTS_RE, 1)).withColumn(
@@ -179,14 +188,27 @@ def crawl_gate(pages: DataFrame) -> DataFrame:
     cross = (F.col("_canon") != "") & (F.col("_canon") != F.col("url"))
     plain = ok.filter(~cross).drop("_robots", "_canon")
     crossed = ok.filter(cross)
-    # survivors are pages that PASS the gate as themselves — if the
-    # canonical target was crawled but is itself dropped (noindex), the
-    # cluster must still keep a representative, or its content vanishes
-    # with no survivor (round-3 review)
-    crawled = plain.select(F.col("url").alias("_canon"))
-    keepers = (crossed.select("url", "_canon")
-               .join(crawled, "_canon", "left_anti")
-               .groupBy("_canon").agg(F.min("url").alias("url"))
+    # component per canonical cluster: nodes are urls AND canonical
+    # targets (crawled or not), edges the declarations themselves
+    # checkpoint the edge list (as q_dedup_clusters does) so the page
+    # scan + regexp subtree runs once, not once per propagation round
+    members = cc_min_labels(
+        crossed.select(F.xxhash64("url").alias("id_a"),
+                       F.xxhash64("_canon").alias("id_b"))
+        .localCheckpoint(eager=True))
+    # a component that contains a page that PASSES the gate as itself
+    # already has its survivor — every crossed member drops
+    doomed = (members
+              .join(plain.select(F.xxhash64("url").alias("id")),
+                    "id", "left_semi")
+              .select("label").distinct())
+    # survivor-less components (uncrawled / noindex / cyclic canonical
+    # targets) keep one representative: the min CRAWLED crossed url —
+    # content must never vanish with no survivor (round-3 review)
+    keepers = (members.join(doomed, "label", "left_anti")
+               .join(crossed.select(F.xxhash64("url").alias("id"), "url"),
+                     "id")
+               .groupBy("label").agg(F.min("url").alias("url"))
                .select("url"))
     crossed_kept = (crossed.drop("_robots", "_canon")
                     .join(keepers, "url", "left_semi"))

@@ -68,6 +68,7 @@ PAGES_SMOKE = os.path.join("fixtures", "data", "pages_smoke.parquet")
 HREF_RE = '<a href="([^"]+)"'
 ANCHOR_RE = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
 HOST_RE = "^https?://([^/]+)"
+SCHEMELESS_HOST_RE = "^//([^/]+)"
 
 LPR_ITERS = 5
 LPR_DAMPING = 0.85
@@ -113,9 +114,15 @@ def extract_links(pages: DataFrame) -> DataFrame:
                     F.regexp_extract_all(F.decode("html", "UTF-8"),
                                          F.lit(HREF_RE), 1)).alias("link"))
             .withColumn("src_host", F.regexp_extract("url", HOST_RE, 1))
+            # absolute only on a real scheme ('httpdocs/x' is relative),
+            # scheme-relative '//host/path' takes the target's own
+            # authority (round-3 advice)
             .withColumn("dst_host",
-                        F.when(F.col("link").startswith("http"),
+                        F.when(F.col("link").rlike("^https?://"),
                                F.regexp_extract("link", HOST_RE, 1))
+                        .when(F.col("link").startswith("//"),
+                              F.regexp_extract("link", SCHEMELESS_HOST_RE,
+                                               1))
                         .otherwise(F.col("src_host")))
             .withColumn("internal",
                         (F.col("dst_host") == F.col("src_host"))
@@ -127,6 +134,73 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (extract_links(_pages_df(spark))
             .select("url", "link", "dst_host", "internal")
             .orderBy("url", "link"))
+
+
+def q_url_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + alias clustering — the canonicalization a
+    crawler runs BEFORE frontier dedup, so ``http://Host:80/p#x`` and
+    ``http://host/p?utm_source=f`` don't get fetched twice.
+
+    Rules (the standard RFC 3986 §6 safe set + tracking-param strip):
+    lowercase scheme and host, drop the fragment, drop default ports
+    (:80/:443), drop ``utm_*`` query params, sort the surviving params.
+    The fixture corpus is already canonical, so the query PLANTS five
+    deterministic alias variants per selected url: uppercased host,
+    fragment, and explicit :443 collapse back onto the base url's
+    cluster (4 variants), while two query-string forms — sorted-clean
+    ``?a=1&b=2`` and shuffled-with-tracking ``?b=2&utm_source=feed&a=1``
+    — collapse onto each other (2 variants) but NOT onto the base:
+    real query params are identity, only their order and the utm_*
+    noise are not.
+
+    Scale shape: pure codegen'd string projection + one map-side-combined
+    groupBy on the canonical url — the same single-Exchange shape as
+    exact dedup; at 10^12 urls the normalize runs in the scan and only
+    (canon, count) partials shuffle."""
+    raw = all_pages_df(spark).select("url")
+    planted = (raw.filter(F.length("url") % 3 == 0)
+               .select(F.explode(F.array(
+                   # uppercase the authority only
+                   F.concat(F.regexp_extract("url", "^(https?://)", 1),
+                            F.upper(F.regexp_extract("url",
+                                                     "^https?://([^/?#]+)",
+                                                     1)),
+                            F.regexp_replace("url", "^https?://[^/?#]+",
+                                             "")),
+                   F.concat(F.col("url"), F.lit("#section-2")),
+                   F.concat(F.col("url"), F.lit("?a=1&b=2")),
+                   F.concat(F.col("url"),
+                            F.lit("?b=2&utm_source=feed&a=1")),
+                   F.concat(F.regexp_extract("url", "^(https?://)", 1),
+                            F.regexp_extract("url", "^https?://([^/?#]+)",
+                                             1),
+                            F.lit(":443"),
+                            F.regexp_replace("url", "^https?://[^/?#]+",
+                                             "")),
+               )).alias("url")))
+    pool = raw.unionAll(planted)
+    base = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(base, "^([a-zA-Z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(base, "^[a-zA-Z]+://([^/?]+)", 1)),
+        ":(80|443)$", "")
+    path = F.regexp_extract(base, "^[a-zA-Z]+://[^/?]+([^?]*)", 1)
+    qstr = F.regexp_extract(base, "\\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))
+    return (pool.select(F.col("url").alias("raw_url"),
+                        canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.countDistinct("raw_url").cast("long").alias("n_variants"),
+                 F.min("raw_url").alias("first_variant"),
+                 F.max("raw_url").alias("last_variant"))
+            .orderBy("canonical_url"))
 
 
 def host_linkgraph(pages: DataFrame) -> DataFrame:
@@ -160,8 +234,11 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("z.anchor").alias("anchor"))
               .withColumn("src_host", F.regexp_extract("url", HOST_RE, 1))
               .withColumn("dst_host",
-                          F.when(F.col("href").startswith("http"),
+                          F.when(F.col("href").rlike("^https?://"),
                                  F.regexp_extract("href", HOST_RE, 1))
+                          .when(F.col("href").startswith("//"),
+                                F.regexp_extract("href",
+                                                 SCHEMELESS_HOST_RE, 1))
                           .otherwise(F.col("src_host"))))
     return (zipped.groupBy("dst_host", "anchor")
             .agg(F.count("*").cast("long").alias("n_links"))
@@ -186,10 +263,15 @@ def q_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-shrunk by the ``distinct`` (itself map-side partial). Nothing
     ever carries body bytes — url strings only."""
     pages = _pages_df(spark)
+    # '//' before '/': a scheme-relative href startswith both, and must
+    # take its own authority plus the page's scheme (assumed https —
+    # the fixture crawl is https-only), not the source host
     resolved = (extract_links(pages)
                 .select(
                     "url", "dst_host",
-                    F.when(F.col("link").startswith("http"), F.col("link"))
+                    F.when(F.col("link").rlike("^https?://"), F.col("link"))
+                    .when(F.col("link").startswith("//"),
+                          F.concat(F.lit("https:"), F.col("link")))
                     .when(F.col("link").startswith("/"),
                           F.concat(F.lit("https://"), F.col("src_host"),
                                    F.col("link")))
@@ -276,8 +358,10 @@ _LINKS_CTE = """
           FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
         resolved AS (
           SELECT url, link, src_host,
-                 CASE WHEN link LIKE 'http%'
+                 CASE WHEN regexp_matches(link, '^https?://')
                       THEN regexp_extract(link, '^https?://([^/]+)', 1)
+                      WHEN link LIKE '//%'
+                      THEN regexp_extract(link, '^//([^/]+)', 1)
                       ELSE src_host END AS dst_host
           FROM links)"""
 
@@ -348,7 +432,8 @@ LINKGRAPH_ORACLES = {
         WITH {_LINKS_CTE},
         targets AS (
           SELECT url, dst_host,
-                 CASE WHEN link LIKE 'http%' THEN link
+                 CASE WHEN regexp_matches(link, '^https?://') THEN link
+                      WHEN link LIKE '//%' THEN 'https:' || link
                       WHEN link LIKE '/%'
                         THEN 'https://' || src_host || link
                       ELSE 'https://' || src_host || '/' || link
@@ -368,6 +453,48 @@ LINKGRAPH_ORACLES = {
         GROUP BY dst_host
         ORDER BY n_urls DESC, dst_host
     """,
+    "url_aliases": """
+        WITH raw AS (SELECT url FROM '__PAGES_PARQUET__'),
+        planted AS (
+          SELECT unnest([
+            regexp_extract(url, '^(https?://)', 1)
+              || upper(regexp_extract(url, '^https?://([^/?#]+)', 1))
+              || regexp_replace(url, '^https?://[^/?#]+', ''),
+            url || '#section-2',
+            url || '?a=1&b=2',
+            url || '?b=2&utm_source=feed&a=1',
+            regexp_extract(url, '^(https?://)', 1)
+              || regexp_extract(url, '^https?://([^/?#]+)', 1) || ':443'
+              || regexp_replace(url, '^https?://[^/?#]+', '')
+          ]) AS url
+          FROM raw WHERE length(url) % 3 = 0),
+        pool AS (SELECT url FROM raw
+                 UNION ALL SELECT url FROM planted),
+        parts AS (
+          SELECT url AS raw_url,
+            lower(regexp_extract(base, '^([a-zA-Z]+)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(base,
+                '^[a-zA-Z]+://([^/?]+)', 1)), ':(80|443)$', '') AS host,
+            regexp_extract(base, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,
+            regexp_extract(base, '\\?(.*)$', 1) AS qstr
+          FROM (SELECT url, regexp_replace(url, '#.*$', '') AS base
+                FROM pool)),
+        canon AS (
+          SELECT raw_url,
+            scheme || '://' || host || path ||
+            CASE WHEN len(ps) > 0
+                 THEN '?' || array_to_string(ps, '&') ELSE '' END
+              AS canonical_url
+          FROM (SELECT raw_url, scheme, host, path,
+                  list_sort(list_filter(str_split(qstr, '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS ps
+                FROM parts))
+        SELECT canonical_url,
+               CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+               min(raw_url) AS first_variant,
+               max(raw_url) AS last_variant
+        FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
     "anchor_stats": """
         WITH pairs AS (
           SELECT url,
@@ -379,8 +506,10 @@ LINKGRAPH_ORACLES = {
           FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html'),
         resolved AS (
           SELECT anchor,
-                 CASE WHEN href LIKE 'http%'
+                 CASE WHEN regexp_matches(href, '^https?://')
                       THEN regexp_extract(href, '^https?://([^/]+)', 1)
+                      WHEN href LIKE '//%'
+                      THEN regexp_extract(href, '^//([^/]+)', 1)
                       ELSE src_host END AS dst_host
           FROM pairs)
         SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links

@@ -43,6 +43,12 @@ class ExtractionMetrics:
         sc = spark.sparkContext
         self.docs = sc.accumulator(0)
         self.failures = sc.accumulator(0)
+        # degraded classes broken out of `failures` (round-3 verdict
+        # item 10): text knowingly left behind — image-only PDFs this
+        # sandbox can't OCR (the reference tesseracts them) and
+        # underivable-password files
+        self.needs_ocr = sc.accumulator(0)
+        self.encrypted = sc.accumulator(0)
         self.bytes_in = sc.accumulator(0)
         self.bytes_out = sc.accumulator(0)
         self.parse_ms = sc.accumulator(0)
@@ -53,6 +59,7 @@ class ExtractionMetrics:
         """Wrap a RecordBatch-iterator UDF so every yielded batch updates
         the counters and each task reports (partition_id, wall_ms, docs)."""
         docs_acc, fail_acc = self.docs, self.failures
+        ocr_acc, enc_acc = self.needs_ocr, self.encrypted
         bin_acc, bout_acc, pms_acc = self.bytes_in, self.bytes_out, self.parse_ms
         tasks_acc = self.tasks
 
@@ -67,7 +74,13 @@ class ExtractionMetrics:
                 cols = {name: i for i, name in enumerate(batch.schema.names)}
                 docs_acc.add(n)
                 if "error" in cols:
-                    fail_acc.add(n - batch.column(cols["error"]).null_count)
+                    err = batch.column(cols["error"])
+                    fail_acc.add(n - err.null_count)
+                    for tag, acc in (("needs_ocr", ocr_acc),
+                                     ("encrypted", enc_acc)):
+                        m = pa.compute.sum(pa.compute.equal(
+                            err, tag)).as_py()
+                        acc.add(int(m or 0))
                 for name, acc in (("bytes_in", bin_acc),
                                   ("bytes_out", bout_acc),
                                   ("parse_ms", pms_acc)):
@@ -87,6 +100,8 @@ class ExtractionMetrics:
         return {
             "docs": self.docs.value,
             "failures": self.failures.value,
+            "needs_ocr": self.needs_ocr.value,
+            "encrypted": self.encrypted.value,
             "bytes_in": self.bytes_in.value,
             "bytes_out": self.bytes_out.value,
             "parse_core_seconds": round(self.parse_ms.value / 1000.0, 3),

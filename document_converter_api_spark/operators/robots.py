@@ -96,9 +96,14 @@ def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     host's robots.txt requested, and whether the crawl complied.
 
     Hosts that declare no delay report ``crawl_delay NULL`` and are
-    vacuously compliant. One keyed window + re-agg sharing a single
-    host Exchange, then a broadcast join of the tiny per-host delay
-    table — the fetch log never shuffles twice."""
+    vacuously compliant. EVERY fetched host appears in the audit: a
+    host fetched exactly once has no gap rows (``min_gap_us``/
+    ``mean_gap_s`` NULL) and is vacuously compliant — dropping it
+    (the round-3 shape aggregated post-lag-filter) silently hid
+    declared-delay hosts from the politeness report (round-3 advice).
+    One keyed window + re-agg sharing a single host Exchange, then a
+    broadcast join of the tiny per-host delay table — the fetch log
+    never shuffles twice."""
     from pyspark.sql.window import Window
 
     rows = all_pages_df(spark)
@@ -109,12 +114,13 @@ def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.unix_micros(F.col("warc_ts").cast("timestamp"))
                        .alias("us")))
     w = Window.partitionBy("host").orderBy("us", "url")
-    gaps = (fetched.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
-            .filter(F.col("gap_us").isNotNull()))
+    # keep the first-fetch row (gap NULL): count(*) = fetches, the
+    # null-skipping min/count aggregates see only real gaps
+    gaps = fetched.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
     agg = (gaps.groupBy("host")
-           .agg((F.count("*") + 1).cast("long").alias("n_fetches"),
+           .agg(F.count("*").cast("long").alias("n_fetches"),
                 F.min("gap_us").alias("min_gap_us"),
-                F.round(F.sum("gap_us") / F.count("*") / 1e6, 4)
+                F.round(F.sum("gap_us") / F.count("gap_us") / 1e6, 4)
                 .alias("mean_gap_s")))
     delays = (robots_rules(rows)
               .groupBy("host")
@@ -123,6 +129,7 @@ def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("host", "n_fetches", "min_gap_us", "mean_gap_s",
                     "crawl_delay",
                     (F.col("crawl_delay").isNull()
+                     | F.col("min_gap_us").isNull()
                      | (F.col("min_gap_us")
                         >= F.col("crawl_delay") * 1_000_000))
                     .alias("compliant"))
@@ -133,22 +140,38 @@ def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracles — identical regexes, identical prefix-match semantics.
 # ---------------------------------------------------------------------------
 
+# DuckDB has no latin-1 decode and its strict decode() errors on
+# non-UTF-8 bytes, so the oracle reconstructs the ISO-8859-1 text the
+# Spark side reads byte-for-byte: hex pairs → chr(codepoint). Every
+# byte 0x01..0xFF maps to the identical U+0001..U+00FF codepoint, so a
+# robots.txt carrying legacy-charset or binary bytes can never error
+# the oracle (round-3 advice; the pattern matches headtags'
+# hex-window parity idiom). Bodies are one tiny row per host — the
+# per-byte list_transform is oracle-only cost.
+_LATIN1_BODY = """array_to_string(list_transform(
+                   range(1, CAST(octet_length(html) AS INT) + 1),
+                   i -> chr(CAST(concat('0x', substr(hex(html),
+                            2 * CAST(i AS INT) - 1, 2)) AS INT))), '')"""
+
 # unnest of an empty list emits no row in DuckDB — wrap in a one-NULL
 # list so a Disallow-free robots.txt keeps its host row (the Spark side
 # is explode_outer; same semantics)
 _RULES_CTE = f"""
+        bodies AS (
+          SELECT url, {_LATIN1_BODY} AS body
+          FROM '__PAGES_PARQUET__'
+          WHERE url LIKE '%/robots.txt'),
         rules AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
-                 unnest(CASE WHEN len(regexp_extract_all(decode(html),
+                 unnest(CASE WHEN len(regexp_extract_all(body,
                              'Disallow: (\\S+)', 1)) = 0
                         THEN [CAST(NULL AS VARCHAR)]
-                        ELSE regexp_extract_all(decode(html),
+                        ELSE regexp_extract_all(body,
                              'Disallow: (\\S+)', 1) END) AS rule,
-                 CAST(nullif(regexp_extract(decode(html),
+                 CAST(nullif(regexp_extract(body,
                       'Crawl-delay: ([0-9]+)', 1), '') AS BIGINT)
                    AS crawl_delay
-          FROM '__PAGES_PARQUET__'
-          WHERE url LIKE '%/robots.txt')"""
+          FROM bodies)"""
 
 ROBOTS_ORACLES = {
     "robots_rules": f"""
@@ -173,14 +196,14 @@ ROBOTS_ORACLES = {
           FROM fetched),
         agg AS (
           SELECT host,
-                 CAST(count(*) + 1 AS BIGINT) AS n_fetches,
+                 CAST(count(*) AS BIGINT) AS n_fetches,
                  min(gap_us) AS min_gap_us,
-                 round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4)
-                   AS mean_gap_s
-          FROM gaps WHERE gap_us IS NOT NULL GROUP BY host)
+                 round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6,
+                       4) AS mean_gap_s
+          FROM gaps GROUP BY host)
         SELECT a.host, a.n_fetches, a.min_gap_us, a.mean_gap_s,
                d.crawl_delay,
-               d.crawl_delay IS NULL
+               d.crawl_delay IS NULL OR a.min_gap_us IS NULL
                  OR a.min_gap_us >= d.crawl_delay * 1000000 AS compliant
         FROM agg a LEFT JOIN delays d ON a.host = d.host
         ORDER BY a.host

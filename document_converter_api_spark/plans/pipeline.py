@@ -88,12 +88,24 @@ def _prepartitioned_p(input_path: str) -> int | None:
 
 def partition_metrics(results: DataFrame) -> DataFrame:
     """A6 per-partition lineage aggregates (SURVEY.md §2.4): single hash
-    aggregate, map-side partials free from Catalyst."""
+    aggregate, map-side partials free from Catalyst.
+
+    ``needs_ocr_count``/``encrypted_count`` break out the two DEGRADED
+    error classes (round-3 verdict item 10): image-only PDFs the sandbox
+    cannot OCR and files whose password the handler cannot derive. At
+    100 TB these columns are how an operator quantifies the text the
+    run *knowingly* left behind (the reference recovers the former via
+    tesseract) — without them the degradation hides inside the flat
+    ``failure_count``."""
     return results.groupBy("partition_id").agg(
         F.count("*").alias("doc_count"),
         F.sum("bytes_in").alias("bytes_in"),
         F.sum("bytes_out").alias("bytes_out"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failure_count"),
+        F.sum(F.when(F.col("error") == "needs_ocr", 1).otherwise(0))
+        .alias("needs_ocr_count"),
+        F.sum(F.when(F.col("error") == "encrypted", 1).otherwise(0))
+        .alias("encrypted_count"),
         F.slice(F.filter(F.collect_list(F.when(F.col("error").isNotNull(), F.col("url"))),
                          lambda u: u.isNotNull()), 1, 20).alias("failure_urls"),
     )
@@ -220,7 +232,8 @@ def run_extraction_job(
         merged_rows = {}
         for p in group:
             m = mrows.get(p, {"doc_count": 0, "bytes_in": 0, "bytes_out": 0,
-                              "failure_count": 0, "failure_urls": []})
+                              "failure_count": 0, "needs_ocr_count": 0,
+                              "encrypted_count": 0, "failure_urls": []})
             rn, rb, rurls = rej_counts.get(p, (0, 0, []))
             merged_rows[p] = {
                 "status": "completed",
@@ -228,6 +241,8 @@ def run_extraction_job(
                 "bytes_in": int((m["bytes_in"] or 0) + (rb or 0)),
                 "bytes_out": int(m["bytes_out"] or 0),
                 "failure_count": int((m["failure_count"] or 0) + rn),
+                "needs_ocr_count": int(m["needs_ocr_count"] or 0),
+                "encrypted_count": int(m["encrypted_count"] or 0),
                 "failure_urls": (list(m["failure_urls"] or []) + list(rurls or []))[:20],
                 "completed_at": done_ts,
             }

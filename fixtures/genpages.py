@@ -42,7 +42,10 @@ from document_converter_api_spark.extraction.pdf_crypt import (  # noqa: E402
     StandardDecryptor,
     compute_key,
     compute_o,
+    compute_o_oe_r6,
+    compute_perms_r6,
     compute_u,
+    compute_u_ue_r6,
 )
 from document_converter_api_spark.extraction.postformat import (  # noqa: E402
     format_google_docs,
@@ -285,6 +288,8 @@ ENC_VARIANTS = {
     "rc4_40": dict(v=1, r=2, bits=40, aes=False),
     "rc4_128": dict(v=2, r=3, bits=128, aes=False),
     "aesv2": dict(v=4, r=4, bits=128, aes=True),
+    # ISO 32000-2 AES-256 (Algorithm 2.B derivation) — round 4
+    "aesv3": dict(v=5, r=6, bits=256, aes=True),
 }
 
 
@@ -301,18 +306,35 @@ def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool],
     objs: list[bytes] = []
     decryptor = None
     ivs: list[bytes] = []
+    ue_entry = oe_entry = perms_entry = None
     if encrypt is not None:
         spec = ENC_VARIANTS[encrypt["variant"]]
         nbytes = spec["bits"] // 8
         user_pw = encrypt.get("user_pw", b"")
         id0 = encrypt["id0"]
         ivs = encrypt["ivs"]
-        o_entry = compute_o(b"owner-secret", user_pw, spec["r"], nbytes)
         p_flags = -44
-        key = compute_key(o_entry, p_flags, id0, spec["r"], nbytes,
-                          password=user_pw)
-        u_entry = compute_u(key, id0, spec["r"])
-        decryptor = StandardDecryptor(key, spec["aes"])
+        if spec["v"] == 5:
+            # deterministic per-doc key/salts derived from the id0 draw
+            import hashlib as _hl
+            file_key = _hl.sha256(b"aesv3-key" + id0).digest()
+            vs = _hl.sha256(b"aesv3-vs" + id0).digest()[:8]
+            ks = _hl.sha256(b"aesv3-ks" + id0).digest()[:8]
+            u_entry, ue_entry = compute_u_ue_r6(user_pw, file_key, vs, ks,
+                                                spec["r"])
+            o_entry, oe_entry = compute_o_oe_r6(
+                b"owner-secret", file_key, u_entry,
+                _hl.sha256(b"aesv3-ovs" + id0).digest()[:8],
+                _hl.sha256(b"aesv3-oks" + id0).digest()[:8], spec["r"])
+            perms_entry = compute_perms_r6(p_flags, True, file_key,
+                                           rand4=id0[:4])
+            decryptor = StandardDecryptor(file_key, True, v5=True)
+        else:
+            o_entry = compute_o(b"owner-secret", user_pw, spec["r"], nbytes)
+            key = compute_key(o_entry, p_flags, id0, spec["r"], nbytes,
+                              password=user_pw)
+            u_entry = compute_u(key, id0, spec["r"])
+            decryptor = StandardDecryptor(key, spec["aes"])
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -347,7 +369,15 @@ def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool],
     trailer_extra = ""
     if encrypt is not None:
         spec = ENC_VARIANTS[encrypt["variant"]]
-        if spec["v"] == 4:
+        if spec["v"] == 5:
+            filt_entry = (b"/V 5 /R " + str(spec["r"]).encode()
+                          + b" /Length 256 /CF << /StdCF << /CFM /AESV3"
+                          b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                          + b" /UE <" + ue_entry.hex().encode() + b">"
+                          + b" /OE <" + oe_entry.hex().encode() + b">"
+                          + b" /Perms <" + perms_entry.hex().encode()
+                          + b">")
+        elif spec["v"] == 4:
             cfm = b"/AESV2" if spec["aes"] else b"/V2"
             filt_entry = (b"/V 4 /R 4 /Length " + str(spec["bits"]).encode()
                           + b" /CF << /StdCF << /CFM " + cfm

@@ -21,11 +21,19 @@ def test_accumulators_match_materialized_output(spark):
     agg = results.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
+        F.sum(F.when(F.col("error") == "encrypted", 1).otherwise(0))
+        .alias("enc"),
+        F.sum(F.when(F.col("error") == "needs_ocr", 1).otherwise(0))
+        .alias("ocr"),
         F.sum("bytes_in").alias("bi"),
         F.sum("bytes_out").alias("bo")).collect()[0]
     snap = m.snapshot()
     assert snap["docs"] == agg["n"]
     assert snap["failures"] == agg["f"]
+    # degradation channel (round-3 verdict item 10): the corpus plants
+    # genuinely passworded PDFs, so the encrypted counter must be live
+    assert snap["encrypted"] == agg["enc"] and snap["encrypted"] > 0
+    assert snap["needs_ocr"] == agg["ocr"]
     assert snap["bytes_in"] == agg["bi"]
     assert snap["bytes_out"] == agg["bo"]
     assert snap["n_tasks"] >= 1

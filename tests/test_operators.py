@@ -358,6 +358,43 @@ class TestSemanticDedup:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_arrow_equals_literal(self, spark):
+        """The default broadcast-codebook assignment (production-K path)
+        is result-identical to the K×DIM-literal projection the oracle
+        pins — same rounding twin, same lowest-cid tie-break (round-3
+        verdict item 4)."""
+        from document_converter_api_spark.operators import dedup as D
+        arw = sorted(tuple(r) for r in
+                     D.q_semantic_dedup(spark, self.SF).collect())
+        lit = sorted(tuple(r) for r in
+                     D.q_semantic_dedup(spark, self.SF,
+                                        codebook="literal").collect())
+        assert arw == lit
+
+    def test_plan_flat_in_k_and_runs_at_k64(self, spark):
+        """Production K is a parameter, not a plan rewrite: the arrow
+        plan at K=64 is the same size as at K=16, while the literal plan
+        at K=64 carries 64×DIM centroid literals and dwarfs it — and the
+        K=64 arrow query actually runs with every vector assigned to a
+        valid centroid."""
+        from .test_plans import plan_of
+        from document_converter_api_spark.operators import dedup as D
+        p16 = plan_of(D.q_semantic_dedup(spark, self.SF))
+        p64 = plan_of(D.q_semantic_dedup(spark, self.SF, k_centroids=64))
+        p64_lit = plan_of(D.q_semantic_dedup(spark, self.SF,
+                                             k_centroids=64,
+                                             codebook="literal"))
+        assert len(p64) < 1.5 * len(p16), (len(p16), len(p64))
+        assert len(p64_lit) > len(p64), (len(p64_lit), len(p64))
+        rows = D.q_semantic_dedup(spark, self.SF, k_centroids=64).collect()
+        assert rows and all(0 <= r.list_id < 64 for r in rows)
+        # more clusters can only REDUCE in-cluster pairs, so no new dups
+        base = {r.vec_id: r.is_semantic_dup
+                for r in D.q_semantic_dedup(spark, self.SF).collect()}
+        planted = [r for r in rows if r.vec_id >= 10000]
+        assert planted  # perturbed copies still present at K=64
+        assert len(base) == len(rows)
+
 
 class TestLineDedup:
     def test_exact_copies_lose_all_content_lines(self, spark):

@@ -309,15 +309,28 @@ def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
     '/EncryptMetadata<sep>false' (key derivation then salts per §7.6.3.3,
     R≥4 only)."""
     from document_converter_api_spark.extraction.pdf_crypt import (
-        StandardDecryptor, compute_key, compute_o, compute_u,
+        StandardDecryptor, compute_key, compute_o, compute_o_oe_r6,
+        compute_perms_r6, compute_u, compute_u_ue_r6,
     )
     p = -44
-    nbytes = length_bits // 8
-    o = compute_o(owner_pw, user_pw, r, nbytes)
-    key = compute_key(o, p, id0, r, nbytes, password=user_pw,
-                      encrypt_metadata=em_false_sep is None)
-    u = compute_u(key, id0, r)
-    enc = StandardDecryptor(key, aes)
+    ue = oe = perms = None
+    if v == 5:
+        # AESV3: random-in-production values pinned for determinism
+        file_key = bytes(range(200, 232))
+        u, ue = compute_u_ue_r6(user_pw, file_key, b"VSALT--u", b"KSALT--u",
+                                r)
+        o, oe = compute_o_oe_r6(owner_pw, file_key, u, b"VSALT--o",
+                                b"KSALT--o", r)
+        perms = compute_perms_r6(p, em_false_sep is None, file_key,
+                                 rand4=b"rnd4")
+        enc = StandardDecryptor(file_key, aes=True, v5=True)
+    else:
+        nbytes = length_bits // 8
+        o = compute_o(owner_pw, user_pw, r, nbytes)
+        key = compute_key(o, p, id0, r, nbytes, password=user_pw,
+                          encrypt_metadata=em_false_sep is None)
+        u = compute_u(key, id0, r)
+        enc = StandardDecryptor(key, aes)
 
     content = ["BT", "/F1 12 Tf", "72 720 Td"]
     for j, line in enumerate(lines):
@@ -328,7 +341,11 @@ def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
     stream = enc.encrypt(5, 0, "\n".join(content).encode("latin-1"),
                          iv=bytes(range(16, 32)))
 
-    if v == 4:
+    if v == 5:
+        filt = (b"/V 5 /R " + str(r).encode() + b" /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF")
+    elif v == 4:
         cf = (b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" if aes else
               b"/CF << /StdCF << /CFM /V2 /Length 16 >> >>")
         length_entry = b"/Length " + str(length_bits).encode()
@@ -342,9 +359,15 @@ def build_encrypted_pdf(lines: list[str], v: int, r: int, length_bits: int,
     p_txt = str(p & 0xFFFFFFFF if p_unsigned else p).encode()
     em = (b" /EncryptMetadata" + em_false_sep + b"false"
           if em_false_sep is not None else b"")
+    extra = b""
+    if v == 5:
+        extra = (b" /UE <" + ue.hex().encode() + b">"
+                 + b" /OE <" + oe.hex().encode() + b">"
+                 + b" /Perms <" + perms.hex().encode() + b">")
     enc_obj = (b"<< /Filter /Standard " + enc_dict_prefix + filt
                + b" /O <" + o.hex().encode() + b">"
                + b" /U <" + u.hex().encode() + b">"
+               + extra
                + em
                + b" /P " + p_txt + b" >>")
     objs = [
@@ -414,11 +437,48 @@ class TestEncryptedDecryption:
         res = extract_document(pdf, "https://x.example/pw.pdf")
         assert res.error == "encrypted"
 
-    def test_aes256_v5_still_tagged_encrypted(self):
-        pdf = build_encrypted_pdf(self.LINES, v=2, r=3, length_bits=128,
-                                  aes=False)
-        pdf = pdf.replace(b"/V 2 /R 3 /Length 128",
-                          b"/V 5 /R 6 /Length 256")
+    def test_aes256_v5_r6(self):
+        """ISO 32000-2 AES-256 with Algorithm 2.B key derivation —
+        the empty-user-password case now extracts (round-3 verdict
+        item 5; the reference reads these via qpdf)."""
+        pdf = build_encrypted_pdf(self.LINES, v=5, r=6, length_bits=256,
+                                  aes=True)
+        assert pdf_to_text(pdf) == self.WANT
+        res = extract_document(pdf, "https://x.example/r6.pdf")
+        assert res.error is None
+        assert "Decrypted line one." in res.markdown
+
+    def test_aes256_v5_r5_adobe_variant(self):
+        """The deprecated Adobe R=5 single-SHA-256 derivation."""
+        pdf = build_encrypted_pdf(self.LINES, v=5, r=5, length_bits=256,
+                                  aes=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_aes256_v5_r6_xref_stream(self):
+        pdf = build_encrypted_pdf(self.LINES, v=5, r=6, length_bits=256,
+                                  aes=True, xref_stream=True)
+        assert pdf_to_text(pdf) == self.WANT
+
+    def test_aes256_v5_r6_real_password_still_tagged(self):
+        pdf = build_encrypted_pdf(self.LINES, v=5, r=6, length_bits=256,
+                                  aes=True, user_pw=b"hunter2")
+        with pytest.raises(PdfEncryptedError, match="password"):
+            pdf_to_text(pdf)
+        res = extract_document(pdf, "https://x.example/pw-r6.pdf")
+        assert res.error == "encrypted"
+
+    def test_aes256_v5_missing_ue_tagged_encrypted(self):
+        pdf = build_encrypted_pdf(self.LINES, v=5, r=6, length_bits=256,
+                                  aes=True)
+        i = pdf.find(b" /UE <")
+        j = pdf.find(b">", i) + 1
+        with pytest.raises(PdfEncryptedError, match="UE"):
+            pdf_to_text(pdf[:i] + pdf[j:])
+
+    def test_aes256_v5_r7_unsupported(self):
+        pdf = build_encrypted_pdf(self.LINES, v=5, r=6, length_bits=256,
+                                  aes=True)
+        pdf = pdf.replace(b"/V 5 /R 6", b"/V 5 /R 7")
         with pytest.raises(PdfEncryptedError, match="unsupported"):
             pdf_to_text(pdf)
 
@@ -481,3 +541,56 @@ class TestEncryptedDecryption:
             assert "Decrypted" not in out
         except (PdfEncryptedError, PdfNeedsOcrError, ValueError):
             pass
+
+
+class TestAesPrimitives:
+    """Known-answer vectors pin the cipher core both widths."""
+
+    def test_fips197_c1_aes128(self):
+        from document_converter_api_spark.extraction.pdf_crypt import (
+            _aes_decrypt_block, _aes_encrypt_block, _expand_key,
+        )
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+        rks = _expand_key(key)
+        assert _aes_encrypt_block(rks, pt) == ct
+        assert _aes_decrypt_block(rks, ct) == pt
+
+    def test_fips197_c3_aes256(self):
+        from document_converter_api_spark.extraction.pdf_crypt import (
+            _aes_decrypt_block, _aes_encrypt_block, _expand_key,
+        )
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                            "101112131415161718191a1b1c1d1e1f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+        rks = _expand_key(key)
+        assert len(rks) == 15
+        assert _aes_encrypt_block(rks, pt) == ct
+        assert _aes_decrypt_block(rks, ct) == pt
+
+    def test_u_ue_roundtrip_and_wrong_password(self):
+        from document_converter_api_spark.extraction.pdf_crypt import (
+            compute_key_r6, compute_u_ue_r6, verify_user_password_r6,
+        )
+        fk = bytes(range(32))
+        for r in (5, 6):
+            u, ue = compute_u_ue_r6(b"", fk, b"ssssssss", b"kkkkkkkk", r)
+            assert len(u) == 48 and len(ue) == 32
+            assert verify_user_password_r6(u, r, password=b"")
+            assert not verify_user_password_r6(u, r, password=b"x")
+            assert compute_key_r6(u, ue, r, password=b"") == fk
+
+    def test_hash_2b_differs_from_plain_sha256(self):
+        """R6's Algorithm 2.B must NOT collapse to the R5 shortcut."""
+        import hashlib
+
+        from document_converter_api_spark.extraction.pdf_crypt import (
+            hash_2b,
+        )
+        out = hash_2b(b"pw", b"saltsalt")
+        assert len(out) == 32
+        assert out != hashlib.sha256(b"pw" + b"saltsalt").digest()
+        # deterministic
+        assert out == hash_2b(b"pw", b"saltsalt")

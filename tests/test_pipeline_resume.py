@@ -73,6 +73,15 @@ def test_kill_then_resume_processes_only_pending(spark, smoke_paths, outdir):
                     if e is None or not e.startswith("unsupported_content_type")]
     assert sum(r["doc_count"] for r in rows.values()) == len(
         gate_passing) - _oversize_count(gold)
+    # degradation columns (round-3 verdict item 10): lineage quantifies
+    # the text the run knowingly left behind, per partition
+    n_enc = sum(1 for e in gold_errs.values() if e == "encrypted")
+    assert sum(r["encrypted_count"] for r in rows.values()) == n_enc
+    assert n_enc > 0, "fixture lost its passworded PDFs"
+    assert sum(r["needs_ocr_count"] for r in rows.values()) == sum(
+        1 for e in gold_errs.values() if e == "needs_ocr")
+    assert all(r["failure_count"] >= r["encrypted_count"]
+               + r["needs_ocr_count"] for r in rows.values())
 
 
 def _oversize_count(gold_table) -> int:

@@ -146,7 +146,13 @@ class TestDelayCompliance:
         got = {r.host: r for r in report}
         for host, rows in by_host.items():
             if len(rows) < 2:
-                assert host not in got  # no gaps — nothing to audit
+                # single-fetch hosts stay in the audit: no gaps, but a
+                # declared delay must be visible (vacuously compliant)
+                r = got[host]
+                assert r.n_fetches == len(rows)
+                assert r.min_gap_us is None and r.mean_gap_s is None
+                assert r.crawl_delay == delays.get(host)
+                assert r.compliant
                 continue
             rows.sort()
             gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
@@ -157,6 +163,73 @@ class TestDelayCompliance:
             want = (delays.get(host) is None
                     or min(gaps) >= delays[host] * 1_000_000)
             assert r.compliant == want
+
+    def test_single_fetch_host_and_legacy_bytes_parity(
+            self, spark, tmp_path, monkeypatch):
+        """Two round-3 advice items on one synthetic corpus: (a) a host
+        fetched exactly ONCE that declares a Crawl-delay appears in the
+        audit (gap columns NULL, vacuously compliant) instead of
+        silently vanishing; (b) a robots.txt body carrying a non-UTF-8
+        byte (latin-1 0xE9) flows through BOTH engines — the DuckDB
+        oracle reconstructs ISO-8859-1 text from hex pairs, so strict
+        decode() can no longer crash it."""
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pqw
+
+        from tools.check_oracle import value_hash
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            ("https://solo.ex/robots.txt", t0,
+             b"Disallow: /priv\xe9/\nCrawl-delay: 5\n", None, None),
+            ("https://solo.ex/only.html", t0 + dt.timedelta(seconds=1),
+             b"<html></html>", None, None),
+            ("https://multi.ex/robots.txt", t0, b"Crawl-delay: 2\n",
+             None, None),
+            ("https://multi.ex/a.html", t0 + dt.timedelta(seconds=10),
+             b"<html></html>", None, None),
+            ("https://multi.ex/b.html", t0 + dt.timedelta(seconds=13),
+             b"<html></html>", None, None),
+        ]
+        path = str(tmp_path / "pages.parquet")
+        pqw.write_table(pa.table(
+            {"url": [r[0] for r in rows],
+             "warc_ts": pa.array([r[1] for r in rows],
+                                 pa.timestamp("us")),
+             "html": pa.array([r[2] for r in rows], pa.binary()),
+             "text": [r[3] for r in rows],
+             "lang": [r[4] for r in rows]}), path)
+        monkeypatch.setenv("SPARK_GRAFT_PAGES", path)
+
+        got = {r.host: r for r in R.q_delay_compliance(spark, SF).collect()}
+        solo = got["solo.ex"]
+        assert solo.n_fetches == 1
+        assert solo.min_gap_us is None and solo.mean_gap_s is None
+        assert solo.crawl_delay == 5 and solo.compliant
+        multi = got["multi.ex"]
+        assert multi.n_fetches == 2 and multi.min_gap_us == 3_000_000
+        assert multi.crawl_delay == 2 and multi.compliant
+
+        # the non-UTF-8 rule byte is read identically on both sides
+        rules = R.q_robots_rules(spark, SF).collect()
+        assert ("solo.ex", "/privé/") in {(r.host, r.rule)
+                                               for r in rules}
+
+        # full oracle parity on this corpus, both affected queries
+        con = duckdb.connect()
+        for name in ("delay_compliance", "robots_rules"):
+            sql = R.ROBOTS_ORACLES[name].replace("__PAGES_PARQUET__", path)
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            orc = cur.fetchall()
+            sdf = (R.q_delay_compliance(spark, SF) if name ==
+                   "delay_compliance" else R.q_robots_rules(spark, SF))
+            srows = [tuple(r) for r in sdf.collect()]
+            assert value_hash(sdf.columns, srows) == value_hash(cols, orc), \
+                name
 
     def test_fixture_crawl_is_polite(self, report):
         """The deterministic 7-minute timestamp walk can never violate

@@ -70,6 +70,58 @@ class TestCrawlGate:
                                       # cluster keeps a representative
         }
 
+    def test_chain_collapses_to_one_survivor(self, spark):
+        """A→B→C with C plain: the whole canonical chain is ONE
+        duplicate cluster — only C survives (the round-3 single-hop
+        rule kept B as rep-of-C and A as rep-of-B: three near-dup
+        survivors where the site declared one document)."""
+        def html(head: str) -> bytes:
+            return f"<html><head>{head}</head><body><p>x</p></body></html>".encode()
+
+        rows = [
+            ("https://c.ex/a.html",
+             html('<link rel="canonical" href="https://c.ex/b.html">')),
+            ("https://c.ex/b.html",
+             html('<link rel="canonical" href="https://c.ex/c.html">')),
+            ("https://c.ex/c.html", html("")),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        kept = {r.url for r in crawl_gate(pages).collect()}
+        assert kept == {"https://c.ex/c.html"}
+
+    def test_chain_to_uncrawled_keeps_exactly_one(self, spark):
+        """A→B→C with C never crawled: one representative for the whole
+        component (min crawled url), not one per hop."""
+        def html(head: str) -> bytes:
+            return f"<html><head>{head}</head><body><p>x</p></body></html>".encode()
+
+        rows = [
+            ("https://c.ex/a.html",
+             html('<link rel="canonical" href="https://c.ex/b.html">')),
+            ("https://c.ex/b.html",
+             html('<link rel="canonical" href="https://c.ex/zz-uncrawled">')),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        kept = {r.url for r in crawl_gate(pages).collect()}
+        assert kept == {"https://c.ex/a.html"}
+
+    def test_canonical_cycle_never_vanishes(self, spark):
+        """A→B and B→A (a canonical cycle, common misconfiguration):
+        the component has no self-survivor, so exactly one
+        representative is kept — the cluster must not vanish."""
+        def html(head: str) -> bytes:
+            return f"<html><head>{head}</head><body><p>x</p></body></html>".encode()
+
+        rows = [
+            ("https://c.ex/a.html",
+             html('<link rel="canonical" href="https://c.ex/b.html">')),
+            ("https://c.ex/b.html",
+             html('<link rel="canonical" href="https://c.ex/a.html">')),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        kept = {r.url for r in crawl_gate(pages).collect()}
+        assert kept == {"https://c.ex/a.html"}
+
     def test_legacy_bytes_never_error_the_gate(self, spark):
         """UTF-16/cp1252 payloads flow through the ISO-8859-1 flag scan
         (the fixture .htm rows all reach the gate's output or drop by
