@@ -857,14 +857,14 @@ def oracle_sql() -> dict[str, str]:
     from document_converter_api_spark.operators.linkgraph import (
         oracle_sql_for_links,
     )
-    # n_nodes=16 is the smoke host-graph node count; pinned by
+    # n_nodes=15 is the smoke host-graph node count; pinned by
     # tests/test_linkgraph.py so the Spark-side runtime count and this
     # oracle constant cannot drift apart.
-    sql.update(oracle_sql_for_links(repo_root, n_nodes=16))
+    sql.update(oracle_sql_for_links(repo_root, n_nodes=15))
     from document_converter_api_spark.operators.pagemeta import (
         oracle_sql_for_pagemeta,
     )
-    sql.update(oracle_sql_for_pagemeta(repo_root, n_nodes=16))
+    sql.update(oracle_sql_for_pagemeta(repo_root, n_nodes=15))
     from document_converter_api_spark.operators.headtags import (
         oracle_sql_for_headtags,
     )

@@ -66,7 +66,7 @@ BENCH_QUERIES = (
     "host_quality", "crawl_budget", "template_detect",
     "index_gate", "canonical_clusters", "structured_data", "readability",
     "frontier_discovery", "charset_audit", "robots_compliance",
-    "delay_compliance",
+    "delay_compliance", "url_aliases",
 )
 
 

@@ -28,6 +28,7 @@ Spark imports; no third-party crypto.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import struct
 
@@ -104,6 +105,25 @@ def _mul(a: int, b: int) -> int:
 _MUL = {c: bytes(_mul(x, c) for x in range(256))
         for c in (1, 2, 3, 9, 11, 13, 14)}
 
+# 32-bit encryption T-tables (the classic Rijndael word-oriented
+# formulation): each round becomes 16 table lookups + 16 XORs over four
+# column words instead of per-byte SubBytes/ShiftRows/MixColumns passes.
+# Round 4 added AES-256 R6, whose Algorithm 2.B hash AES-ENCRYPTS ~16k
+# blocks per password — at the per-byte formulation's ~60 us/block that
+# was ~1 s per hash. Only the forward direction is word-oriented: the
+# decrypt path stays per-byte (stream decryption is a few hundred blocks
+# per doc — never the bottleneck). Tables derive from the same
+# _SBOX/_mul reference primitives; FIPS-197 known-answer tests pin both.
+_TE0, _TE1, _TE2, _TE3 = [], [], [], []
+for _x in range(256):
+    _s = _SBOX[_x]
+    _w = (_mul(_s, 2) << 24) | (_s << 16) | (_s << 8) | _mul(_s, 3)
+    _TE0.append(_w)
+    _TE1.append(((_w >> 8) | (_w << 24)) & 0xFFFFFFFF)
+    _TE2.append(((_w >> 16) | (_w << 16)) & 0xFFFFFFFF)
+    _TE3.append(((_w >> 24) | (_w << 8)) & 0xFFFFFFFF)
+del _x, _s, _w
+
 
 def _expand_key(key: bytes) -> list[bytes]:
     """FIPS-197 §5.2 key schedule: 128-bit → 11 round keys, 256-bit →
@@ -157,17 +177,47 @@ def _mix_columns(s: bytearray, inv: bool) -> None:
         s[c + 3] = t1[c0] ^ t2[c1] ^ t3[c2] ^ t0[c3]
 
 
+def _words_of_rks(rks: list[bytes]) -> list[tuple[int, int, int, int]]:
+    return [tuple(int.from_bytes(rk[i:i + 4], "big") for i in (0, 4, 8, 12))
+            for rk in rks]
+
+
+def _aes_encrypt_words(wks, s0: int, s1: int, s2: int, s3: int):
+    """One block through the T-table cipher; state is four column words."""
+    k = wks[0]
+    s0 ^= k[0]; s1 ^= k[1]; s2 ^= k[2]; s3 ^= k[3]  # noqa: E702
+    te0, te1, te2, te3 = _TE0, _TE1, _TE2, _TE3
+    for k in wks[1:-1]:
+        t0 = (te0[s0 >> 24] ^ te1[(s1 >> 16) & 255]
+              ^ te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ k[0])
+        t1 = (te0[s1 >> 24] ^ te1[(s2 >> 16) & 255]
+              ^ te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ k[1])
+        t2 = (te0[s2 >> 24] ^ te1[(s3 >> 16) & 255]
+              ^ te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ k[2])
+        t3 = (te0[s3 >> 24] ^ te1[(s0 >> 16) & 255]
+              ^ te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ k[3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = wks[-1]
+    sb = _SBOX
+    return (
+        ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 255] << 16)
+         | (sb[(s2 >> 8) & 255] << 8) | sb[s3 & 255]) ^ k[0],
+        ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 255] << 16)
+         | (sb[(s3 >> 8) & 255] << 8) | sb[s0 & 255]) ^ k[1],
+        ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 255] << 16)
+         | (sb[(s0 >> 8) & 255] << 8) | sb[s1 & 255]) ^ k[2],
+        ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 255] << 16)
+         | (sb[(s1 >> 8) & 255] << 8) | sb[s2 & 255]) ^ k[3],
+    )
+
+
 def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
-    nr = len(rks) - 1
-    s = bytearray(block)
-    _add_round_key(s, rks[0])
-    for rnd in range(1, nr):
-        _sub_shift(s, _SBOX, inv=False)
-        _mix_columns(s, inv=False)
-        _add_round_key(s, rks[rnd])
-    _sub_shift(s, _SBOX, inv=False)
-    _add_round_key(s, rks[nr])
-    return bytes(s)
+    w = _aes_encrypt_words(
+        _words_of_rks(rks),
+        int.from_bytes(block[0:4], "big"), int.from_bytes(block[4:8], "big"),
+        int.from_bytes(block[8:12], "big"),
+        int.from_bytes(block[12:16], "big"))
+    return b"".join(x.to_bytes(4, "big") for x in w)
 
 
 def _aes_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
@@ -213,16 +263,28 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
 
 def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     """Raw CBC, no padding, no IV prefix — the mode ISO 32000-2 uses for
-    the Algorithm 2.B hash rounds and the /UE//OE key wrap."""
+    the Algorithm 2.B hash rounds and the /UE//OE key wrap. CBC chaining
+    stays in word space: one key-schedule word conversion per message,
+    four int round-trips per block."""
     if len(plaintext) % 16:
         raise ValueError("CBC-nopad plaintext not a whole block multiple")
-    rks = _expand_key(key)
+    wks = _words_of_rks(_expand_key(key))
     out = bytearray()
-    prev = iv
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
     for i in range(0, len(plaintext), 16):
-        block = bytes(x ^ y for x, y in zip(plaintext[i:i + 16], prev))
-        prev = _aes_encrypt_block(rks, block)
-        out.extend(prev)
+        p0, p1, p2, p3 = _aes_encrypt_words(
+            wks,
+            p0 ^ int.from_bytes(plaintext[i:i + 4], "big"),
+            p1 ^ int.from_bytes(plaintext[i + 4:i + 8], "big"),
+            p2 ^ int.from_bytes(plaintext[i + 8:i + 12], "big"),
+            p3 ^ int.from_bytes(plaintext[i + 12:i + 16], "big"))
+        out.extend(p0.to_bytes(4, "big"))
+        out.extend(p1.to_bytes(4, "big"))
+        out.extend(p2.to_bytes(4, "big"))
+        out.extend(p3.to_bytes(4, "big"))
     return bytes(out)
 
 
@@ -309,12 +371,21 @@ def verify_user_password(key: bytes, u_entry: bytes, id0: bytes,
 # R=5 is the deprecated Adobe ExtensionLevel-3 single-SHA-256 variant)
 # ---------------------------------------------------------------------------
 
+@_functools.lru_cache(maxsize=256)
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 Algorithm 2.B: iterated SHA-256/384/512 password hash.
 
     At least 64 rounds; from round 64 on, stop once the last byte of the
     round's AES output E is ≤ (round − 32). ``udata`` is the 48-byte /U
-    string when hashing an OWNER password, else empty."""
+    string when hashing an OWNER password, else empty.
+
+    Deliberately expensive by spec (~16k AES blocks ≈ 0.4 s in this
+    pure-Python core even with the T-table path) — it is a password KDF.
+    The lru_cache makes cost per DISTINCT (password, salt, udata), so a
+    corpus whose producer reused salts (the fixture does, corpus-wide)
+    pays once; a real crawl with per-doc salts pays per doc, which is
+    where a production deployment swaps in a C AES via a vectorized UDF
+    batch — the call sites would not change."""
     k = hashlib.sha256(password + salt + udata).digest()
     rnd = 0
     while True:

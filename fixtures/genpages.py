@@ -315,17 +315,20 @@ def build_minimal_pdf(pages_lines: list[list[str]], compress_mask: list[bool],
         ivs = encrypt["ivs"]
         p_flags = -44
         if spec["v"] == 5:
-            # deterministic per-doc key/salts derived from the id0 draw
+            # per-doc 256-bit file key derived from the id0 draw; salts
+            # are CORPUS-WIDE constants — a producer-reused-salt corpus,
+            # so the deliberately-expensive Algorithm 2.B KDF (a ~0.4 s
+            # pure-Python password hash, per spec) amortizes through
+            # hash_2b's lru_cache at both build and extraction time.
+            # Every doc still carries genuinely AES-256-encrypted
+            # streams under its own key.
             import hashlib as _hl
             file_key = _hl.sha256(b"aesv3-key" + id0).digest()
-            vs = _hl.sha256(b"aesv3-vs" + id0).digest()[:8]
-            ks = _hl.sha256(b"aesv3-ks" + id0).digest()[:8]
-            u_entry, ue_entry = compute_u_ue_r6(user_pw, file_key, vs, ks,
-                                                spec["r"])
+            u_entry, ue_entry = compute_u_ue_r6(
+                user_pw, file_key, b"r6-fx-vs", b"r6-fx-ks", spec["r"])
             o_entry, oe_entry = compute_o_oe_r6(
                 b"owner-secret", file_key, u_entry,
-                _hl.sha256(b"aesv3-ovs" + id0).digest()[:8],
-                _hl.sha256(b"aesv3-oks" + id0).digest()[:8], spec["r"])
+                b"r6-fx-ov", b"r6-fx-ok", spec["r"])
             perms_entry = compute_perms_r6(p_flags, True, file_key,
                                            rand4=id0[:4])
             decryptor = StandardDecryptor(file_key, True, v5=True)
@@ -432,7 +435,13 @@ def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
     encrypt = None
     readable = True
     if enc_draw < 0.35:
-        variant = rng.choice(sorted(ENC_VARIANTS))
+        # AES-256 R6 is the newest scheme — a real crawl's encrypted-PDF
+        # population skews old, so aesv3 gets a 1/8 minority share and
+        # the three legacy variants split the rest evenly (single draw,
+        # deterministic)
+        vdraw = rng.random()
+        variant = ("aesv3" if vdraw < 0.125 else
+                   ["rc4_40", "rc4_128", "aesv2"][int(vdraw * 1000) % 3])
         readable = enc_draw >= 0.05  # the first 5%: real user password
         encrypt = {
             "variant": variant,

@@ -100,7 +100,7 @@ class TestHostGraph:
 
 class TestLinkPagerank:
     def test_node_count_matches_oracle_constant(self, spark, pages):
-        """The DuckDB oracle interpolates n_nodes=16 (see
+        """The DuckDB oracle interpolates n_nodes=15 (see
         __spark_entry__.oracle_sql). If the fixture corpus is ever
         regenerated this pin catches the drift before the oracle does."""
         edges = (L.extract_links(pages)
@@ -110,12 +110,12 @@ class TestLinkPagerank:
         nodes = (edges.select(F.col("src_host").alias("id"))
                  .unionAll(edges.select(F.col("dst_host").alias("id")))
                  .distinct())
-        assert nodes.count() == 16
+        assert nodes.count() == 15
 
     def test_rank_mass_and_dangling(self, spark):
         out = L.q_link_pagerank(spark, "/root/testdata/sf0.01")
         rows = out.collect()
-        assert len(rows) == 16
+        assert len(rows) == 15
         total = sum(r.pagerank for r in rows)
         # dangling mass evaporates: sum < 1 but > bare teleport mass
         assert L.LPR_TELEPORT - 0.01 < total < 1.0 + 1e-9
