@@ -61,7 +61,7 @@ _GATE_WINDOW_FIRST = [
     "kmv_distinct", "mojibake_repair", "semantic_dedup", "snapshot_diff",
     "webhook_payloads", "weighted_sample",
     # brand-new in round 4
-    "url_aliases",
+    "url_aliases", "robots_precedence", "sitemap_directives",
     # operators/oracles changed in round 4
     "delay_compliance", "robots_rules", "robots_compliance",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
@@ -76,7 +76,7 @@ _GATE_WINDOW_FIRST = [
     "dsir_select", "ngram_repetition", "incremental_minhash",
     "dedup_weights", "logreg_train", "decontaminate",
     "unicode_normalize", "unigram_logprob", "doc_repetition",
-    "bpe_pair_stats", "token_entropy", "mix_sample",
+    "bpe_pair_stats",
 ]
 
 
@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robots-exclusion tier (operators/robots.py)
         "robots_rules": _q_robots_rules,
         "robots_compliance": _q_robots_compliance,
+        # RFC 9309 longest-match Allow/Disallow precedence + Sitemap
+        # directive extraction (frontier seeding)
+        "robots_precedence": _q_robots_precedence,
+        "sitemap_directives": _q_sitemap_directives,
         # declared Crawl-delay vs actual fetch spacing (robots x temporal)
         "delay_compliance": _q_delay_compliance,
     }
@@ -461,6 +465,20 @@ def _q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_robots_compliance,
     )
     return q_robots_compliance(spark, sf_dir)
+
+
+def _q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.robots import (
+        q_robots_precedence,
+    )
+    return q_robots_precedence(spark, sf_dir)
+
+
+def _q_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.robots import (
+        q_sitemap_directives,
+    )
+    return q_sitemap_directives(spark, sf_dir)
 
 
 def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

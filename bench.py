@@ -66,7 +66,8 @@ BENCH_QUERIES = (
     "host_quality", "crawl_budget", "template_detect",
     "index_gate", "canonical_clusters", "structured_data", "readability",
     "frontier_discovery", "charset_audit", "robots_compliance",
-    "delay_compliance", "url_aliases",
+    "delay_compliance", "url_aliases", "robots_precedence",
+    "sitemap_directives",
 )
 
 

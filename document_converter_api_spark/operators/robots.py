@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from .linkgraph import HOST_RE, all_pages_df, pages_path
 
 DISALLOW_RE = "Disallow: (\\S+)"
+# capital-A anchor: the lowercase "allow: " inside "Disallow: " can
+# never match
+ALLOW_RE = "Allow: (\\S+)"
 DELAY_RE = "Crawl-delay: ([0-9]+)"
+SITEMAP_RE = "Sitemap: (\\S+)"
 
 
 def robots_rules(pages: DataFrame) -> DataFrame:
@@ -84,6 +88,95 @@ def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_violations"),
                  F.min(F.when(F.col("violation"), F.col("url")))
                  .alias("first_violation"))
+            .orderBy("host"))
+
+
+def q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google longest-match rule precedence (the REP as standardized in
+    RFC 9309 §2.2.2): for each fetched url take the matching Allow or
+    Disallow rule with the LONGEST path; on a length tie Allow wins.
+    ``q_robots_compliance`` is the strict any-Disallow audit — this
+    query is what a production scheduler actually evaluates, and the
+    fixture plants ``Allow: /de/page-0001`` carve-outs UNDER
+    ``Disallow: /de/`` so the two verdicts genuinely diverge
+    (``n_rescued`` counts fetches a Disallow matches but the more
+    specific Allow permits).
+
+    Plan shape: the directive table is hosts × a handful of rows →
+    broadcast join against the fetch log (which never shuffles); the
+    per-url winner is one ``max(struct(len, is_allow))`` aggregate —
+    struct ordering encodes longest-then-Allow exactly; then one
+    map-side-combined host rollup."""
+    rows = all_pages_df(spark)
+    body = F.decode("html", "ISO-8859-1")
+    robots = (rows.filter(F.col("url").endswith("/robots.txt"))
+              .select(F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                      body.alias("body")))
+    directives = robots.select(
+        "host",
+        F.explode(F.concat(
+            F.transform(
+                F.regexp_extract_all("body", F.lit(ALLOW_RE), 1),
+                lambda r: F.struct(r.alias("rule"),
+                                   F.lit(1).alias("is_allow"))),
+            F.transform(
+                F.regexp_extract_all("body", F.lit(DISALLOW_RE), 1),
+                lambda r: F.struct(r.alias("rule"),
+                                   F.lit(0).alias("is_allow"))),
+        )).alias("d")).select("host", "d.rule", "d.is_allow")
+    fetched = (rows.filter(~F.col("url").endswith("/robots.txt"))
+               .select("url",
+                       F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                       F.regexp_replace("url", "^https?://[^/]+", "")
+                       .alias("path")))
+    hits = (fetched.join(F.broadcast(directives), "host")
+            .filter(F.expr("startswith(path, rule)")))
+    best = (hits.groupBy("host", "url")
+            .agg(F.max(F.struct(F.length("rule").alias("l"),
+                                F.col("is_allow").alias("a"))).alias("m"),
+                 F.max(F.when(F.col("is_allow") == 0, 1).otherwise(0))
+                 .alias("any_dis")))
+    verdicts = (fetched.join(best, ["host", "url"], "left")
+                .select("host", "url",
+                        F.coalesce(F.col("m.a") == 0, F.lit(False))
+                        .alias("blocked"),
+                        (F.coalesce(F.col("any_dis"), F.lit(0)) == 1)
+                        .alias("dis_matched")))
+    return (verdicts.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_fetched"),
+                 F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+                 .cast("long").alias("n_blocked"),
+                 F.sum(F.when(F.col("dis_matched") & ~F.col("blocked"), 1)
+                       .otherwise(0)).cast("long").alias("n_rescued"),
+                 F.min(F.when(F.col("blocked"), F.col("url")))
+                 .alias("first_blocked"))
+            .orderBy("host"))
+
+
+def q_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Sitemap: directive extraction — the frontier-seeding
+    pointer robots.txt publishes (RFC 9309 §2.3 / sitemaps.org). The
+    declared url is LEFT ANTI-checked against the crawl log, so the
+    output is exactly the list a scheduler would enqueue next (none of
+    the fixture sitemaps are fetched yet — pinned by the
+    ``already_fetched`` column staying false)."""
+    rows = all_pages_df(spark)
+    body = F.decode("html", "ISO-8859-1")
+    decl = (rows.filter(F.col("url").endswith("/robots.txt"))
+            .select(F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                    F.nullif(F.regexp_extract(body, SITEMAP_RE, 1),
+                             F.lit("")).alias("sitemap_url")))
+    crawled = rows.select(F.col("url").alias("sitemap_url")).distinct()
+    fetched_flag = (decl.filter(F.col("sitemap_url").isNotNull())
+                    .join(crawled, "sitemap_url", "left_semi")
+                    .select("host").withColumn("already_fetched",
+                                               F.lit(True)))
+    return (decl.join(fetched_flag.select("host", "already_fetched"),
+                      "host", "left")
+            .select("host", "sitemap_url",
+                    F.col("sitemap_url").isNotNull().alias("has_sitemap"),
+                    F.coalesce("already_fetched", F.lit(False))
+                    .alias("already_fetched"))
             .orderBy("host"))
 
 
@@ -153,14 +246,17 @@ _LATIN1_BODY = """array_to_string(list_transform(
                    i -> chr(CAST(concat('0x', substr(hex(html),
                             2 * CAST(i AS INT) - 1, 2)) AS INT))), '')"""
 
+_BODIES_CTE = f"""
+        bodies AS (
+          SELECT url, {_LATIN1_BODY} AS body
+          FROM '__PAGES_PARQUET__'
+          WHERE url LIKE '%/robots.txt')"""
+
 # unnest of an empty list emits no row in DuckDB — wrap in a one-NULL
 # list so a Disallow-free robots.txt keeps its host row (the Spark side
 # is explode_outer; same semantics)
 _RULES_CTE = f"""
-        bodies AS (
-          SELECT url, {_LATIN1_BODY} AS body
-          FROM '__PAGES_PARQUET__'
-          WHERE url LIKE '%/robots.txt'),
+        {_BODIES_CTE},
         rules AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
                  unnest(CASE WHEN len(regexp_extract_all(body,
@@ -207,6 +303,66 @@ ROBOTS_ORACLES = {
                  OR a.min_gap_us >= d.crawl_delay * 1000000 AS compliant
         FROM agg a LEFT JOIN delays d ON a.host = d.host
         ORDER BY a.host
+    """,
+    "robots_precedence": f"""
+        WITH {_BODIES_CTE},
+        dirs AS (
+          SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+                 unnest(regexp_extract_all(body, 'Allow: (\\S+)', 1))
+                   AS rule,
+                 1 AS is_allow
+          FROM bodies
+          UNION ALL
+          SELECT regexp_extract(url, '{HOST_RE}', 1),
+                 unnest(regexp_extract_all(body, 'Disallow: (\\S+)', 1)),
+                 0
+          FROM bodies),
+        fetched AS (
+          SELECT url,
+                 regexp_extract(url, '{HOST_RE}', 1) AS host,
+                 regexp_replace(url, '^https?://[^/]+', '') AS path
+          FROM '__PAGES_PARQUET__'
+          WHERE url NOT LIKE '%/robots.txt'),
+        hits AS (
+          SELECT f.host, f.url, d.rule, d.is_allow
+          FROM fetched f JOIN dirs d
+            ON f.host = d.host AND starts_with(f.path, d.rule)),
+        best AS (
+          SELECT host, url, is_allow, any_dis FROM (
+            SELECT host, url, is_allow,
+                   row_number() OVER (PARTITION BY host, url
+                     ORDER BY length(rule) DESC, is_allow DESC) AS rn,
+                   max(CASE WHEN is_allow = 0 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY host, url) AS any_dis
+            FROM hits) WHERE rn = 1),
+        verdicts AS (
+          SELECT f.host, f.url,
+                 coalesce(b.is_allow = 0, false) AS blocked,
+                 coalesce(b.any_dis, 0) = 1 AS dis_matched
+          FROM fetched f
+          LEFT JOIN best b ON f.host = b.host AND f.url = b.url)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_fetched,
+               CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_blocked,
+               CAST(sum(CASE WHEN dis_matched AND NOT blocked
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued,
+               min(CASE WHEN blocked THEN url END) AS first_blocked
+        FROM verdicts GROUP BY host ORDER BY host
+    """,
+    "sitemap_directives": f"""
+        WITH {_BODIES_CTE},
+        decl AS (
+          SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+                 nullif(regexp_extract(body, 'Sitemap: (\\S+)', 1), '')
+                   AS sitemap_url
+          FROM bodies)
+        SELECT host, sitemap_url,
+               sitemap_url IS NOT NULL AS has_sitemap,
+               CASE WHEN sitemap_url IS NOT NULL AND EXISTS (
+                      SELECT 1 FROM '__PAGES_PARQUET__' p
+                      WHERE p.url = decl.sitemap_url)
+                    THEN true ELSE false END AS already_fetched
+        FROM decl ORDER BY host
     """,
     "robots_compliance": f"""
         WITH {_RULES_CTE},

@@ -587,12 +587,24 @@ def gen_pages(n: int, seed: int = 42,
         lines = ["User-agent: *"]
         if rrng.random() < 0.90:   # a few hosts publish delay-only files
             lines.append("Disallow: /admin")
+        lang_dis = None
         if rrng.random() < 0.35:
-            lines.append(f"Disallow: /{rrng.choice(['de', 'es'])}/")
+            lang_dis = rrng.choice(['de', 'es'])
+            lines.append(f"Disallow: /{lang_dis}/")
         if rrng.random() < 0.25:
             lines.append(f"Disallow: /cat/{rrng.randint(1, 99)}")
         if rrng.random() < 0.50:
             lines.append(f"Crawl-delay: {rrng.randint(1, 10)}")
+        # round-4 directives, drawn strictly AFTER the round-3 ones so
+        # every earlier body line is byte-identical (dedicated rng, but
+        # keep the stream append-only anyway):
+        # an Allow carve-out UNDER a language Disallow — the case where
+        # Google longest-match precedence disagrees with any-Disallow
+        # prefix matching (some /de/page-0001xx fetches are rescued)
+        if lang_dis is not None and rrng.random() < 0.60:
+            lines.append(f"Allow: /{lang_dis}/page-0001")
+        if rrng.random() < 0.80:
+            lines.append(f"Sitemap: https://{host}/sitemap.xml")
         urls.append(f"https://{host}/robots.txt")
         tss.append(BASE_TS)
         payloads.append(("\n".join(lines) + "\n").encode("ascii"))

@@ -243,3 +243,81 @@ class TestDelayCompliance:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestPrecedenceAndSitemaps:
+    @pytest.fixture(scope="class")
+    def prec(self, spark):
+        return {r.host: r for r in
+                R.q_robots_precedence(spark, SF).collect()}
+
+    def test_matches_python_recompute(self, raw, prec):
+        """RFC 9309 longest-match with Allow-wins-ties, re-derived
+        byte-level in Python over the fixture robots bodies."""
+        dirs = {}
+        for url, html in raw:
+            if not url.endswith("/robots.txt"):
+                continue
+            host = re.match(r"^https?://([^/]+)", url).group(1)
+            body = html.decode("latin-1")
+            dirs[host] = (
+                [(r, 1) for r in re.findall(r"Allow: (\S+)", body)]
+                + [(r, 0) for r in re.findall(r"Disallow: (\S+)", body)])
+        exp = {}
+        for url, _ in raw:
+            if url.endswith("/robots.txt"):
+                continue
+            host = re.match(r"^https?://([^/]+)", url).group(1)
+            path = re.sub(r"^https?://[^/]+", "", url)
+            matched = [(len(r), a) for r, a in dirs.get(host, ())
+                       if path.startswith(r)]
+            row = exp.setdefault(host, [0, 0, 0, None])
+            row[0] += 1
+            if matched:
+                best = max(matched)  # longest, then allow wins the tie
+                if best[1] == 0:
+                    row[1] += 1
+                    if row[3] is None or url < row[3]:
+                        row[3] = url
+                elif any(a == 0 for _, a in matched):
+                    row[2] += 1
+        for host, (n, nb, nr, fb) in exp.items():
+            r = prec[host]
+            assert (r.n_fetched, r.n_blocked, r.n_rescued,
+                    r.first_blocked) == (n, nb, nr, fb), host
+
+    def test_allow_carveouts_rescue_fetches(self, prec):
+        """The fixture plants Allow: /xx/page-0001 under Disallow: /xx/
+        — at least one host must show rescued fetches, and rescued hosts
+        must also still have blocked fetches (the carve-out is partial,
+        so precedence genuinely diverges from any-Disallow auditing)."""
+        rescued = [r for r in prec.values() if r.n_rescued > 0]
+        assert rescued
+        assert any(r.n_blocked > 0 for r in rescued)
+
+    def test_directive_join_is_broadcast(self, spark):
+        plan = (R.q_robots_precedence(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_sitemap_directives(self, spark, raw):
+        rows = {r.host: r for r in
+                R.q_sitemap_directives(spark, SF).collect()}
+        assert len(rows) == 20
+        declared = {re.match(r"^https?://([^/]+)", u).group(1):
+                    re.search(rb"Sitemap: (\S+)", h)
+                    for u, h in raw if u.endswith("/robots.txt")}
+        crawled = {u for u, _ in raw}
+        for host, m in declared.items():
+            r = rows[host]
+            if m:
+                assert r.sitemap_url == m.group(1).decode()
+                assert r.has_sitemap
+            else:
+                assert r.sitemap_url is None and not r.has_sitemap
+            # no fixture sitemap has been fetched yet — all are frontier
+            assert r.already_fetched == (r.sitemap_url in crawled)
+            assert not r.already_fetched
+        assert sum(1 for r in rows.values() if r.has_sitemap) >= 10
