@@ -396,6 +396,32 @@ def main() -> None:
         "body bytes never move.",
         queries["canonical_clusters"](spark, SF))
 
+    # round-4 additions
+    add("url_aliases",
+        "RFC-3986 url normalization + alias clustering: the whole "
+        "normalize chain (case/fragment/port/utm/param-sort) is one "
+        "codegen'd string projection in the scan; only (canon, count) "
+        "partials shuffle into the map-side-combined groupBy — the "
+        "same single-Exchange shape as exact dedup, so frontier dedup "
+        "at 10^12 urls costs one shuffle of skinny keys.",
+        queries["url_aliases"](spark, SF))
+    add("robots_precedence",
+        "RFC 9309 longest-match: the directive table (hosts x a "
+        "handful of Allow/Disallow rows) broadcasts into the fetch "
+        "log; the per-url winner is max(struct(len, is_allow)) — an "
+        "order-free aggregate with map-side partials — then one "
+        "groupBy(host) rollup. The 10^12-row fetch side never "
+        "shuffles for the join.",
+        queries["robots_precedence"](spark, SF))
+    add("semantic_dedup",
+        "SemDeDup with the production-K codebook: list assignment is "
+        "one broadcast-codebook Arrow stage materialized via "
+        "localCheckpoint, so BOTH self-join sides read the assignment "
+        "instead of re-running Python; the pair join is an equi-join "
+        "on list_id (intra-cluster only, AQE-splittable) — plan size "
+        "flat in K, so K≈sqrt(N) at production scale is a parameter.",
+        queries["semantic_dedup"](spark, SF))
+
     out = [
         "# PLANS.md — physical-plan evidence (generated by tools/explain_plans.py)",
         "",
