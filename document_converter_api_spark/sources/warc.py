@@ -59,9 +59,15 @@ PAGES_WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 _CRLF2 = b"\r\n\r\n"
 
 
-def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
+_DEFAULT_TYPES = ("response", "resource", "conversion")
+
+
+def parse_warc_bytes(data: bytes, source_file: str = "",
+                     types: tuple[str, ...] = _DEFAULT_TYPES) -> list[dict]:
     """Parse one WARC file's bytes into page dicts. Pure function (no
-    Spark) so the same code runs in tests, fixtures, and the executor."""
+    Spark) so the same code runs in tests, fixtures, and the executor.
+    ``types`` widens the kept record set (e.g. add ``metadata`` to read
+    back WAT products); request/warcinfo stay skipped by default."""
     out: list[dict] = []
     errors = 0
     pos = 0
@@ -105,7 +111,7 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
         payload = data[body_start:body_end]
         pos = body_end
         wtype = headers.get("warc-type", "")
-        if wtype in ("response", "resource", "conversion"):
+        if wtype in types:
             if wtype == "response" and payload[:5] == b"HTTP/":
                 http_end = payload.find(_CRLF2)
                 payload = payload[http_end + 4:] if http_end >= 0 else b""
@@ -139,7 +145,8 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
     return out
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_warc(spark: SparkSession, path_glob: str,
+              types: tuple[str, ...] = _DEFAULT_TYPES) -> DataFrame:
     """WARC files (optionally .gz, multi-member) → pages DataFrame.
     One task per file via the binaryFile source; Arrow-batched parse."""
     import pandas as pd
@@ -166,7 +173,8 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                                      "source_file": path,
                                      "n_parse_errors": 1})
                         continue
-                rows.extend(parse_warc_bytes(data, source_file=path))
+                rows.extend(parse_warc_bytes(data, source_file=path,
+                                             types=types))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "warc_type",
                                "source_file", "n_parse_errors"])
@@ -174,28 +182,88 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(parse, PAGES_WARC_SCHEMA)
 
 
-def write_warc(rows, path: str, compress: bool = False) -> None:
-    """Serialize (url, warc_ts, html) tuples as a WARC file — the fixture
-    generator's inverse of :func:`parse_warc_bytes` (resource records;
-    deterministic output for byte-stable fixtures). WARC-Date carries
+def warc_record_bytes(url: str, ts, payload: bytes,
+                      record_type: str = "resource",
+                      content_type: str | None = None) -> bytes:
+    """One serialized WARC record. ``record_type`` picks the product:
+    ``resource`` (fixture corpora), ``conversion`` (WET extracted text),
+    ``metadata`` (WAT JSON)."""
+    extra = (b"Content-Type: " + content_type.encode() + b"\r\n"
+             if content_type else b"")
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + record_type.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+        + b"\r\n" + extra
+        + b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n")
+
+
+def write_warc(rows, path: str, compress: bool = False,
+               record_type: str = "resource",
+               content_type: str | None = None) -> None:
+    """Serialize (url, warc_ts, payload) tuples as a WARC file — the
+    fixture generator's inverse of :func:`parse_warc_bytes`
+    (deterministic output for byte-stable fixtures). WARC-Date carries
     second granularity, so sub-second timestamp precision is dropped on
     the round trip — a property of the format, not the parser."""
     buf = io.BytesIO()
     for url, ts, html in rows:
-        header = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: resource\r\n"
-            b"WARC-Target-URI: " + url.encode() + b"\r\n"
-            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
-            + b"\r\n"
-            b"Content-Length: " + str(len(html)).encode() + b"\r\n"
-            b"\r\n")
-        buf.write(header)
-        buf.write(html)
-        buf.write(b"\r\n\r\n")
+        buf.write(warc_record_bytes(url, ts, html, record_type,
+                                    content_type))
     data = buf.getvalue()
     if compress:
         # mtime=0 for byte-stable output (zlib stamps current time otherwise)
         data = gzip.compress(data, mtime=0)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def write_warc_shards(df: DataFrame, out_dir: str,
+                      record_type: str = "conversion",
+                      content_type: str | None = None,
+                      compress: bool = True) -> DataFrame:
+    """Distributed WARC sink: each partition of ``df`` (columns
+    ``url, warc_ts, payload``) writes one ``part-NNNNN.warc[.gz]``
+    member file — the shape CC itself publishes (a WET/WAT "file" is
+    really a fleet of per-segment members). Rows are written in
+    partition order; callers wanting deterministic shard contents
+    ``repartitionByRange`` on url first.
+
+    Returns a (shard, n_records, n_bytes) DataFrame — forcing it is
+    what runs the write (lazy like every sink wrapper here). Executors
+    write to a shared filesystem path; on a real cluster this is the
+    mounted object store (s3a/HDFS), locally it is a directory."""
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_part(batches):
+        pid = TaskContext.get().partitionId()
+        buf = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["payload"]):
+                buf.write(warc_record_bytes(url, ts.to_pydatetime(),
+                                            bytes(payload), record_type,
+                                            content_type))
+                n += 1
+        data = buf.getvalue()
+        if n:
+            if compress:
+                data = gzip.compress(data, mtime=0)
+            shard = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+            with open(shard, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"shard": [shard], "n_records": [n],
+                                "n_bytes": [len(data)]})
+
+    return df.select("url", "warc_ts", "payload").mapInPandas(
+        write_part, "shard string, n_records long, n_bytes long")
