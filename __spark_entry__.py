@@ -62,6 +62,7 @@ _GATE_WINDOW_FIRST = [
     "webhook_payloads", "weighted_sample",
     # brand-new in round 4
     "url_aliases", "robots_precedence", "sitemap_directives",
+    "cdx_index", "cdx_shards", "cdx_revisits",
     # operators/oracles changed in round 4
     "delay_compliance", "robots_rules", "robots_compliance",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
@@ -339,10 +340,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_directives": _q_sitemap_directives,
         # declared Crawl-delay vs actual fetch spacing (robots x temporal)
         "delay_compliance": _q_delay_compliance,
+        # CDX/SURT URL-index tier (operators/cdx.py): capture index,
+        # cluster.idx range shards, digest-based revisit audit
+        "cdx_index": _q_cdx_index,
+        "cdx_shards": _q_cdx_shards,
+        "cdx_revisits": _q_cdx_revisits,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
     return front
+
+
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.cdx import q_cdx_index
+    return q_cdx_index(spark, sf_dir)
+
+
+def _q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.cdx import q_cdx_shards
+    return q_cdx_shards(spark, sf_dir)
+
+
+def _q_cdx_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.cdx import q_cdx_revisits
+    return q_cdx_revisits(spark, sf_dir)
 
 
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,4 +937,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(SEARCH_ORACLES)
     from document_converter_api_spark.operators.graph import GRAPH_ORACLES
     sql.update(GRAPH_ORACLES)
+    from document_converter_api_spark.operators.cdx import oracle_sql_for_cdx
+    sql.update(oracle_sql_for_cdx(repo_root))
     return sql

@@ -1,0 +1,131 @@
+"""CDX/SURT URL-index tier (operators/cdx.py): SURT canonicalization
+edge cases, index/shard/revisit invariants, and the scale-critical plan
+shapes (projection-only record builder; no window over page rows in the
+shard assigner)."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from document_converter_api_spark.operators.cdx import (
+    NSHARDS,
+    _captures,
+    cdx_records,
+    q_cdx_index,
+    q_cdx_revisits,
+    q_cdx_shards,
+    surt_key,
+)
+
+
+def _surt(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(surt_key(F.col("url")).alias("k")).first()["k"]
+
+
+def test_surt_canonicalization_rules(spark):
+    # host labels reversed + lowercased, one leading www. stripped
+    assert (_surt(spark, "https://WWW.Sub.Example.COM/A/B.html")
+            == "com,example,sub)/a/b.html")
+    # default ports stripped, scheme irrelevant to the key
+    assert (_surt(spark, "http://host.example:80/p")
+            == _surt(spark, "https://host.example:443/p")
+            == "example,host)/p")
+    # fragment dropped, query params sorted, empty path -> '/'
+    assert (_surt(spark, "https://h.example/?b=2&a=1#frag")
+            == "example,h)/?a=1&b=2")
+    # non-default port survives (a distinct authority)
+    assert _surt(spark, "https://h.example:8080/p") == "example,h:8080)/p"
+    # only a LEADING www label is stripped
+    assert _surt(spark, "https://api.www.example/p") == "example,www,api)/p"
+
+
+def test_planted_variants_collapse_onto_base_key(spark):
+    recs = cdx_records(_captures(spark))
+    # the WWW./uppercase and :80 variants share the base surt_key ->
+    # every such key has >= 3 captures with identical digests
+    multi = (recs.groupBy("surt_key")
+             .agg(F.count("*").alias("n"),
+                  F.countDistinct("digest").alias("nd"),
+                  F.countDistinct("orig_url").alias("nu"))
+             .filter(F.col("n") >= 3))
+    rows = multi.collect()
+    assert rows, "planted variants must collapse onto base SURT keys"
+    for r in rows:
+        assert r["nd"] == 1, "same payload -> same digest per key"
+        assert r["nu"] == r["n"], "each capture keeps its original url"
+    # the ?b=2&a=1 variant lands on a NEW key with sorted params
+    q = recs.filter(F.col("surt_key").endswith("?a=1&b=2"))
+    assert q.count() > 0
+
+
+def test_cdx_index_is_totally_ordered(spark):
+    rows = q_cdx_index(spark, "").collect()
+    keys = [(r["surt_key"], r["ts14"], r["orig_url"]) for r in rows]
+    assert keys == sorted(keys)
+    base = _captures(spark).count()
+    assert len(rows) == base
+
+
+def test_shards_partition_the_index(spark):
+    recs = cdx_records(_captures(spark))
+    shards = q_cdx_shards(spark, "").collect()
+    assert 1 <= len(shards) <= NSHARDS
+    assert sum(r["n_records"] for r in shards) == recs.count()
+    host_key = F.regexp_extract("surt_key", "^([^)]*)\\)", 1)
+    n_hosts = recs.select(host_key.alias("h")).distinct().count()
+    assert sum(r["n_hosts"] for r in shards) == n_hosts
+    # contiguous, non-overlapping ranges in shard order
+    for a, b in zip(shards, shards[1:]):
+        assert a["shard_id"] < b["shard_id"]
+        assert a["start_key"] <= a["end_key"] < b["start_key"]
+
+
+def test_revisit_audit_invariants(spark):
+    recs = cdx_records(_captures(spark)).collect()
+    lengths = {}
+    counts = {}
+    for r in recs:
+        counts[r["digest"]] = counts.get(r["digest"], 0) + 1
+        lengths[r["digest"]] = r["length"]
+    rows = q_cdx_revisits(spark, "").collect()
+    got = {r["digest"]: r for r in rows}
+    want = {d: n for d, n in counts.items() if n > 1}
+    assert set(got) == set(want)
+    for d, r in got.items():
+        assert r["n_captures"] == want[d]
+        assert r["n_revisits"] == want[d] - 1
+        assert r["bytes_saved"] == (want[d] - 1) * lengths[d]
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_record_builder_is_shuffle_free(spark):
+    plan = _plan_of(cdx_records(_captures(spark)))
+    assert "Exchange" not in plan, (
+        "SURT/mime/digest projection must stay in the scan stage")
+    assert "Python" not in plan and "Arrow" not in plan, (
+        "the record builder is pure Catalyst")
+
+
+def test_shard_window_runs_on_host_table_not_pages(spark):
+    plan = _plan_of(q_cdx_shards(spark, ""))
+    # the running-offset Window must sit above the host-level
+    # HashAggregate (10^4x reduction), never directly over raw capture
+    # rows. formatted explain prints root-first, leaves last: the host
+    # agg must appear BETWEEN the Window and the leaf Scan.
+    w = plan.index("Window")
+    s = plan.index("Scan parquet", w)
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(w < a < s for a in aggs), (
+        "per-host aggregation must sit between the offset window and "
+        "the page scan")
