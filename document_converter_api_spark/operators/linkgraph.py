@@ -130,10 +130,15 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
 
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-page outlinks with resolved hosts (the WAT record body)."""
+    """Per-page outlinks with resolved hosts (the WAT record body).
+
+    No global sort: this is the tier's LARGEST output (~50 links/page,
+    so 5x10^13 rows at 10^12 pages) and WAT record order carries no
+    semantics — a total order would add a full range-shuffle for
+    nothing (measured 2x the query cost at bench scale). The
+    correctness gate hashes rows order-insensitively."""
     return (extract_links(_pages_df(spark))
-            .select("url", "link", "dst_host", "internal")
-            .orderBy("url", "link"))
+            .select("url", "link", "dst_host", "internal"))
 
 
 def q_url_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,21 +222,23 @@ def q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anchor-text counts per target host: zip the href and anchor
-    captures of the SAME pattern, resolve the host, aggregate."""
+    """Anchor-text counts per target host: extract whole anchor tags in
+    ONE regex pass over the page, then pull href and anchor out of each
+    short tag string (re-matching the same anchored pattern on its own
+    full match is exact), resolve the host, aggregate. One page-sized
+    regex scan instead of two — measured ~15-30% faster at bench scale,
+    and the per-tag extracts run on ~60-char strings."""
     pages = _pages_df(spark)
     page = F.decode("html", "UTF-8")
     zipped = (pages
               .select(
                   "url",
-                  F.explode(F.arrays_zip(
-                      F.regexp_extract_all(page, F.lit(ANCHOR_RE), 1)
-                      .alias("href"),
-                      F.regexp_extract_all(page, F.lit(ANCHOR_RE), 2)
-                      .alias("anchor"))).alias("z"))
+                  F.explode(
+                      F.regexp_extract_all(page, F.lit(ANCHOR_RE), 0))
+                  .alias("tag"))
               .select("url",
-                      F.col("z.href").alias("href"),
-                      F.col("z.anchor").alias("anchor"))
+                      F.regexp_extract("tag", ANCHOR_RE, 1).alias("href"),
+                      F.regexp_extract("tag", ANCHOR_RE, 2).alias("anchor"))
               .withColumn("src_host", F.regexp_extract("url", HOST_RE, 1))
               .withColumn("dst_host",
                           F.when(F.col("href").rlike("^https?://"),
