@@ -1,0 +1,161 @@
+"""spark-submit entry point building the CDX URL index for a crawl.
+
+Common Crawl's cc-index is the lookup layer over its WARC store: gzipped
+CDXJ shard files, each a SURT-ordered run of capture records, plus one
+small ``cluster.idx`` listing every shard's first key so a client can
+binary-search the shard list and fetch exactly one shard per query. The
+reference service (``/root/reference/app/main.py``) keeps its lookup
+layer as an in-memory dict keyed by job uuid; this job is the batch
+equivalent for 10^12 captures::
+
+    spark-submit --master yarn --py-files dist/pipeline.zip \
+        jobs/cdxindex.py --input s3://bucket/segments/'*.warc.gz' \
+        --input-format warc --output s3://bucket/cc-index
+
+Stages:
+
+1. **read** — native WARC segments (``sources/warc.read_warc``) or a
+   pages parquet table (same contract as ``jobs/watwet.py``).
+2. **records** — ``operators/cdx.cdx_records``: SURT key, 14-digit
+   timestamp, mime, payload digest, length — one codegen'd projection.
+   The CDXJ JSON payload is Catalyst ``to_json``; no Python touches a
+   row until the final file write.
+3. **order + shard** — ``repartitionByRange`` on (surt_key, ts14) then
+   ``sortWithinPartitions``: a distributed total order where shard k
+   holds one contiguous SURT interval — the exact layout cc-index
+   publishes. Spark's range partitioner samples boundaries, so shards
+   are load-balanced even when one host dominates the corpus.
+4. **write** — each partition streams one ``cdx-NNNNN.gz`` (gzip
+   mtime=0: byte-stable reruns); the returned per-shard stats (first
+   key, record count) are exactly one tiny row per shard, and the
+   driver serializes them as ``cluster.idx``.
+
+A lookup client then needs two reads per query url: binary-search
+``cluster.idx`` (KBs) for the owning shard, then scan one shard member —
+never the WARC store.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import io
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def cdx_lines(pages: DataFrame) -> DataFrame:
+    """(surt_key, ts14, line) — the CDXJ line body per capture."""
+    from document_converter_api_spark.operators.cdx import cdx_records
+
+    recs = cdx_records(pages)
+    payload = F.to_json(F.struct(
+        F.col("orig_url").alias("url"), F.col("mime").alias("mime"),
+        F.col("digest").alias("digest"),
+        F.col("length").alias("length")))
+    return recs.select(
+        "surt_key", "ts14",
+        F.concat("surt_key", F.lit(" "), "ts14", F.lit(" "), payload)
+        .alias("line"))
+
+
+def write_cdx_shards(df: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed CDXJ sink: each partition of ``df`` (columns
+    ``surt_key, ts14, line``, already range-partitioned and sorted)
+    writes one ``cdx-NNNNN.gz``. Returns one stats row per non-empty
+    shard: (shard, first_key, first_ts, last_key, n_records, n_bytes) —
+    the inputs ``cluster.idx`` is built from."""
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        pid = TaskContext.get().partitionId()
+        buf = io.BytesIO()
+        n = 0
+        first_key = first_ts = last_key = None
+        for pdf in batches:
+            for key, ts, line in zip(pdf["surt_key"], pdf["ts14"],
+                                     pdf["line"]):
+                if n == 0:
+                    first_key, first_ts = key, ts
+                last_key = key
+                buf.write(line.encode("utf-8"))
+                buf.write(b"\n")
+                n += 1
+        if n:
+            data = gzip.compress(buf.getvalue(), mtime=0)
+            shard = os.path.join(out_dir, f"cdx-{pid:05d}.gz")
+            with open(shard, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({
+                "shard": [shard], "first_key": [first_key],
+                "first_ts": [first_ts], "last_key": [last_key],
+                "n_records": [n], "n_bytes": [len(data)]})
+
+    return df.mapInPandas(
+        write_part,
+        "shard string, first_key string, first_ts string, "
+        "last_key string, n_records long, n_bytes long")
+
+
+def run_cdx_job(spark: SparkSession, input_path: str, output_root: str,
+                input_format: str = "parquet", shards: int = 4) -> dict:
+    from document_converter_api_spark.sources.warc import read_warc
+
+    if input_format == "warc":
+        pages = (read_warc(spark, input_path)
+                 .filter(F.col("warc_type") != "error")
+                 .select("url", "warc_ts", "html"))
+    else:
+        pages = (spark.read.parquet(input_path)
+                 .select("url", "warc_ts", "html"))
+
+    ordered = (cdx_lines(pages)
+               .repartitionByRange(shards, "surt_key", "ts14")
+               .sortWithinPartitions("surt_key", "ts14", "line"))
+    stats = write_cdx_shards(
+        ordered, os.path.join(output_root, "indexes")).collect()
+    stats = sorted(stats, key=lambda r: r.shard)
+
+    # cluster.idx: one line per shard — first key/ts, member file name,
+    # record count, shard ordinal. Driver-side state is one row PER
+    # SHARD (thousands at CC scale), never per capture.
+    cluster = os.path.join(output_root, "cluster.idx")
+    with open(cluster, "w", encoding="utf-8") as f:
+        for i, r in enumerate(stats):
+            f.write(f"{r.first_key} {r.first_ts}\t"
+                    f"{os.path.basename(r.shard)}\t{r.n_records}\t{i}\n")
+
+    return {
+        "input_pages": pages.count(),
+        "index_records": int(sum(r.n_records for r in stats)),
+        "index_shards": len(stats),
+        "index_bytes": int(sum(r.n_bytes for r in stats)),
+        "cluster_idx": cluster,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", default="parquet",
+                    choices=("parquet", "warc"))
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=4)
+    args = ap.parse_args()
+    spark = (SparkSession.builder.appName("cdxindex")
+             .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+    stats = run_cdx_job(spark, args.input, args.output,
+                        input_format=args.input_format,
+                        shards=args.shards)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
