@@ -63,6 +63,7 @@ _GATE_WINDOW_FIRST = [
     # brand-new in round 4
     "url_aliases", "robots_precedence", "sitemap_directives",
     "cdx_index", "cdx_shards", "cdx_revisits",
+    "sitemap_urls", "sitemap_coverage", "sitemap_freshness",
     # operators/oracles changed in round 4
     "delay_compliance", "robots_rules", "robots_compliance",
     "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
@@ -345,10 +346,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "cdx_shards": _q_cdx_shards,
         "cdx_revisits": _q_cdx_revisits,
+        # Sitemap tier (operators/sitemap.py): urlset parsing,
+        # declared-vs-crawled coverage, lastmod recrawl freshness
+        "sitemap_urls": _q_sitemap_urls,
+        "sitemap_coverage": _q_sitemap_coverage,
+        "sitemap_freshness": _q_sitemap_freshness,
     }
     front = {k: reg[k] for k in _GATE_WINDOW_FIRST}
     front.update((k, v) for k, v in reg.items() if k not in front)
     return front
+
+
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sitemap import q_sitemap_urls
+    return q_sitemap_urls(spark, sf_dir)
+
+
+def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sitemap import (
+        q_sitemap_coverage,
+    )
+    return q_sitemap_coverage(spark, sf_dir)
+
+
+def _q_sitemap_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.sitemap import (
+        q_sitemap_freshness,
+    )
+    return q_sitemap_freshness(spark, sf_dir)
 
 
 def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,4 +964,8 @@ def oracle_sql() -> dict[str, str]:
     sql.update(GRAPH_ORACLES)
     from document_converter_api_spark.operators.cdx import oracle_sql_for_cdx
     sql.update(oracle_sql_for_cdx(repo_root))
+    from document_converter_api_spark.operators.sitemap import (
+        oracle_sql_for_sitemap,
+    )
+    sql.update(oracle_sql_for_sitemap(repo_root))
     return sql

@@ -69,6 +69,7 @@ BENCH_QUERIES = (
     "delay_compliance", "url_aliases", "robots_precedence",
     "sitemap_directives",
     "cdx_index", "cdx_shards", "cdx_revisits",
+    "sitemap_urls", "sitemap_coverage", "sitemap_freshness",
 )
 
 

@@ -25,6 +25,12 @@ def sniff_content_type(payload: bytes, url: str = "") -> str:
     if payload[:4] == b"PK\x03\x04":
         # OOXML container; fixtures only produce docx-flavored zips.
         return "docx"
+    # an explicit XML declaration routes to the crawl-metadata path
+    # (sitemaps, feeds) — XML is structural data for operators/sitemap.py,
+    # never page content for the extractor. Checked BEFORE the generic
+    # '<' markup heuristic, which would otherwise claim it as html.
+    if low.startswith(b"<?xml"):
+        return "xml"
     if any(m in low for m in HTML_MARKERS) or low.startswith(b"<"):
         return "html"
     # BOM-prefixed markup (urls lie; UTF-16 bytes defeat the ASCII

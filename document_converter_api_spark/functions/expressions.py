@@ -53,6 +53,10 @@ def sniff_content_type_expr(payload: Column, url: Column) -> Column:
     return (
         F.when(head5 == F.lit("255044462D"), F.lit("pdf"))          # %PDF-
         .when(head4 == F.lit("504B0304"), F.lit("docx"))            # PK\x03\x04
+        # explicit XML declaration → crawl metadata (sitemaps/feeds),
+        # before the generic '<' heuristic claims it as html (mirrors
+        # extraction.sniff.sniff_content_type)
+        .when(F.ltrim(head_txt).startswith("<?xml"), F.lit("xml"))
         .when(is_htmlish, F.lit("html"))
         .when(is_bom_markup, F.lit("html"))
         .when(ext.isin("html", "htm", "xhtml"), F.lit("html"))

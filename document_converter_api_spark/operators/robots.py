@@ -156,10 +156,11 @@ def q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host Sitemap: directive extraction — the frontier-seeding
     pointer robots.txt publishes (RFC 9309 §2.3 / sitemaps.org). The
-    declared url is LEFT ANTI-checked against the crawl log, so the
-    output is exactly the list a scheduler would enqueue next (none of
-    the fixture sitemaps are fetched yet — pinned by the
-    ``already_fetched`` column staying false)."""
+    declared url is semi-checked against the crawl log, so the
+    unfetched remainder is exactly the list a scheduler would enqueue
+    next (since round 4 the fixture plants the declared sitemap.xml
+    documents, so declaring hosts show ``already_fetched`` true and
+    ``operators/sitemap.py`` consumes the bodies)."""
     rows = all_pages_df(spark)
     body = F.decode("html", "ISO-8859-1")
     decl = (rows.filter(F.col("url").endswith("/robots.txt"))

@@ -582,6 +582,7 @@ def gen_pages(n: int, seed: int = 42,
     # rng — zero drift for the page rows). Not extractable content: the
     # format gate rejects them (correct — robots.txt is crawl-control
     # metadata, consumed by operators/robots.py, never by extraction).
+    sitemap_hosts: list[tuple[int, str]] = []
     for k, host in enumerate(HOSTS):
         rrng = random.Random(0x0B075 ^ (k * 2654435761))
         lines = ["User-agent: *"]
@@ -605,9 +606,52 @@ def gen_pages(n: int, seed: int = 42,
             lines.append(f"Allow: /{lang_dis}/page-0001")
         if rrng.random() < 0.80:
             lines.append(f"Sitemap: https://{host}/sitemap.xml")
+            sitemap_hosts.append((k, host))
         urls.append(f"https://{host}/robots.txt")
         tss.append(BASE_TS)
         payloads.append(("\n".join(lines) + "\n").encode("ascii"))
+        texts.append("")
+        langs.append("en")
+    # round 4: one sitemap.xml per host that DECLARED one, appended
+    # after the robots loop (dedicated rng per host — zero drift for
+    # every earlier row). XML is crawl metadata: the sniffer routes it
+    # to 'xml' and the gate rejects it from extraction (like
+    # robots.txt); operators/sitemap.py is the consumer. Each <url>
+    # entry stays on ONE line so single-line regex scans parse it.
+    html_by_host: dict[str, list[str]] = {}
+    for u in urls:
+        if u.endswith(".html"):
+            html_by_host.setdefault(u.split("/")[2], []).append(u)
+    for k, host in sitemap_hosts:
+        srng = random.Random(0x517E ^ (k * 2654435761))
+        entries = []
+        for j, loc in enumerate(html_by_host.get(host, [])[::7][:40]):
+            # ~1/3 of listed pages changed AFTER the crawl window
+            # (lastmod > warc_ts -> recrawl due); the rest predate it
+            if srng.random() < 0.35:
+                lm = BASE_TS + timedelta(days=3, hours=j % 24)
+            else:
+                lm = BASE_TS - timedelta(days=2, hours=j % 24)
+            freq = ("daily", "weekly", "monthly")[j % 3]
+            prio = ("0.9", "0.5", "0.3")[j % 3]
+            entries.append(
+                f"<url><loc>{loc}</loc>"
+                f"<lastmod>{lm.strftime('%Y-%m-%dT%H:%M:%SZ')}</lastmod>"
+                f"<changefreq>{freq}</changefreq>"
+                f"<priority>{prio}</priority></url>")
+        # a few never-crawled locs (frontier-discovery candidates;
+        # no lastmod — optional per the sitemaps.org schema)
+        for _ in range(1 + srng.randint(0, 3)):
+            entries.append(f"<url><loc>https://{host}/en/"
+                           f"page-9{srng.randint(0, 99999):05d}.html"
+                           f"</loc></url>")
+        xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<urlset xmlns='
+               '"http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+               + "\n".join(entries) + "\n</urlset>\n")
+        urls.append(f"https://{host}/sitemap.xml")
+        tss.append(BASE_TS)
+        payloads.append(xml.encode("ascii"))
         texts.append("")
         langs.append("en")
     return pa.table(
