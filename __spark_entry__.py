@@ -44,16 +44,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # The round driver's correctness gate covers only the FIRST 50 entries of
 # queries(). Round-4 rotation (VERDICT r3 item 3): lead with the 14
 # queries that have NO green driver row across r1-r3 (token_pack red in
-# r3, host_stats_salted red in r1, 12 never windowed), then the round-4
-# additions/changes (url_aliases new; robots latin-1 oracles +
-# single-fetch hosts; linkgraph scheme-relative resolution touches five
-# oracles; dedup_clusters' convergence sum; semantic_dedup's arrow
-# default), then the same-file neighbors and the r3-new tier that has
-# exactly one green row. Displaced (all with >=1 green driver row and
-# still locally oracle-checked every round by tools/check_oracle.py):
-# the multimodal trio, temporal tier, sampling tail, ANN tier,
-# dedup r1/r2 block, streaming twins, and the long-stable 2.8
-# scalar/TPC-H queries.
+# r3, host_stats_salted red in r1, 12 never windowed), then everything
+# brand-new or changed in round 4 (url_aliases/robots_precedence/
+# sitemap_directives; the CDX and sitemap tiers; robots latin-1 oracles
+# + single-fetch hosts; linkgraph scheme-relative resolution + one-pass
+# anchor extraction + unsorted link_extract; dedup_clusters' convergence
+# sum; semantic_dedup's arrow default), then the same-file neighbors and
+# as much of the r3-new tier (one green row each) as fits slot 50.
+# Displaced (all with >=1 green driver row and still locally
+# oracle-checked every round by tools/check_oracle.py): the multimodal
+# trio, temporal tier, sampling tail, ANN tier, dedup r1/r2 block,
+# streaming twins, the long-stable 2.8 scalar/TPC-H queries, and the
+# r3-tier tail past slot 50.
 _GATE_WINDOW_FIRST = [
     # never driver-green across r1-r3
     "token_pack", "host_stats_salted", "bloom_filter", "chunk_overlap",

@@ -307,9 +307,10 @@ def main() -> None:
          "partial-aggregates map-side, so the shuffle carries one row "
          "per (task, edge), not per link — hub hosts arrive "
          "pre-combined."),
-        ("anchor_stats", "anchor-text signal: href+anchor captures of "
-         "the SAME pattern zipped positionally (identical match "
-         "sequence), then a map-side-combining (dst_host, anchor) agg."),
+        ("anchor_stats", "anchor-text signal: ONE page-sized regex pass "
+         "captures whole anchor tags; href/anchor re-extract from each "
+         "short tag string, then a map-side-combining (dst_host, "
+         "anchor) agg."),
         ("link_pagerank", "PageRank over the EXTRACTED host graph: "
          "distinct non-self edges, out-degree joined once, per-round "
          "contribution agg with localCheckpoint lineage truncation — "
@@ -421,6 +422,34 @@ def main() -> None:
         "on list_id (intra-cluster only, AQE-splittable) — plan size "
         "flat in K, so K≈sqrt(N) at production scale is a parameter.",
         queries["semantic_dedup"](spark, SF))
+    add("cdx_index",
+        "CDX capture index: SURT key, mime, digest, length are ONE "
+        "codegen'd scan projection (no Python, no shuffle); the total "
+        "order is Spark's RangePartitioning sort — sampled boundaries, "
+        "one exchange, each output partition a contiguous cdx shard. "
+        "This is the distributed equivalent of Hadoop's total-order "
+        "partitioner CC uses to build cc-index.",
+        queries["cdx_index"](spark, SF))
+    add("cdx_shards",
+        "cluster.idx ranges: per-host record counts aggregate FIRST "
+        "(10^4x reduction, map-side combined), the running-offset "
+        "window runs over the host table only — never over page rows "
+        "(pinned by tests/test_cdx.py) — and the 1-row total rides a "
+        "broadcast crossJoin.",
+        queries["cdx_shards"](spark, SF))
+    add("sitemap_urls",
+        "sitemaps are ~1 row per host: the suffix filter pushes to the "
+        "parquet scan, ONE page-sized regex captures whole <url> "
+        "blocks, per-field extracts run on short block strings — the "
+        "same one-pass shape as anchor_stats; the page corpus itself "
+        "is never touched.",
+        queries["sitemap_urls"](spark, SF))
+    add("sitemap_freshness",
+        "recrawl scheduling input: parsed locs equi-join the crawl log "
+        "on (host, url) — both sides hash-partition once, no broadcast "
+        "assumed (the urlset side is 10^10+ at scale); recrawl_due is "
+        "a codegen'd timestamp comparison.",
+        queries["sitemap_freshness"](spark, SF))
 
     out = [
         "# PLANS.md — physical-plan evidence (generated by tools/explain_plans.py)",
