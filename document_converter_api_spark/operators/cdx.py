@@ -146,16 +146,20 @@ def _captures(spark: SparkSession) -> DataFrame:
     return raw.unionAll(v1).unionAll(v2).unionAll(v3)
 
 
-def cdx_records(pages: DataFrame) -> DataFrame:
+def cdx_records(pages: DataFrame,
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
     """(surt_key, ts14, orig_url, mime, digest, length) per capture —
-    one codegen'd projection, no shuffle."""
+    one codegen'd projection, no shuffle. ``passthrough`` appends input
+    columns unchanged (the WARC store location triple
+    ``source_file/warc_offset/warc_len`` when indexing an archive)."""
     return pages.select(
         surt_key(F.col("url")).alias("surt_key"),
         F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
         F.col("url").alias("orig_url"),
         _mime_expr("url").alias("mime"),
         F.md5(F.hex("html")).alias("digest"),
-        F.length("html").cast("long").alias("length"))
+        F.length("html").cast("long").alias("length"),
+        *[F.col(c) for c in passthrough])
 
 
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 PAGES_WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                      "warc_type string, source_file string, "
+                     "warc_offset long, warc_len long, "
                      "n_parse_errors long")
 
 _CRLF2 = b"\r\n\r\n"
@@ -78,6 +79,7 @@ def parse_warc_bytes(data: bytes, source_file: str = "",
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         head_end = data.find(_CRLF2, pos)
         if head_end < 0:
             errors += 1
@@ -134,6 +136,15 @@ def parse_warc_bytes(data: bytes, source_file: str = "",
                 "html": payload,
                 "warc_type": wtype,
                 "source_file": source_file,
+                # record location within the UNCOMPRESSED member stream
+                # (headers + body, incl. the record's own header block) —
+                # data[warc_offset : warc_offset+warc_len] re-parses to
+                # exactly this record, the CDX lookup contract. Real
+                # cc-index points at gzip-member offsets; per-record gzip
+                # members are a storage choice, the uncompressed offset is
+                # the format-level truth this parser can always serve.
+                "warc_offset": rec_start,
+                "warc_len": body_end - rec_start,
                 "n_parse_errors": 0,
             })
     if out:
@@ -141,6 +152,7 @@ def parse_warc_bytes(data: bytes, source_file: str = "",
     elif errors:
         out.append({"url": "", "warc_ts": None, "html": b"",
                     "warc_type": "error", "source_file": source_file,
+                    "warc_offset": -1, "warc_len": -1,
                     "n_parse_errors": errors})
     return out
 
@@ -171,13 +183,15 @@ def read_warc(spark: SparkSession, path_glob: str,
                         rows.append({"url": "", "warc_ts": None,
                                      "html": b"", "warc_type": "error",
                                      "source_file": path,
+                                     "warc_offset": -1, "warc_len": -1,
                                      "n_parse_errors": 1})
                         continue
                 rows.extend(parse_warc_bytes(data, source_file=path,
                                              types=types))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "warc_type",
-                               "source_file", "n_parse_errors"])
+                               "source_file", "warc_offset", "warc_len",
+                               "n_parse_errors"])
 
     return files.mapInPandas(parse, PAGES_WARC_SCHEMA)
 

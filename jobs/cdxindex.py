@@ -47,15 +47,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def cdx_lines(pages: DataFrame) -> DataFrame:
-    """(surt_key, ts14, line) — the CDXJ line body per capture."""
+def cdx_lines(pages: DataFrame, with_location: bool = False) -> DataFrame:
+    """(surt_key, ts14, line) — the CDXJ line body per capture.
+
+    ``with_location`` (WARC input) adds the store-location triple
+    (``filename``, ``offset``, ``rlen``) to every record's JSON — the
+    fields a lookup client needs to fetch exactly one record out of the
+    archive (``data[offset : offset+rlen]`` re-parses to the capture;
+    offsets are within the uncompressed member stream, see
+    ``sources/warc.parse_warc_bytes``)."""
     from document_converter_api_spark.operators.cdx import cdx_records
 
-    recs = cdx_records(pages)
-    payload = F.to_json(F.struct(
+    fields = [
         F.col("orig_url").alias("url"), F.col("mime").alias("mime"),
         F.col("digest").alias("digest"),
-        F.col("length").alias("length")))
+        F.col("length").alias("length")]
+    if with_location:
+        recs = cdx_records(
+            pages, passthrough=("source_file", "warc_offset", "warc_len"))
+        fields += [
+            F.element_at(F.split("source_file", "/"), -1)
+            .alias("filename"),
+            F.col("warc_offset").alias("offset"),
+            F.col("warc_len").alias("rlen")]
+    else:
+        recs = cdx_records(pages)
+    payload = F.to_json(F.struct(*fields))
     return recs.select(
         "surt_key", "ts14",
         F.concat("surt_key", F.lit(" "), "ts14", F.lit(" "), payload)
@@ -111,12 +128,15 @@ def run_cdx_job(spark: SparkSession, input_path: str, output_root: str,
     if input_format == "warc":
         pages = (read_warc(spark, input_path)
                  .filter(F.col("warc_type") != "error")
-                 .select("url", "warc_ts", "html"))
+                 .select("url", "warc_ts", "html",
+                         "source_file", "warc_offset", "warc_len"))
+        lines = cdx_lines(pages, with_location=True)
     else:
         pages = (spark.read.parquet(input_path)
                  .select("url", "warc_ts", "html"))
+        lines = cdx_lines(pages)
 
-    ordered = (cdx_lines(pages)
+    ordered = (lines
                .repartitionByRange(shards, "surt_key", "ts14")
                .sortWithinPartitions("surt_key", "ts14", "line"))
     stats = write_cdx_shards(

@@ -112,3 +112,34 @@ def test_warc_input_round_trip(spark, tmp_path):
     stats = run_cdx_job(spark, seg, root, input_format="warc", shards=2)
     assert stats["input_pages"] == 60
     assert stats["index_records"] == 60
+
+
+def test_warc_index_locations_fetch_one_record(spark, tmp_path):
+    """The full archive-lookup contract: cluster.idx → shard → CDXJ
+    record → (filename, offset, rlen) → ONE record sliced out of the
+    WARC store re-parses to the original capture."""
+    from document_converter_api_spark.sources.warc import (
+        parse_warc_bytes, write_warc,
+    )
+    originals = {r["url"]: r for r in pq.read_table(PAGES).to_pylist()[:50]}
+    rows = [(r["url"], r["warc_ts"], r["html"]) for r in originals.values()]
+    seg = str(tmp_path / "seg-00000.warc")
+    write_warc(rows, seg, compress=False)
+    root = str(tmp_path / "out")
+    run_cdx_job(spark, seg, root, input_format="warc", shards=2)
+
+    store = open(seg, "rb").read()
+    checked = 0
+    for _, ls in _read_lines(root, {}):
+        for line in ls[::9]:
+            rec = json.loads(line.split(" ", 2)[2])
+            assert rec["filename"] == "seg-00000.warc"
+            sliced = store[rec["offset"]:rec["offset"] + rec["rlen"]]
+            parsed = parse_warc_bytes(sliced)
+            assert len(parsed) == 1
+            got = parsed[0]
+            want = originals[rec["url"]]
+            assert got["url"] == want["url"]
+            assert bytes(got["html"]) == want["html"]
+            checked += 1
+    assert checked >= 5

@@ -161,7 +161,11 @@ class TestWarcFuzz:
             assert isinstance(recs, list)
             for r in recs:
                 assert set(r) == {"url", "warc_ts", "html", "warc_type",
-                                  "source_file", "n_parse_errors"}
+                                  "source_file", "warc_offset", "warc_len",
+                                  "n_parse_errors"}
+                if r["warc_type"] != "error":
+                    assert r["warc_offset"] >= 0
+                    assert r["warc_len"] > len(r["html"])
 
         run()
 
