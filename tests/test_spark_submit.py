@@ -65,3 +65,34 @@ def test_spark_submit_py_files(tmp_path):
         WHERE r.markdown IS DISTINCT FROM g.golden_md
         """).fetchone()[0]
     assert n_bad == 0
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit binary not available")
+def test_spark_submit_cdx_job(tmp_path):
+    """The CDX index job runs via spark-submit --py-files with ONLY the
+    zip on the python path, and its cluster.idx counts add up."""
+    sys.path.insert(0, REPO_ROOT)
+    from tools.make_dist import build
+
+    zip_path = build(str(tmp_path / "pipeline.zip"))
+    out_root = str(tmp_path / "cdx")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO_ROOT, "jobs", "cdxindex.py"),
+         "--input", PAGES_SMOKE, "--output", out_root, "--shards", "3"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path), env=env, check=False)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads([ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["index_records"] == stats["input_pages"] > 0
+    with open(os.path.join(out_root, "cluster.idx")) as f:
+        n_from_idx = sum(int(line.split("\t")[2]) for line in f)
+    assert n_from_idx == stats["index_records"]
