@@ -163,22 +163,26 @@ def q_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/sitemap.py`` consumes the bodies)."""
     rows = all_pages_df(spark)
     body = F.decode("html", "ISO-8859-1")
+    # ALL declared sitemaps, one row each (RFC 9309 / sitemaps.org allow
+    # multiple Sitemap: lines); explode_outer keeps a NULL row for hosts
+    # declaring none, so every host stays in the audit
     decl = (rows.filter(F.col("url").endswith("/robots.txt"))
             .select(F.regexp_extract("url", HOST_RE, 1).alias("host"),
-                    F.nullif(F.regexp_extract(body, SITEMAP_RE, 1),
-                             F.lit("")).alias("sitemap_url")))
+                    F.explode_outer(
+                        F.regexp_extract_all(body, F.lit(SITEMAP_RE), 1))
+                    .alias("sitemap_url")))
     crawled = rows.select(F.col("url").alias("sitemap_url")).distinct()
+    # flag per (host, sitemap_url): with several declared sitemaps a
+    # host may have fetched some but not others
     fetched_flag = (decl.filter(F.col("sitemap_url").isNotNull())
                     .join(crawled, "sitemap_url", "left_semi")
-                    .select("host").withColumn("already_fetched",
-                                               F.lit(True)))
-    return (decl.join(fetched_flag.select("host", "already_fetched"),
-                      "host", "left")
+                    .withColumn("already_fetched", F.lit(True)))
+    return (decl.join(fetched_flag, ["host", "sitemap_url"], "left")
             .select("host", "sitemap_url",
                     F.col("sitemap_url").isNotNull().alias("has_sitemap"),
                     F.coalesce("already_fetched", F.lit(False))
                     .alias("already_fetched"))
-            .orderBy("host"))
+            .orderBy("host", "sitemap_url"))
 
 
 def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,8 +358,11 @@ ROBOTS_ORACLES = {
         WITH {_BODIES_CTE},
         decl AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
-                 nullif(regexp_extract(body, 'Sitemap: (\\S+)', 1), '')
-                   AS sitemap_url
+                 unnest(CASE WHEN len(regexp_extract_all(body,
+                             'Sitemap: (\\S+)', 1)) = 0
+                        THEN [NULL]
+                        ELSE regexp_extract_all(body,
+                             'Sitemap: (\\S+)', 1) END) AS sitemap_url
           FROM bodies)
         SELECT host, sitemap_url,
                sitemap_url IS NOT NULL AS has_sitemap,
@@ -363,7 +370,7 @@ ROBOTS_ORACLES = {
                       SELECT 1 FROM '__PAGES_PARQUET__' p
                       WHERE p.url = decl.sitemap_url)
                     THEN true ELSE false END AS already_fetched
-        FROM decl ORDER BY host
+        FROM decl ORDER BY host, sitemap_url
     """,
     "robots_compliance": f"""
         WITH {_RULES_CTE},

@@ -39,9 +39,12 @@ Scale notes:
   full url — both sides hash-partition once; no broadcast needed and
   none assumed (the urlset side is 10^10+ at scale). The per-host
   aggregation partial-combines map-side.
-* lastmod parses with a fixed ISO-8601 format — a malformed value
-  yields NULL (never a task failure), and NULL lastmod is "unknown",
-  which never schedules a recrawl by itself.
+* lastmod accepts both W3C Datetime forms sitemaps.org allows (full
+  timestamp and date-only) via ``try_to_timestamp`` — a malformed value
+  yields NULL even under Spark 4's default ANSI mode (never a task
+  failure; ``to_timestamp``/``cast`` would raise), and NULL lastmod is
+  "unknown", which never schedules a recrawl by itself. Blocks without
+  a ``<loc>`` are schema-invalid and dropped at parse in BOTH engines.
 """
 
 from __future__ import annotations
@@ -72,12 +75,16 @@ def parse_sitemaps(pages: DataFrame) -> DataFrame:
                       .alias("block")))
     field = lambda tag: F.nullif(  # noqa: E731 — local one-liner
         F.regexp_extract("block", f"<{tag}>([^<]*)</{tag}>", 1), F.lit(""))
-    return blocks.select(
+    lm = field("lastmod")
+    return (blocks.select(
         "host",
         field("loc").alias("loc"),
-        F.to_timestamp(field("lastmod"), LASTMOD_FMT).alias("lastmod"),
+        F.coalesce(F.try_to_timestamp(lm, F.lit(LASTMOD_FMT)),
+                   F.try_to_timestamp(lm, F.lit("yyyy-MM-dd")))
+        .alias("lastmod"),
         field("changefreq").alias("changefreq"),
-        field("priority").cast("double").alias("priority"))
+        field("priority").try_cast("double").alias("priority"))
+        .filter(F.col("loc").isNotNull()))
 
 
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,9 +98,12 @@ def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sitemap omits)."""
     pages = all_pages_df(spark)
     locs = parse_sitemaps(pages).select("host", "loc")
+    # distinct: a real crawl log holds multiple captures per url (the
+    # CDX revisit tier models exactly that) — coverage counts URLS
     crawled = (pages.filter(F.col("url").endswith(".html"))
                .select(F.regexp_extract("url", HOST_RE, 1).alias("host"),
-                       F.col("url").alias("loc")))
+                       F.col("url").alias("loc"))
+               .distinct())
     listed_crawled = locs.join(crawled, ["host", "loc"], "left_semi")
     to_discover = locs.join(crawled, ["host", "loc"], "left_anti")
     orphans = crawled.join(locs, ["host", "loc"], "left_anti") \
@@ -136,25 +146,28 @@ _PARSED_CTE = f"""
            {_LATIN1_BODY} AS body
     FROM '__PAGES_PARQUET__' WHERE url LIKE '%/sitemap.xml'),
   parsed AS (
-    SELECT host,
-      nullif(regexp_extract(block, '<loc>([^<]*)</loc>', 1), '') AS loc,
-      CASE WHEN regexp_extract(block,
-             '<lastmod>([^<]*)</lastmod>', 1) = '' THEN NULL
-           ELSE strptime(regexp_extract(block,
-             '<lastmod>([^<]*)</lastmod>', 1), '%Y-%m-%dT%H:%M:%SZ')
-      END AS lastmod,
+    SELECT host, loc,
+      coalesce(
+        try_strptime(lm, '%Y-%m-%dT%H:%M:%SZ'),
+        try_strptime(lm, '%Y-%m-%d')) AS lastmod,
       nullif(regexp_extract(block,
              '<changefreq>([^<]*)</changefreq>', 1), '') AS changefreq,
-      CAST(nullif(regexp_extract(block,
+      TRY_CAST(nullif(regexp_extract(block,
              '<priority>([^<]*)</priority>', 1), '') AS DOUBLE)
         AS priority
-    FROM (SELECT host,
-            unnest(regexp_extract_all(body, '<url>(.*?)</url>', 1))
-              AS block
-          FROM sm)),
+    FROM (SELECT host, block,
+            nullif(regexp_extract(block, '<loc>([^<]*)</loc>', 1), '')
+              AS loc,
+            nullif(regexp_extract(block,
+                   '<lastmod>([^<]*)</lastmod>', 1), '') AS lm
+          FROM (SELECT host,
+                  unnest(regexp_extract_all(body, '<url>(.*?)</url>', 1))
+                    AS block
+                FROM sm))
+    WHERE loc IS NOT NULL),
   crawled AS (
-    SELECT regexp_extract(url, '{HOST_RE}', 1) AS host, url AS loc,
-           warc_ts
+    SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+           url AS loc, warc_ts
     FROM '__PAGES_PARQUET__' WHERE url LIKE '%.html')
 """
 
@@ -165,19 +178,21 @@ SITEMAP_ORACLES = {
         FROM parsed ORDER BY host, loc
     """,
     "sitemap_coverage": f"""
-        WITH {_PARSED_CTE}
+        WITH {_PARSED_CTE},
+        crawled_u AS (SELECT DISTINCT host, loc FROM crawled)
         SELECT p.host,
                CAST(count(*) AS BIGINT) AS n_declared,
                CAST(sum(CASE WHEN c.loc IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_crawled,
                CAST(sum(CASE WHEN c.loc IS NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_to_discover,
-               (SELECT CAST(count(*) AS BIGINT) FROM crawled c2
+               (SELECT CAST(count(*) AS BIGINT) FROM crawled_u c2
                 WHERE c2.host = p.host
-                  AND c2.loc NOT IN (SELECT loc FROM parsed p2
-                                     WHERE p2.host = p.host)) AS n_orphans
+                  AND NOT EXISTS (SELECT 1 FROM parsed p2
+                                  WHERE p2.host = p.host
+                                    AND p2.loc = c2.loc)) AS n_orphans
         FROM parsed p
-        LEFT JOIN crawled c ON p.host = c.host AND p.loc = c.loc
+        LEFT JOIN crawled_u c ON p.host = c.host AND p.loc = c.loc
         GROUP BY p.host ORDER BY p.host
     """,
     "sitemap_freshness": f"""

@@ -234,6 +234,44 @@ def write_warc(rows, path: str, compress: bool = False,
         f.write(data)
 
 
+def write_partition_files(df: DataFrame, out_dir: str, prefix: str,
+                          ext: str, serialize,
+                          stats_schema: str) -> DataFrame:
+    """Generic one-file-per-partition sink shared by the WARC and CDX
+    shard writers: handles partition-id naming, directory creation,
+    empty-partition skip, the file write, and the per-shard stats row.
+
+    ``serialize(batches) -> (file_bytes, stats_dict)`` folds one
+    partition's pandas batches into the serialized file plus its stats
+    columns (falsy stats ⇒ empty partition, nothing written).
+    ``stats_schema`` must list ``shard`` first, then the stats_dict
+    keys in order, then ``n_bytes`` (appended by this helper). Forcing
+    the returned DataFrame runs the write; executors write to a SHARED
+    mounted filesystem path (FUSE object store/NFS/HDFS mount) — a raw
+    ``s3://`` URL would become a literal local directory."""
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        pid = TaskContext.get().partitionId()
+        data, stats = serialize(batches)
+        if not stats:
+            return
+        shard = os.path.join(out_dir, f"{prefix}{pid:05d}{ext}")
+        with open(shard, "wb") as f:
+            f.write(data)
+        yield pd.DataFrame({"shard": [shard],
+                            **{k: [v] for k, v in stats.items()},
+                            "n_bytes": [len(data)]})
+
+    return df.mapInPandas(write_part, stats_schema)
+
+
 def write_warc_shards(df: DataFrame, out_dir: str,
                       record_type: str = "conversion",
                       content_type: str | None = None,
@@ -249,17 +287,9 @@ def write_warc_shards(df: DataFrame, out_dir: str,
     what runs the write (lazy like every sink wrapper here). Executors
     write to a shared filesystem path; on a real cluster this is the
     mounted object store (s3a/HDFS), locally it is a directory."""
-    import os
-
-    import pandas as pd
-
-    from pyspark import TaskContext
-
-    os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
-    def write_part(batches):
-        pid = TaskContext.get().partitionId()
+    def serialize(batches):
         buf = io.BytesIO()
         n = 0
         for pdf in batches:
@@ -270,14 +300,10 @@ def write_warc_shards(df: DataFrame, out_dir: str,
                                             content_type))
                 n += 1
         data = buf.getvalue()
-        if n:
-            if compress:
-                data = gzip.compress(data, mtime=0)
-            shard = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-            with open(shard, "wb") as f:
-                f.write(data)
-            yield pd.DataFrame({"shard": [shard], "n_records": [n],
-                                "n_bytes": [len(data)]})
+        if compress and n:
+            data = gzip.compress(data, mtime=0)
+        return data, ({"n_records": n} if n else None)
 
-    return df.select("url", "warc_ts", "payload").mapInPandas(
-        write_part, "shard string, n_records long, n_bytes long")
+    return write_partition_files(
+        df.select("url", "warc_ts", "payload"), out_dir, "part-", ext,
+        serialize, "shard string, n_records long, n_bytes long")

@@ -607,6 +607,11 @@ def gen_pages(n: int, seed: int = 42,
         if rrng.random() < 0.80:
             lines.append(f"Sitemap: https://{host}/sitemap.xml")
             sitemap_hosts.append((k, host))
+            # some hosts declare a SECOND sitemap that is never planted
+            # (multiple Sitemap: lines are legal; the directives audit
+            # must report it as a frontier candidate, not drop it)
+            if rrng.random() < 0.30:
+                lines.append(f"Sitemap: https://{host}/sitemap-news.xml")
         urls.append(f"https://{host}/robots.txt")
         tss.append(BASE_TS)
         payloads.append(("\n".join(lines) + "\n").encode("ascii"))
@@ -634,9 +639,13 @@ def gen_pages(n: int, seed: int = 42,
                 lm = BASE_TS - timedelta(days=2, hours=j % 24)
             freq = ("daily", "weekly", "monthly")[j % 3]
             prio = ("0.9", "0.5", "0.3")[j % 3]
+            # every 5th entry uses the DATE-ONLY W3C Datetime form
+            # sitemaps.org allows (parsers must accept both)
+            lm_s = (lm.strftime("%Y-%m-%d") if j % 5 == 4
+                    else lm.strftime("%Y-%m-%dT%H:%M:%SZ"))
             entries.append(
                 f"<url><loc>{loc}</loc>"
-                f"<lastmod>{lm.strftime('%Y-%m-%dT%H:%M:%SZ')}</lastmod>"
+                f"<lastmod>{lm_s}</lastmod>"
                 f"<changefreq>{freq}</changefreq>"
                 f"<priority>{prio}</priority></url>")
         # a few never-crawled locs (frontier-discovery candidates;

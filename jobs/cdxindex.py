@@ -10,7 +10,13 @@ equivalent for 10^12 captures::
 
     spark-submit --master yarn --py-files dist/pipeline.zip \
         jobs/cdxindex.py --input s3://bucket/segments/'*.warc.gz' \
-        --input-format warc --output s3://bucket/cc-index
+        --input-format warc --output /mnt/warehouse/cc-index
+
+(The INPUT path goes through Spark's Hadoop readers, so object-store
+URLs work; the shard/cluster.idx sinks write with plain file APIs, so
+``--output`` must be a SHARED mounted filesystem — FUSE-mounted object
+store, NFS, or HDFS via a mount — as ``write_warc_shards`` documents.
+Handing them an ``s3://`` URL would create a literal local directory.)
 
 Stages:
 
@@ -84,15 +90,14 @@ def write_cdx_shards(df: DataFrame, out_dir: str) -> DataFrame:
     ``surt_key, ts14, line``, already range-partitioned and sorted)
     writes one ``cdx-NNNNN.gz``. Returns one stats row per non-empty
     shard: (shard, first_key, first_ts, last_key, n_records, n_bytes) —
-    the inputs ``cluster.idx`` is built from."""
-    import pandas as pd
+    the inputs ``cluster.idx`` is built from. File handling (partition
+    naming, empty skip, shared-mount write) is the same
+    ``write_partition_files`` helper the WARC sink uses."""
+    from document_converter_api_spark.sources.warc import (
+        write_partition_files,
+    )
 
-    from pyspark import TaskContext
-
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write_part(batches):
-        pid = TaskContext.get().partitionId()
+    def serialize(batches):
         buf = io.BytesIO()
         n = 0
         first_key = first_ts = last_key = None
@@ -105,18 +110,14 @@ def write_cdx_shards(df: DataFrame, out_dir: str) -> DataFrame:
                 buf.write(line.encode("utf-8"))
                 buf.write(b"\n")
                 n += 1
-        if n:
-            data = gzip.compress(buf.getvalue(), mtime=0)
-            shard = os.path.join(out_dir, f"cdx-{pid:05d}.gz")
-            with open(shard, "wb") as f:
-                f.write(data)
-            yield pd.DataFrame({
-                "shard": [shard], "first_key": [first_key],
-                "first_ts": [first_ts], "last_key": [last_key],
-                "n_records": [n], "n_bytes": [len(data)]})
+        if not n:
+            return b"", None
+        return gzip.compress(buf.getvalue(), mtime=0), {
+            "first_key": first_key, "first_ts": first_ts,
+            "last_key": last_key, "n_records": n}
 
-    return df.mapInPandas(
-        write_part,
+    return write_partition_files(
+        df, out_dir, "cdx-", ".gz", serialize,
         "shard string, first_key string, first_ts string, "
         "last_key string, n_records long, n_bytes long")
 

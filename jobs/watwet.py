@@ -9,7 +9,11 @@ crawl-ecosystem products from the whole corpus in one pass::
 
     spark-submit --master yarn --py-files dist/pipeline.zip \
         jobs/watwet.py --input s3://bucket/segments/'*.warc.gz' \
-        --input-format warc --output s3://bucket/derived
+        --input-format warc --output /mnt/warehouse/derived
+
+(Input paths go through Spark's Hadoop readers — object-store URLs
+work; the WARC shard sink writes with plain file APIs, so ``--output``
+must be a SHARED mounted filesystem, see ``write_warc_shards``.)
 
 Stages:
 
@@ -102,9 +106,13 @@ def run_watwet_job(spark: SparkSession, input_path: str, output_root: str,
             pages = pages.withColumn("lang", F.lit(None).cast("string"))
         pages = pages.select("url", "warc_ts", "html", "lang")
 
-    # deterministic shard contents: range-partition every sink input on
-    # url, so shard k holds the same url interval on every rerun
-    wat = wat_records(pages).repartitionByRange(shards, "url")
+    # deterministic shard BYTES: range-partition every sink input on url
+    # (shard k holds the same url interval on every rerun) AND sort
+    # within partitions — repartitionByRange alone plans a bare Exchange
+    # with no local Sort, so in-shard record order would follow
+    # nondeterministic shuffle-fetch order on a real cluster
+    wat = (wat_records(pages).repartitionByRange(shards, "url")
+           .sortWithinPartitions("url"))
     wat_stats = write_warc_shards(
         wat, os.path.join(output_root, "wat"), record_type="metadata",
         content_type="application/json").collect()
@@ -114,7 +122,8 @@ def run_watwet_job(spark: SparkSession, input_path: str, output_root: str,
         gated, num_partitions=num_partitions,
         shuffle_partitions=num_partitions)
     wet = (wet_records(postprocess_results(results), pages)
-           .repartitionByRange(shards, "url"))
+           .repartitionByRange(shards, "url")
+           .sortWithinPartitions("url"))
     wet_stats = write_warc_shards(
         wet, os.path.join(output_root, "wet"), record_type="conversion",
         content_type="text/plain").collect()

@@ -303,23 +303,32 @@ class TestPrecedenceAndSitemaps:
         assert "CartesianProduct" not in plan
 
     def test_sitemap_directives(self, spark, raw):
-        rows = {r.host: r for r in
-                R.q_sitemap_directives(spark, SF).collect()}
-        assert len(rows) == 20
+        by_host: dict[str, list] = {}
+        for r in R.q_sitemap_directives(spark, SF).collect():
+            by_host.setdefault(r.host, []).append(r)
+        assert len(by_host) == 20, "every host stays in the audit"
         declared = {re.match(r"^https?://([^/]+)", u).group(1):
-                    re.search(rb"Sitemap: (\S+)", h)
+                    [m.decode() for m in re.findall(rb"Sitemap: (\S+)", h)]
                     for u, h in raw if u.endswith("/robots.txt")}
         crawled = {u for u, _ in raw}
-        for host, m in declared.items():
-            r = rows[host]
-            if m:
-                assert r.sitemap_url == m.group(1).decode()
-                assert r.has_sitemap
+        for host, urls in declared.items():
+            got = by_host[host]
+            if urls:
+                # ONE row per declared sitemap (multiple Sitemap: lines
+                # are legal and must all surface)
+                assert sorted(r.sitemap_url for r in got) == sorted(urls)
+                assert all(r.has_sitemap for r in got)
             else:
-                assert r.sitemap_url is None and not r.has_sitemap
-            # round 4: declared sitemaps ARE planted in the corpus, so
-            # the flag tracks the crawl log (true for declaring hosts)
-            assert r.already_fetched == (r.sitemap_url in crawled)
-            if m:
-                assert r.already_fetched
-        assert sum(1 for r in rows.values() if r.has_sitemap) >= 10
+                assert len(got) == 1
+                assert got[0].sitemap_url is None
+                assert not got[0].has_sitemap
+            for r in got:
+                # per-URL flag: the planted sitemap.xml is fetched, the
+                # declared-but-never-planted sitemap-news.xml is not
+                assert r.already_fetched == (r.sitemap_url in crawled)
+        assert sum(len(u) for u in declared.values()) > sum(
+            1 for u in declared.values() if u), "multi-declaration hosts"
+        fetched_flags = [r.already_fetched
+                         for rows_ in by_host.values() for r in rows_
+                         if r.sitemap_url is not None]
+        assert any(fetched_flags) and not all(fetched_flags)

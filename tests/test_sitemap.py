@@ -41,10 +41,16 @@ def expected(corpus):
                               block)
                 return m.group(1).decode() if m else None
             lm = tag(b"lastmod")
+            if lm is None:
+                parsed_lm = None
+            else:
+                try:
+                    parsed_lm = datetime.strptime(lm, "%Y-%m-%dT%H:%M:%SZ")
+                except ValueError:
+                    parsed_lm = datetime.strptime(lm, "%Y-%m-%d")
             rows.append({
                 "host": host, "loc": tag(b"loc"),
-                "lastmod": (datetime.strptime(lm, "%Y-%m-%dT%H:%M:%SZ")
-                            if lm else None),
+                "lastmod": parsed_lm,
                 "changefreq": tag(b"changefreq"),
                 "priority": (float(tag(b"priority"))
                              if tag(b"priority") else None)})
