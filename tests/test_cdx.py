@@ -129,3 +129,45 @@ def test_shard_window_runs_on_host_table_not_pages(spark):
     assert any(w < a < s for a in aggs), (
         "per-host aggregation must sit between the offset window and "
         "the page scan")
+
+
+def test_cdx_records_never_raise_on_adversarial_urls(spark):
+    """One Spark job over a generated adversarial corpus: weird
+    authorities, unicode, junk queries/fragments, random payload bytes —
+    the projection must stay total (no ANSI raise, no NULL keys) and the
+    digest/length must match an independent Python recompute."""
+    import binascii
+    import hashlib
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(0xCD8)
+    hosts = ["example.com", "WWW.Example.COM", "a.b.c.d.e.f", "xn--bcher-kva.tld",
+             "h", "127.0.0.1", "host:8080", "host:80", "HOST:443", "www.w"]
+    paths = ["", "/", "/A//B/..//c", "/%20%2F", "/été", "/p?b=2&a=1&a=1",
+             "/p?", "/p?&&", "/p#f#g", "/robots.txt", "/x" * 200]
+    rows = []
+    base = datetime(2025, 6, 1)
+    for i in range(300):
+        url = (rng.choice(["https://", "http://"]) + rng.choice(hosts)
+               + rng.choice(paths))
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 64)))
+        rows.append((url, base + timedelta(seconds=i), payload))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = cdx_records(df).collect()
+    assert len(got) == 300
+    by_url = {}
+    for url, _, payload in rows:
+        by_url.setdefault(url, payload)
+    for r in got:
+        assert r["surt_key"] is not None and ")" in r["surt_key"]
+        assert len(r["digest"]) == 32
+        assert len(r["ts14"]) == 14
+        # digest/length are per-row; recompute only where the url is
+        # unique in the input so the lookup is unambiguous
+        if sum(1 for u, _, _ in rows if u == r["orig_url"]) == 1:
+            payload = by_url[r["orig_url"]]
+            want = hashlib.md5(
+                binascii.hexlify(payload).upper()).hexdigest()
+            assert r["digest"] == want
+            assert r["length"] == len(payload)

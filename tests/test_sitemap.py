@@ -133,3 +133,42 @@ def test_gate_rejects_sitemaps_from_extraction(spark):
     sm = (rejects.filter(F.col("url").endswith("/sitemap.xml"))
           .select("error").distinct().collect())
     assert [r.error for r in sm] == ["unsupported_content_type:xml"]
+
+
+def test_parse_never_raises_on_adversarial_xml(spark):
+    """Arbitrary bytes in sitemap payloads (truncated tags, non-UTF-8,
+    unparseable lastmod/priority, loc-less blocks) must yield rows or
+    nothing — never a task failure, even under Spark 4 ANSI mode."""
+    import random
+
+    from document_converter_api_spark.operators.sitemap import (
+        parse_sitemaps,
+    )
+
+    rng = random.Random(0x51F)
+    blocks = [
+        b"<url><loc>https://h/x</loc><lastmod>2026-01-05</lastmod></url>",
+        b"<url><loc>https://h/y</loc><lastmod>not a date</lastmod></url>",
+        b"<url><loc>https://h/z</loc><priority>high</priority></url>",
+        b"<url><lastmod>2026-01-05T00:00:00Z</lastmod></url>",  # no loc
+        b"<url><loc></loc></url>",
+        b"<url><loc>https://h/q</loc>",                        # truncated
+        bytes(rng.getrandbits(8) for _ in range(40)),           # junk
+    ]
+    rows = []
+    from datetime import datetime
+    for i in range(120):
+        body = b"<?xml?><urlset>" + b"\n".join(
+            rng.choice(blocks) for _ in range(rng.randint(0, 6))
+        ) + b"</urlset>"
+        rows.append((f"https://host{i % 7}.example/sitemap.xml",
+                     datetime(2025, 6, 1), body))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    got = parse_sitemaps(df).collect()
+    for r in got:
+        assert r.loc is not None, "loc-less blocks must drop at parse"
+        assert r.loc.startswith("https://h/")
+    # date-only lastmod parses; junk lastmod/priority null out
+    assert any(r.lastmod is not None for r in got)
+    assert all(r.priority is None or 0 <= r.priority <= 1 for r in got)
