@@ -122,21 +122,11 @@ def write_cdx_shards(df: DataFrame, out_dir: str) -> DataFrame:
         "last_key string, n_records long, n_bytes long")
 
 
-def run_cdx_job(spark: SparkSession, input_path: str, output_root: str,
-                input_format: str = "parquet", shards: int = 4) -> dict:
-    from document_converter_api_spark.sources.warc import read_warc
-
-    if input_format == "warc":
-        pages = (read_warc(spark, input_path)
-                 .filter(F.col("warc_type") != "error")
-                 .select("url", "warc_ts", "html",
-                         "source_file", "warc_offset", "warc_len"))
-        lines = cdx_lines(pages, with_location=True)
-    else:
-        pages = (spark.read.parquet(input_path)
-                 .select("url", "warc_ts", "html"))
-        lines = cdx_lines(pages)
-
+def write_index(lines: DataFrame, output_root: str,
+                shards: int = 4) -> dict:
+    """(surt_key, ts14, line) → totally-ordered gzipped shard set +
+    ``cluster.idx``. The shared tail of the batch job and the streaming
+    compactor — identical inputs give byte-identical output either way."""
     ordered = (lines
                .repartitionByRange(shards, "surt_key", "ts14")
                .sortWithinPartitions("surt_key", "ts14", "line"))
@@ -154,12 +144,52 @@ def run_cdx_job(spark: SparkSession, input_path: str, output_root: str,
                     f"{os.path.basename(r.shard)}\t{r.n_records}\t{i}\n")
 
     return {
-        "input_pages": pages.count(),
         "index_records": int(sum(r.n_records for r in stats)),
         "index_shards": len(stats),
         "index_bytes": int(sum(r.n_bytes for r in stats)),
         "cluster_idx": cluster,
     }
+
+
+def run_cdx_job(spark: SparkSession, input_path: str, output_root: str,
+                input_format: str = "parquet", shards: int = 4) -> dict:
+    from document_converter_api_spark.sources.warc import read_warc
+
+    if input_format == "warc":
+        pages = (read_warc(spark, input_path)
+                 .filter(F.col("warc_type") != "error")
+                 .select("url", "warc_ts", "html",
+                         "source_file", "warc_offset", "warc_len"))
+        lines = cdx_lines(pages, with_location=True)
+    else:
+        pages = (spark.read.parquet(input_path)
+                 .select("url", "warc_ts", "html"))
+        lines = cdx_lines(pages)
+
+    stats = write_index(lines, output_root, shards=shards)
+    return {"input_pages": pages.count(), **stats}
+
+
+def compact_cdx_runs(spark: SparkSession, runs_dir: str, output_root: str,
+                     shards: int = 4) -> dict:
+    """LSM compaction: fold the per-segment record runs the streaming
+    drain appended (``streaming/cdx_stream.py`` writes cdx_records rows
+    under ``records/batch_id=N``) into the SAME totally-ordered shard
+    set + ``cluster.idx`` the batch job builds — byte-identical to
+    running ``run_cdx_job`` over the union of the segments (pinned in
+    tests/test_streaming_cdx.py). Periodic compaction bounds the run
+    count a lookup must merge, exactly like an LSM tree's L0→L1."""
+    recs = spark.read.parquet(runs_dir).drop("batch_id")
+    payload = F.to_json(F.struct(
+        F.col("orig_url").alias("url"), F.col("mime").alias("mime"),
+        F.col("digest").alias("digest"),
+        F.col("length").alias("length")))
+    lines = recs.select(
+        "surt_key", "ts14",
+        F.concat("surt_key", F.lit(" "), "ts14", F.lit(" "), payload)
+        .alias("line"))
+    stats = write_index(lines, output_root, shards=shards)
+    return {"input_records": recs.count(), **stats}
 
 
 def main() -> None:

@@ -69,3 +69,36 @@ def test_retrigger_indexes_only_new_segments(spark, tmp_path):
     want = cdx_records(spark.read.parquet(
         os.path.join(indir, "seg-900.parquet")))
     assert _rows(new_rows.drop("batch_id")) == _rows(want)
+
+
+def test_compaction_equals_batch_index_byte_for_byte(spark, tmp_path):
+    """The LSM contract end to end: drain 3 segment drops, compact the
+    per-batch runs, and the shard files + cluster.idx are BYTE-identical
+    to the batch job run over the same pages in one shot."""
+    import gzip
+
+    from jobs.cdxindex import compact_cdx_runs, run_cdx_job
+
+    indir = str(tmp_path / "in")
+    _split_corpus(indir, n_files=3, take=240)
+    stream_out = str(tmp_path / "stream")
+    run_cdx_available_now(spark, indir, stream_out)
+
+    compacted = str(tmp_path / "compacted")
+    cstats = compact_cdx_runs(
+        spark, os.path.join(stream_out, "records"), compacted, shards=3)
+    batch = str(tmp_path / "batch")
+    bstats = run_cdx_job(spark, indir, batch, shards=3)
+
+    assert cstats["index_records"] == bstats["index_records"] == 240
+    names_c = sorted(os.listdir(os.path.join(compacted, "indexes")))
+    names_b = sorted(os.listdir(os.path.join(batch, "indexes")))
+    assert names_c == names_b
+    for name in names_c:
+        a = gzip.decompress(open(
+            os.path.join(compacted, "indexes", name), "rb").read())
+        b = gzip.decompress(open(
+            os.path.join(batch, "indexes", name), "rb").read())
+        assert a == b, f"{name} differs between compaction and batch"
+    assert (open(os.path.join(compacted, "cluster.idx")).read()
+            == open(os.path.join(batch, "cluster.idx")).read())
