@@ -64,7 +64,7 @@ _GATE_WINDOW_FIRST = [
     "webhook_payloads", "weighted_sample",
     # brand-new in round 4
     "url_aliases", "robots_precedence", "sitemap_directives",
-    "cdx_index", "cdx_shards", "cdx_revisits",
+    "cdx_index", "cdx_shards", "cdx_revisits", "cdx_lookup",
     "sitemap_urls", "sitemap_coverage", "sitemap_freshness",
     # operators/oracles changed in round 4
     "delay_compliance", "robots_rules", "robots_compliance",
@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "cdx_shards": _q_cdx_shards,
         "cdx_revisits": _q_cdx_revisits,
+        "cdx_lookup": _q_cdx_lookup,
         # Sitemap tier (operators/sitemap.py): urlset parsing,
         # declared-vs-crawled coverage, lastmod recrawl freshness
         "sitemap_urls": _q_sitemap_urls,
@@ -391,6 +392,11 @@ def _q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cdx_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_converter_api_spark.operators.cdx import q_cdx_revisits
     return q_cdx_revisits(spark, sf_dir)
+
+
+def _q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_converter_api_spark.operators.cdx import q_cdx_lookup
+    return q_cdx_lookup(spark, sf_dir)
 
 
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,7 +68,7 @@ BENCH_QUERIES = (
     "frontier_discovery", "charset_audit", "robots_compliance",
     "delay_compliance", "url_aliases", "robots_precedence",
     "sitemap_directives",
-    "cdx_index", "cdx_shards", "cdx_revisits",
+    "cdx_index", "cdx_shards", "cdx_revisits", "cdx_lookup",
     "sitemap_urls", "sitemap_coverage", "sitemap_freshness",
 )
 

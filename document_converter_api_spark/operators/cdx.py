@@ -208,7 +208,70 @@ def q_cdx_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("digest"))
 
 
-_CAPTURES_CTE = """
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed index lookup, the read path the tier exists for:
+    a query-url batch (a deterministic corpus sample plus planted
+    misses with an extra query param — different SURT key, so they
+    route but match nothing) is SURT-canonicalized, ROUTED through the
+    cluster.idx host ranges (a range join against the tiny shard
+    table — the distributed analog of binary-searching cluster.idx),
+    then probed against the index by surt-key equality within the
+    routed shard. Output per query url: owning shard, capture count,
+    earliest capture timestamp.
+
+    Scale shape: the shard table is thousands of rows → broadcast
+    range join (BroadcastNestedLoop over ~10^3 rows, trivial); the
+    probe is a plain equi-join on surt_key, co-partitioned with the
+    index — a 10^6-url batch lookup costs one skinny shuffle, never a
+    scan of the page corpus bytes."""
+    recs = cdx_records(_captures(spark))
+    host_key = F.regexp_extract("surt_key", "^([^)]*)\\)", 1)
+    shards = q_cdx_shards(spark, sf_dir)
+    base = (all_pages_df(spark).select("url")
+            .filter(F.substring(F.md5("url"), 1, 1).isin("4", "5")))
+    queries = base.unionAll(
+        base.select(F.concat("url", F.lit("?nocache=1")).alias("url")))
+    q = queries.select(
+        F.col("url").alias("query_url"),
+        surt_key(F.col("url")).alias("qk"),
+    ).withColumn("q_host", F.regexp_extract("qk", "^([^)]*)\\)", 1))
+    routed = q.join(
+        F.broadcast(shards),
+        (F.col("q_host") >= F.col("start_key"))
+        & (F.col("q_host") <= F.col("end_key")), "left")
+    hits = (recs.groupBy(F.col("surt_key").alias("qk"))
+            .agg(F.count("*").cast("long").alias("n_captures"),
+                 F.min("ts14").alias("first_ts")))
+    return (routed.join(hits, "qk", "left")
+            .select("query_url", "shard_id",
+                    F.coalesce("n_captures", F.lit(0)).cast("long")
+                    .alias("n_captures"),
+                    F.col("first_ts"))
+            .orderBy("query_url"))
+
+
+# shared SURT fragments (DuckDB): h/p/ps derive from a column named
+# `url`; _SURT_SQL composes them — the same decomposition the Spark
+# surt_key() expression uses, so the two stay reviewable side by side.
+_H_SQL = """regexp_replace(regexp_replace(lower(regexp_extract(
+            regexp_replace(url, '#.*$', ''),
+            '^https?://([^/?#]+)', 1)), ':(80|443)$', ''),
+          '^www\\.', '')"""
+_P_SQL = """lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+              '^https?://[^/?#]+([^?#]*)', 1))"""
+_PS_SQL = """list_sort(list_filter(
+          str_split(regexp_extract(regexp_replace(url, '#.*$', ''),
+                    '\\?(.*)$', 1), '&'), x -> x <> ''))"""
+_SURT_SQL = """array_to_string(list_reverse(string_split(
+          regexp_replace(h, ':\\d+$', ''), '.')), ',')
+        || CASE WHEN regexp_extract(h, ':(\\d+)$', 1) <> ''
+                THEN ':' || regexp_extract(h, ':(\\d+)$', 1) ELSE '' END
+        || ')'
+        || CASE WHEN p = '' THEN '/' ELSE p END
+        || CASE WHEN len(ps) > 0
+                THEN '?' || array_to_string(ps, '&') ELSE '' END"""
+
+_CAPTURES_CTE = f"""
   base AS (SELECT url, warc_ts, html FROM '__PAGES_PARQUET__'),
   sel AS (SELECT * FROM base
           WHERE substr(md5(url), 1, 1) IN ('0', '1', '2', '3')),
@@ -228,15 +291,7 @@ _CAPTURES_CTE = """
            warc_ts + INTERVAL 3 HOUR, html FROM sel),
   recs AS (
     SELECT
-      array_to_string(list_reverse(string_split(
-          regexp_replace(h, ':\\d+$', ''), '.')), ',')
-        || CASE WHEN regexp_extract(h, ':(\\d+)$', 1) <> ''
-                THEN ':' || regexp_extract(h, ':(\\d+)$', 1) ELSE '' END
-        || ')'
-        || CASE WHEN p = '' THEN '/' ELSE p END
-        || CASE WHEN len(ps) > 0
-                THEN '?' || array_to_string(ps, '&') ELSE '' END
-        AS surt_key,
+      {_SURT_SQL} AS surt_key,
       strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
       url AS orig_url,
       CASE WHEN url LIKE '%.html' OR url LIKE '%.htm' THEN 'text/html'
@@ -252,16 +307,9 @@ _CAPTURES_CTE = """
       CAST(octet_length(html) AS BIGINT) AS length
     FROM (
       SELECT url, warc_ts, html,
-        regexp_replace(regexp_replace(lower(regexp_extract(
-            regexp_replace(url, '#.*$', ''),
-            '^https?://([^/?#]+)', 1)), ':(80|443)$', ''),
-          '^www\\.', '') AS h,
-        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-              '^https?://[^/?#]+([^?#]*)', 1)) AS p,
-        list_sort(list_filter(
-          str_split(regexp_extract(regexp_replace(url, '#.*$', ''),
-                    '\\?(.*)$', 1), '&'),
-          x -> x <> '')) AS ps
+        {_H_SQL} AS h,
+        {_P_SQL} AS p,
+        {_PS_SQL} AS ps
       FROM captures))
 """
 
@@ -291,6 +339,52 @@ CDX_ORACLES = {
                CAST(sum(n_recs) AS BIGINT) AS n_records,
                CAST(count(*) AS BIGINT) AS n_hosts
         FROM offs GROUP BY 1 ORDER BY shard_id
+    """,
+    "cdx_lookup": f"""
+        WITH {_CAPTURES_CTE},
+        hosts AS (
+          SELECT regexp_extract(surt_key, '^([^)]*)\\)', 1) AS host_key,
+                 CAST(count(*) AS BIGINT) AS n_recs
+          FROM recs GROUP BY 1),
+        offs AS (
+          SELECT host_key, n_recs,
+                 CAST(coalesce(sum(n_recs) OVER (ORDER BY host_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+                 CAST(sum(n_recs) OVER () AS BIGINT) AS total
+          FROM hosts),
+        shards AS (
+          SELECT CAST(floor(cum_before * {NSHARDS} / total) AS BIGINT)
+                   AS shard_id,
+                 min(host_key) AS start_key,
+                 max(host_key) AS end_key
+          FROM offs GROUP BY 1),
+        qbase AS (SELECT url FROM base
+                  WHERE substr(md5(url), 1, 1) IN ('4', '5')),
+        qurls AS (SELECT url FROM qbase
+                  UNION ALL SELECT url || '?nocache=1' FROM qbase),
+        q AS (
+          SELECT url AS query_url, {_SURT_SQL} AS qk
+          FROM (SELECT url,
+                  {_H_SQL} AS h,
+                  {_P_SQL} AS p,
+                  {_PS_SQL} AS ps
+                FROM qurls)),
+        routed AS (
+          SELECT q.query_url, q.qk, s.shard_id
+          FROM q LEFT JOIN shards s
+            ON regexp_extract(q.qk, '^([^)]*)\\)', 1)
+                 BETWEEN s.start_key AND s.end_key),
+        hits AS (
+          SELECT surt_key AS qk,
+                 CAST(count(*) AS BIGINT) AS n_captures,
+                 min(ts14) AS first_ts
+          FROM recs GROUP BY 1)
+        SELECT r.query_url, r.shard_id,
+               CAST(coalesce(h.n_captures, 0) AS BIGINT) AS n_captures,
+               h.first_ts
+        FROM routed r LEFT JOIN hits h ON r.qk = h.qk
+        ORDER BY r.query_url
     """,
     "cdx_revisits": f"""
         WITH {_CAPTURES_CTE}

@@ -171,3 +171,25 @@ def test_cdx_records_never_raise_on_adversarial_urls(spark):
                 binascii.hexlify(payload).upper()).hexdigest()
             assert r["digest"] == want
             assert r["length"] == len(payload)
+
+
+def test_lookup_routes_and_counts(spark):
+    from document_converter_api_spark.operators.cdx import q_cdx_lookup
+    rows = q_cdx_lookup(spark, "").collect()
+    assert rows
+    hits = [r for r in rows if not r["query_url"].endswith("?nocache=1")]
+    misses = [r for r in rows if r["query_url"].endswith("?nocache=1")]
+    assert len(hits) == len(misses)
+    # every sampled corpus url is in the index at least once; the
+    # param-variant probes route but match nothing
+    assert all(r["n_captures"] >= 1 and r["first_ts"] for r in hits)
+    assert all(r["n_captures"] == 0 and r["first_ts"] is None
+               for r in misses)
+    # routing: the query's host key must fall inside its shard's range
+    shards = {r["shard_id"]: r for r in q_cdx_shards(spark, "").collect()}
+    for r in rows:
+        if r["shard_id"] is not None:
+            s = shards[r["shard_id"]]
+            host = r["query_url"].split("/")[2].lower()
+            hk = ",".join(reversed(host.split(".")))
+            assert s["start_key"] <= hk <= s["end_key"]
