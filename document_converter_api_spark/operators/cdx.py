@@ -32,10 +32,12 @@ The three oracled queries:
 * ``q_cdx_shards`` — the ``cluster.idx`` analogue: contiguous SURT-range
   shards of the index with (start_key, end_key, record/host counts).
   Sharding is HOST-granular: per-host record counts (one map-side-
-  combined agg), a running-offset window over the tiny host table, and
+  combined agg), a distributed running offset over the host table
+  (the token-pack fan-in-4096 prefix-sum tree,
+  ``curation.ordered_prefix_sum``), and
   ``shard = floor(offset * NSHARDS / total)`` — never a window over the
-  page rows themselves (same reduction the token-pack shard assigner
-  uses, ``operators/curation.py``).
+  page rows themselves, and never an unpartitioned window over the
+  host rows either.
 * ``q_cdx_revisits`` — the WARC ``revisit``-record audit: group captures
   by payload digest; every capture after the temporal first is a
   revisit whose body a deduplicating archive would not store again.
@@ -52,19 +54,23 @@ Scale notes (10^12 captures):
   with a Hadoop total-order partitioner. Each output partition is one
   ``cdx-NNNNN.gz`` part; ``q_cdx_shards``'s ranges are the read-side
   complement.
-* ``q_cdx_shards`` aggregates to host granularity BEFORE its window:
-  10^12 captures reduce to ~10^8 hosts, and the running sum over the
-  host table can be tree-aggregated exactly like the token-pack prefix
-  sum if even that is too wide for one window partition.
+* ``q_cdx_shards`` aggregates to host granularity BEFORE its running
+  sum (10^12 captures reduce to ~10^8 hosts), and the running sum
+  itself is the token-pack fan-in-4096 prefix-sum tree
+  (``curation.ordered_prefix_sum``) — no unpartitioned window anywhere
+  in the tier.
 * ``q_cdx_revisits`` shuffles (digest, 16B) pairs once, partial-
   aggregated map-side; payload bytes never move.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from document_converter_api_spark.operators.curation import (
+    ordered_prefix_sum,
+)
 from document_converter_api_spark.operators.linkgraph import (
     all_pages_df,
     pages_path,
@@ -170,17 +176,20 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cluster.idx: contiguous host-granular SURT-range shards."""
+    """cluster.idx: contiguous host-granular SURT-range shards.
+
+    The running offset over the host table is ``ordered_prefix_sum``
+    (operators/curation.py) — range-partition by host_key, tree-fold the
+    per-partition totals with fan-in 4096, per-partition window cumsum —
+    never an unpartitioned ``Window.orderBy`` (which would plan
+    ``Exchange SinglePartition``: at 10^8 hosts a multi-GB single-task
+    sort; ``tests/test_plans.py`` pins its absence)."""
     recs = cdx_records(_captures(spark))
     host_key = F.regexp_extract("surt_key", "^([^)]*)\\)", 1)
     hosts = (recs.groupBy(host_key.alias("host_key"))
              .agg(F.count("*").cast("long").alias("n_recs")))
-    w = (Window.orderBy("host_key")
-         .rowsBetween(Window.unboundedPreceding, -1))
     total = hosts.agg(F.sum("n_recs").alias("total"))
-    sharded = (hosts
-               .withColumn("cum_before",
-                           F.coalesce(F.sum("n_recs").over(w), F.lit(0)))
+    sharded = (ordered_prefix_sum(hosts, "host_key", "n_recs")
                .crossJoin(F.broadcast(total))
                .withColumn("shard_id",
                            F.floor(F.col("cum_before") * NSHARDS

@@ -198,6 +198,52 @@ def _group_offsets(sums: DataFrame,
             .select("grp", "grp_offset"))
 
 
+def ordered_prefix_sum(df: DataFrame, key_col: str, val_col: str,
+                       out_col: str = "cum_before",
+                       parts: int | None = None,
+                       max_groups: int = PACK_MAX_GROUPS) -> DataFrame:
+    """Exclusive running sum of ``val_col`` in ``key_col`` order — for
+    keys with no numeric group structure (strings) — without ever
+    planning an unpartitioned window (``Exchange SinglePartition``, the
+    whole table through one task).
+
+    Shape: ``repartitionByRange(parts, key)`` gives monotone physical
+    partitions; ``spark_partition_id()`` is then an order-aligned group
+    id, per-group totals fold through the same fan-in-``max_groups``
+    recursive tree ``q_token_pack`` uses (``_group_offsets``), and a
+    PER-GROUP window cumsum adds the within-group part. No single task,
+    window partition, or driver collect sees more than
+    ``max(rows/parts, max_groups)`` rows; at 10^8 host keys and
+    ``parts=4096`` that is ~25k rows per window partition.
+
+    ``localCheckpoint`` pins the range partitioning: the grouped frame
+    is consumed TWICE (totals + the window join), and
+    ``repartitionByRange`` boundaries come from sampling, so without
+    materialization the two executions could disagree on partition ids
+    and the offsets would join against the wrong groups
+    (``spark_partition_id`` is only meaningful on a materialized
+    distribution). On a production cluster prefer a reliable
+    ``checkpoint()``/persisted table if executor loss mid-job matters —
+    a recomputed localCheckpoint partition could in principle resample.
+
+    ``parts`` defaults to the session's default parallelism; size it to
+    ~N/500k rows at scale (the tree handles ``parts > max_groups``)."""
+    spark = df.sparkSession
+    n_parts = parts or spark.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, key_col)
+              .withColumn("grp", F.spark_partition_id().cast("long"))
+              .localCheckpoint())
+    sums = ranged.groupBy("grp").agg(F.sum(val_col).alias("t"))
+    offs = _group_offsets(sums, max_groups)
+    w = (Window.partitionBy("grp").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (ranged.join(offs, "grp")
+            .withColumn(out_col,
+                        F.col("grp_offset")
+                        + F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+            .drop("grp", "grp_offset"))
+
+
 def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign docs (in ``doc_id`` order) to fixed-token-budget training
     shards: ``shard_id = floor(tokens_before_doc / PACK_BUDGET)``.

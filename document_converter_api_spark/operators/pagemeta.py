@@ -106,22 +106,37 @@ def visible_text(page):
 def q_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared ``<html lang>`` vs stopword-detected language of the
     visible text — the CCNet-style label audit. Same stopword tables
-    and (en, es, de) argmax tie-break as ``text_analysis.q_lang_id``."""
+    and (en, es, de) argmax tie-break as ``text_analysis.q_lang_id``.
+
+    ONE-PASS counting: a single ``F.aggregate`` over the token array
+    accumulates a ``struct<en,es,de>`` of stopword hits. The previous
+    three-``F.filter`` form referenced ``toks`` in three sibling
+    columns; HOF lambdas block whole-stage codegen's subexpression
+    elimination there, so the full ``STRIP_RE`` tag-strip + lowercase +
+    split chain over the raw page re-evaluated once PER LANGUAGE — the
+    slowest query on every round's bench list for exactly that reason.
+    One aggregate → one strip/split evaluation, no intermediate
+    filtered-array materialization."""
+    # the merge lambda's two params are (acc, element) — F.aggregate's
+    # fixed arity, unlike F.filter where a second param would silently
+    # flip to the (element, index) form (round-3 session-3 pitfall)
+    zero = F.struct(*[F.lit(0).cast("long").alias(lang)
+                      for lang in LANG_ORDER])
+    hits = F.aggregate(
+        "toks", zero,
+        lambda acc, t: F.struct(*[
+            (acc[lang] + t.isin(*STOPWORDS[lang]).cast("long")).alias(lang)
+            for lang in LANG_ORDER]))
     docs = (_pages_df(spark)
             .select("url",
                     F.regexp_extract(_page(), DECLARED_RE, 1)
                     .alias("declared_lang"),
                     F.split(F.lower(visible_text(_page())), "[^a-z]+", -1)
-                    .alias("toks")))
-    # bind the loop var via a factory — a default-arg lambda would have
-    # TWO Python params and pyspark would silently treat it as the
-    # (element, index) HOF form (see memory: round-3 session-3 pitfalls)
-    def _hits(lang: str):
-        return F.size(F.filter(
-            "toks", lambda t: t.isin(*STOPWORDS[lang]))).cast("long")
-
-    for lang in LANG_ORDER:
-        docs = docs.withColumn(f"hits_{lang}", _hits(lang))
+                    .alias("toks"))
+            .withColumn("h", hits)
+            .select("url", "declared_lang",
+                    *[F.col(f"h.{lang}").alias(f"hits_{lang}")
+                      for lang in LANG_ORDER]))
     pred = (F.when((F.col("hits_en") >= F.col("hits_es"))
                    & (F.col("hits_en") >= F.col("hits_de")), "en")
             .when(F.col("hits_es") >= F.col("hits_de"), "es")

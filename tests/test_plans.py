@@ -434,3 +434,20 @@ def test_chunk_overlap_is_pure_catalyst(spark):
     plan = plan_of(entrymod.queries()["chunk_overlap"](spark, SF))
     assert "Python" not in plan and "Arrow" not in plan
     assert "Join" not in plan, plan
+
+
+def test_cdx_shards_has_no_unpartitioned_window(spark):
+    """The cluster.idx running offset must never plan a window without a
+    partition spec (Exchange SinglePartition over the whole host table —
+    at 10^8 hosts a multi-GB single-task sort). The tree-fold rewrite
+    (curation.ordered_prefix_sum) partitions every window by the range
+    group id; pin it: every windowspecdefinition's FIRST argument is a
+    partition column, not a sort spec."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["cdx_shards"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected at least one window (the per-group cumsum)"
+    for spec in specs:
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned window spec: windowspecdefinition({spec[:120]}")
