@@ -17,6 +17,7 @@ from __future__ import annotations
 import re as _re
 from dataclasses import dataclass
 
+from .deadline import DocTimeBudgetError, arm, disarm
 from .docx import docx_to_markdown
 from .markdown import html_to_markdown
 from .pdf import PdfEncryptedError, PdfNeedsOcrError, pdf_to_text

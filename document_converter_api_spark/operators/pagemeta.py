@@ -108,35 +108,44 @@ def q_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible text — the CCNet-style label audit. Same stopword tables
     and (en, es, de) argmax tie-break as ``text_analysis.q_lang_id``.
 
-    ONE-PASS counting: a single ``F.aggregate`` over the token array
-    accumulates a ``struct<en,es,de>`` of stopword hits. The previous
-    three-``F.filter`` form referenced ``toks`` in three sibling
-    columns; HOF lambdas block whole-stage codegen's subexpression
-    elimination there, so the full ``STRIP_RE`` tag-strip + lowercase +
-    split chain over the raw page re-evaluated once PER LANGUAGE — the
-    slowest query on every round's bench list for exactly that reason.
-    One aggregate → one strip/split evaluation, no intermediate
-    filtered-array materialization."""
-    # the merge lambda's two params are (acc, element) — F.aggregate's
-    # fixed arity, unlike F.filter where a second param would silently
-    # flip to the (element, index) form (round-3 session-3 pitfall)
-    zero = F.struct(*[F.lit(0).cast("long").alias(lang)
+    NO TOKEN ARRAY: one case-insensitive ``regexp_extract_all`` scan of
+    the stripped page pulls only the stopword occurrences —
+    ``(?i)(?<![a-zA-Z])(?:all 30 words)(?![a-zA-Z])`` matches exactly
+    the maximal letter runs equal to a stopword, i.e. exactly what
+    ``split("[^a-z]+")`` + ``isin(...)`` counted on the lowered text —
+    then ONE ``F.aggregate`` folds that (tiny) match array into a
+    ``struct<hits_en,hits_es,hits_de>``, expanded to columns via
+    ``F.inline(F.array(h))``. The Generate matters: three sibling
+    ``h.hits_xx`` projections would re-inline the whole chain three
+    times after projection collapse (HOF expressions get no codegen
+    CSE), whereas a generator evaluates its input exactly once — the
+    executed plan carries ONE ``regexp_extract_all``.
+
+    Measured (50k-page bench corpus, interleaved noop-write A/B,
+    round-5 optimization log): the r4 hypothesis that the strip chain
+    re-evaluated per language was WRONG — an ``F.aggregate`` over the
+    full token array (0.95x) and three per-language ``regexp_count``
+    scans (1.01x) both matched the r4 form's ~6.3-8.5 s, because the
+    dominant costs are the split's per-token String allocation and any
+    repeated automaton scan. This shape profiles at: strip 1.3 s,
+    (?i)-match without the ``lower()`` copy ~1.1 s, declared-lang
+    regex 0.4 s, aggregate+inline ~0.5 s — ~2x the r4 form end to end.
+    The DuckDB oracle keeps its ``str_split`` + ``list_filter`` form —
+    RE2 has no lookarounds — which is fine: the gate compares values,
+    not plans."""
+    all_pat = ("(?i)(?<![a-zA-Z])(?:" + "|".join(_ALL_STOPS)
+               + ")(?![a-zA-Z])")
+    stops = F.regexp_extract_all(visible_text(_page()), F.lit(all_pat), 0)
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"hits_{lang}")
                       for lang in LANG_ORDER])
-    hits = F.aggregate(
-        "toks", zero,
-        lambda acc, t: F.struct(*[
-            (acc[lang] + t.isin(*STOPWORDS[lang]).cast("long")).alias(lang)
-            for lang in LANG_ORDER]))
-    docs = (_pages_df(spark)
-            .select("url",
-                    F.regexp_extract(_page(), DECLARED_RE, 1)
-                    .alias("declared_lang"),
-                    F.split(F.lower(visible_text(_page())), "[^a-z]+", -1)
-                    .alias("toks"))
-            .withColumn("h", hits)
-            .select("url", "declared_lang",
-                    *[F.col(f"h.{lang}").alias(f"hits_{lang}")
-                      for lang in LANG_ORDER]))
+    h = F.aggregate(stops, zero, lambda acc, t: F.struct(*[
+        (acc[f"hits_{lang}"]
+         + F.lower(t).isin(*STOPWORDS[lang]).cast("long"))
+        .alias(f"hits_{lang}") for lang in LANG_ORDER]))
+    docs = _pages_df(spark).select(
+        "url",
+        F.regexp_extract(_page(), DECLARED_RE, 1).alias("declared_lang"),
+        F.inline(F.array(h)))
     pred = (F.when((F.col("hits_en") >= F.col("hits_es"))
                    & (F.col("hits_en") >= F.col("hits_de")), "en")
             .when(F.col("hits_es") >= F.col("hits_de"), "es")
