@@ -78,8 +78,17 @@ def decode_payload(payload: bytes) -> str:
 
 
 def extract_document(payload: bytes, url: str = "",
-                     content_type: str | None = None) -> ExtractResult:
-    """U1 dispatch: route by sniffed content type, extract, capture errors."""
+                     content_type: str | None = None,
+                     time_budget_s: float | None = None) -> ExtractResult:
+    """U1 dispatch: route by sniffed content type, extract, capture errors.
+
+    ``time_budget_s`` arms a cooperative per-document wall-clock budget
+    (extraction/deadline.py) — the reference declared but never enforced
+    CONVERSION_TIMEOUT=300 (/root/reference/app/main.py:208, dead
+    config); the Spark stage passes a real budget so one pathological
+    page can't pin an executor core. A blown budget is a per-doc
+    ``error='timeout'`` row, never a task failure."""
+    armed = arm(time_budget_s)
     try:
         ctype = content_type or sniff_content_type(payload, url)
         if ctype == "html":
@@ -89,6 +98,10 @@ def extract_document(payload: bytes, url: str = "",
         if ctype == "docx":
             return ExtractResult(docx_to_markdown(payload), None)
         return ExtractResult(None, f"unsupported_content_type:{ctype}")
+    except DocTimeBudgetError:
+        # wall-clock budget blown mid-parse (tagged like needs_ocr/
+        # encrypted: stable code, filterable, counted in metrics)
+        return ExtractResult(None, "timeout")
     except PdfNeedsOcrError:
         # detected-and-tagged reject (stable code, filterable downstream) —
         # the reference OCRs these via tesseract, unavailable in-sandbox
@@ -98,3 +111,6 @@ def extract_document(payload: bytes, url: str = "",
         return ExtractResult(None, "encrypted")
     except Exception as exc:  # noqa: BLE001 — doc failure must not kill the job
         return ExtractResult(None, f"{type(exc).__name__}: {exc}"[:500])
+    finally:
+        if armed:
+            disarm()

@@ -22,6 +22,9 @@ import html.parser as _hp
 from html import unescape
 from html.parser import HTMLParser
 
+from .deadline import DocTimeBudgetError
+from .deadline import check as _check_deadline
+
 # The one-shot fast path reuses the RUNNING stdlib's own compiled regexes
 # (undocumented module attributes). They have been stable across CPython 3.x
 # for a decade, but they are private: if a future build renames or removes
@@ -260,6 +263,7 @@ class _DomBuilder(HTMLParser):
         return j
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        _check_deadline()  # budget coverage for the stdlib-drive path too
         self._flush_text()
         implied = _IMPLIED_END.get(tag)
         if implied:
@@ -340,7 +344,9 @@ class _DomBuilder(HTMLParser):
         rawdata = data
         i, n = 0, len(data)
         handle_data = self.handle_data
+        check_deadline = _check_deadline
         while i < n:
+            check_deadline()  # per-token; strided clock read inside
             if not self.cdata_elem:
                 j = rawdata.find("<", i)
                 if j < 0:
@@ -519,6 +525,8 @@ def parse_html(html: str, suppress_tags: frozenset[str] | None = None,
     builder = _DomBuilder(suppress_tags, deny_attrs)
     try:
         builder.parse(html)
+    except DocTimeBudgetError:
+        raise  # budget blown ≠ markup the stdlib path should retry
     except Exception:
         return parse_html_stdlib(html, suppress_tags, deny_attrs)
     return builder.root
@@ -533,6 +541,8 @@ def parse_html_stdlib(html: str,
     try:
         builder.feed(html)
         builder.close()
+    except DocTimeBudgetError:
+        raise  # the keep-partial-tree tolerance is for markup, not budget
     except Exception:
         # html.parser is highly tolerant already; any residual error keeps
         # whatever tree was built so far (extraction failures must never kill

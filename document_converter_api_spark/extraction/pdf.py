@@ -45,6 +45,9 @@ from __future__ import annotations
 import re
 import zlib
 
+from .deadline import check as _check_deadline
+from .deadline import check_now as _check_deadline_now
+
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 
@@ -147,6 +150,7 @@ def _iter_strings_and_ops(stream: bytes):
     i = 0
     n = len(stream)
     while i < n:
+        _check_deadline()  # per content-stream token; strided clock read
         b = stream[i]
         if b == 0x28:  # '(' literal string, balanced parens with escapes
             depth = 1
@@ -327,6 +331,7 @@ def _index_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     pos, n = 0, len(data)
     while pos < n:
+        _check_deadline()  # per object; strided clock read
         m = _OBJ_RE.search(data, pos)
         if not m:
             break
@@ -816,7 +821,10 @@ def pdf_to_text(data: bytes) -> str:
 
     page_nums = _page_order(objs)
     if page_nums:
-        pages = [_page_text(objs, objs[p][0]) for p in page_nums]
+        pages = []
+        for p in page_nums:
+            _check_deadline_now()  # page boundary: coarse, unstrided
+            pages.append(_page_text(objs, objs[p][0]))
     else:
         # fallback: raw content streams in file order (no page tree
         # found). Encrypted bodies are only valid through the per-object

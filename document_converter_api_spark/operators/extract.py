@@ -44,6 +44,16 @@ from ..functions.expressions import (
     sniff_content_type_expr,
 )
 
+# Per-document wall-clock budget for the Arrow stage, seconds. The
+# reference DECLARED this number but never enforced it
+# (/root/reference/app/main.py:208, CONVERSION_TIMEOUT = 300 — dead
+# config per SURVEY.md §2.11); extraction/deadline.py enforces ours
+# cooperatively inside the parser loops, and a blown budget surfaces as
+# an error='timeout' row plus a `timeouts` accumulator — never a hung
+# task or a task failure. At 10^12 docs an unenforced budget means one
+# pathological page pins an executor core until the job is killed.
+DOC_TIME_BUDGET_S = 300.0
+
 # Output schema of the extraction stage.
 EXTRACT_SCHEMA = StructType(
     [
@@ -95,7 +105,8 @@ def _slice_batches(batches: Iterator[pa.RecordBatch],
 
 
 def extract_arrow_batches(batches: Iterator[pa.RecordBatch],
-                          max_batch_bytes: int = 64 * 1024 * 1024
+                          max_batch_bytes: int = 64 * 1024 * 1024,
+                          doc_time_budget_s: float | None = DOC_TIME_BUDGET_S
                           ) -> Iterator[pa.RecordBatch]:
     """U1–U5 over Arrow batches. Input columns: url, html, lang,
     content_type, partition_id. Rows iterate only *inside* the batch (the
@@ -115,7 +126,8 @@ def extract_arrow_batches(batches: Iterator[pa.RecordBatch],
         ms_out: list[int] = []
         for payload, url, ctype in zip(payloads, urls, ctypes):
             t0 = time.perf_counter()
-            res = extract_document(payload or b"", url or "", ctype)
+            res = extract_document(payload or b"", url or "", ctype,
+                                   time_budget_s=doc_time_budget_s)
             ms_out.append(int((time.perf_counter() - t0) * 1000))
             md_out.append(res.markdown)
             err_out.append(res.error)
@@ -198,7 +210,9 @@ def run_extract(valid: DataFrame,
                 shuffle_partitions: int | None = None,
                 max_batch_bytes: int = 64 * 1024 * 1024,
                 pre_shuffle: bool = True,
-                metrics=None) -> DataFrame:
+                metrics=None,
+                doc_time_budget_s: float | None = DOC_TIME_BUDGET_S
+                ) -> DataFrame:
     """Run the Arrow stage, optionally behind a salted repartition.
 
     ``pre_shuffle=True`` (default) hash-exchanges on (xxhash64(url), salt) —
@@ -213,7 +227,8 @@ def run_extract(valid: DataFrame,
     n = shuffle_partitions or spark.sparkContext.defaultParallelism * 4
     distributed = (valid.repartition(n, F.xxhash64("url"), F.col("salt"))
                    if pre_shuffle else valid)
-    fn = lambda it: extract_arrow_batches(it, max_batch_bytes)  # noqa: E731
+    fn = lambda it: extract_arrow_batches(  # noqa: E731
+        it, max_batch_bytes, doc_time_budget_s)
     if metrics is not None:
         # accumulator-backed live throughput + per-task skew channel
         # (operators/metrics.ExtractionMetrics, north-rule requirement)
@@ -226,9 +241,11 @@ def extract_pipeline(pages: DataFrame,
                      num_partitions: int | None = None,
                      shuffle_partitions: int | None = None,
                      pre_shuffle: bool = True,
-                     metrics=None) -> tuple[DataFrame, DataFrame]:
+                     metrics=None,
+                     doc_time_budget_s: float | None = DOC_TIME_BUDGET_S
+                     ) -> tuple[DataFrame, DataFrame]:
     """(results, rejects) — the composed S2/S3/P5 → repartition → U1–U5 flow."""
     valid, rejects = prepare_pages(pages, max_bytes, num_partitions)
     return (run_extract(valid, shuffle_partitions, pre_shuffle=pre_shuffle,
-                        metrics=metrics),
+                        metrics=metrics, doc_time_budget_s=doc_time_budget_s),
             rejects)

@@ -21,6 +21,7 @@ import time
 from collections.abc import Iterator
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark import AccumulatorParam, TaskContext
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,7 @@ class ExtractionMetrics:
         # underivable-password files
         self.needs_ocr = sc.accumulator(0)
         self.encrypted = sc.accumulator(0)
+        self.timeouts = sc.accumulator(0)
         self.bytes_in = sc.accumulator(0)
         self.bytes_out = sc.accumulator(0)
         self.parse_ms = sc.accumulator(0)
@@ -60,6 +62,7 @@ class ExtractionMetrics:
         the counters and each task reports (partition_id, wall_ms, docs)."""
         docs_acc, fail_acc = self.docs, self.failures
         ocr_acc, enc_acc = self.needs_ocr, self.encrypted
+        to_acc = self.timeouts
         bin_acc, bout_acc, pms_acc = self.bytes_in, self.bytes_out, self.parse_ms
         tasks_acc = self.tasks
 
@@ -77,15 +80,15 @@ class ExtractionMetrics:
                     err = batch.column(cols["error"])
                     fail_acc.add(n - err.null_count)
                     for tag, acc in (("needs_ocr", ocr_acc),
-                                     ("encrypted", enc_acc)):
-                        m = pa.compute.sum(pa.compute.equal(
-                            err, tag)).as_py()
+                                     ("encrypted", enc_acc),
+                                     ("timeout", to_acc)):
+                        m = pc.sum(pc.equal(err, tag)).as_py()
                         acc.add(int(m or 0))
                 for name, acc in (("bytes_in", bin_acc),
                                   ("bytes_out", bout_acc),
                                   ("parse_ms", pms_acc)):
                     if name in cols:
-                        s = pa.compute.sum(batch.column(cols[name])).as_py()
+                        s = pc.sum(batch.column(cols[name])).as_py()
                         acc.add(int(s or 0))
                 yield batch
             tasks_acc.add([(pid, int((time.perf_counter() - t0) * 1000), n_docs)])
@@ -102,6 +105,7 @@ class ExtractionMetrics:
             "failures": self.failures.value,
             "needs_ocr": self.needs_ocr.value,
             "encrypted": self.encrypted.value,
+            "timeouts": self.timeouts.value,
             "bytes_in": self.bytes_in.value,
             "bytes_out": self.bytes_out.value,
             "parse_core_seconds": round(self.parse_ms.value / 1000.0, 3),

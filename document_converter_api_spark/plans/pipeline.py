@@ -90,9 +90,11 @@ def partition_metrics(results: DataFrame) -> DataFrame:
     """A6 per-partition lineage aggregates (SURVEY.md §2.4): single hash
     aggregate, map-side partials free from Catalyst.
 
-    ``needs_ocr_count``/``encrypted_count`` break out the two DEGRADED
-    error classes (round-3 verdict item 10): image-only PDFs the sandbox
-    cannot OCR and files whose password the handler cannot derive. At
+    ``needs_ocr_count``/``encrypted_count``/``timeout_count`` break out
+    the DEGRADED error classes (round-3 verdict item 10; timeout added
+    round 5): image-only PDFs the sandbox cannot OCR, files whose
+    password the handler cannot derive, and documents that blew the
+    per-doc wall-clock budget (operators/extract.DOC_TIME_BUDGET_S). At
     100 TB these columns are how an operator quantifies the text the
     run *knowingly* left behind (the reference recovers the former via
     tesseract) — without them the degradation hides inside the flat
@@ -106,6 +108,8 @@ def partition_metrics(results: DataFrame) -> DataFrame:
         .alias("needs_ocr_count"),
         F.sum(F.when(F.col("error") == "encrypted", 1).otherwise(0))
         .alias("encrypted_count"),
+        F.sum(F.when(F.col("error") == "timeout", 1).otherwise(0))
+        .alias("timeout_count"),
         F.slice(F.filter(F.collect_list(F.when(F.col("error").isNotNull(), F.col("url"))),
                          lambda u: u.isNotNull()), 1, 20).alias("failure_urls"),
     )
