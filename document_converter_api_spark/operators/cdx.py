@@ -23,12 +23,27 @@ The three oracled queries:
   strip a leading ``www.`` label, strip default ports ``:80``/``:443``,
   reverse the host labels and join with commas, ``)`` separator,
   lowercase path (empty path → ``/``), drop the fragment, sort query
-  parameters.  The fixture corpus is already canonical, so the query
-  PLANTS three deterministic variants per selected page (mixed-case
-  ``WWW.`` authority, unsorted query string + fragment, ``http://…:80``
-  form) at +1h/+2h/+3h fetch times; the first and third collapse onto
-  the base url's SURT key as extra captures, the second sorts its
-  params into a new key — exactly what a revisit-aware index must show.
+  parameters, and normalize percent-encoding (round-5 hardening —
+  real crawls carry mixed-case escapes and over-encoded unreserved
+  characters): every valid ``%XX`` escape gets UPPERCASE hex, escapes
+  of the RFC 3986 unreserved set (``ALPHA DIGIT - . _ ~``) are
+  DECODED (lowercased in the path, case kept in the query, matching
+  the ``surt`` library's decode-then-lowercase default), reserved and
+  non-ASCII escapes are kept, and a ``%`` not followed by two hex
+  digits passes through verbatim (tolerant, like the lenient mode
+  archives index with). Already-punycoded (``xn--``) authorities pass
+  through the ordinary lowercase/reverse path — WARC request records
+  carry the wire (ACE) form; raw-Unicode IDN input is out of scope and
+  would need a ToASCII step upstream.  The fixture corpus is already
+  canonical, so the query PLANTS three deterministic variants per
+  selected page (mixed-case ``WWW.`` authority, unsorted query string
+  + fragment, ``http://…:80`` form) at +1h/+2h/+3h fetch times — the
+  first and third collapse onto the base url's SURT key as extra
+  captures, the second sorts its params into a new key — plus eight
+  literal percent-encoding edge captures (``_PLANTED_PCT``: mixed-case
+  hex, over-encoded unreserved, reserved ``%2F`` kept, equivalent-
+  encoding duplicate pair, stray/truncated ``%``, punycode host,
+  encoded query params) that both engines synthesize identically.
 * ``q_cdx_shards`` — the ``cluster.idx`` analogue: contiguous SURT-range
   shards of the index with (start_key, end_key, record/host counts).
   Sharding is HOST-granular: per-host record counts (one map-side-
@@ -93,6 +108,41 @@ _MIME = {
 }
 
 
+_HEX_DIGITS = "0123456789ABCDEF"
+_UNRESERVED_RE = "^[A-Za-z0-9._~-]$"
+
+
+def pct_normalize(col, lower_decoded: bool):
+    """RFC 3986 §2.3/§6.2.2 percent-encoding normalization as one
+    codegen'd expression: split on ``%``; for each following part the
+    first two chars are the candidate hex — invalid (short/non-hex)
+    escapes pass through verbatim with their ``%``, unreserved escapes
+    decode (``lower_decoded`` matches the caller's path-lowercasing),
+    everything else keeps an UPPERCASE-hex escape. ``F.position`` into
+    the hex alphabet doubles as both the validity test and the nibble
+    value, so the whole thing stays inside whole-stage codegen — no
+    UDF, no regex per escape."""
+    parts = F.split(col, "%", -1)
+    head = F.element_at(parts, 1)
+
+    def fix(p):
+        h1 = F.upper(F.substring(p, 1, 1))
+        h2 = F.upper(F.substring(p, 2, 1))
+        d1 = F.position(h1, F.lit(_HEX_DIGITS))
+        d2 = F.position(h2, F.lit(_HEX_DIGITS))
+        valid = (F.length(p) >= 2) & (d1 > 0) & (d2 > 0) \
+            & (h1 != "") & (h2 != "")
+        ch = F.char((d1 - 1) * 16 + (d2 - 1))
+        dec = F.lower(ch) if lower_decoded else ch
+        rest = F.substring(p, 3, 1 << 30)
+        return (F.when(~valid, F.concat(F.lit("%"), p))
+                .when(ch.rlike(_UNRESERVED_RE), F.concat(dec, rest))
+                .otherwise(F.concat(F.lit("%"), h1, h2, rest)))
+
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
 def surt_host(host_col):
     """Reversed, comma-joined, canonical authority: lowercase, default
     ports and one leading ``www.`` label stripped."""
@@ -109,12 +159,25 @@ def surt_host(host_col):
 
 
 def surt_key(url_col):
-    """Full SURT key for a url column (see module docstring for rules)."""
+    """Full SURT key for a url column (see module docstring for rules).
+
+    Percent-normalization order matters and is pinned by test: the path
+    is lowercased FIRST, then pct-normalized with decoded unreserved
+    chars lowercased — byte-equal to the ``surt`` library's
+    decode-then-lowercase for every input, while keeping the uppercase
+    hex of surviving escapes (a trailing ``lower()`` would undo it).
+    Query params keep their case; normalization happens BEFORE the
+    ``&`` split + sort so equivalent encodings sort identically (the
+    unreserved set contains no ``&``/``=``, so decoding cannot create
+    a separator)."""
     base = F.regexp_replace(url_col, "#.*$", "")
     host = F.regexp_extract(base, _AUTH_RE, 1)
-    path = F.lower(F.regexp_extract(base, "^https?://[^/?#]+([^?#]*)", 1))
+    path = pct_normalize(
+        F.lower(F.regexp_extract(base, "^https?://[^/?#]+([^?#]*)", 1)),
+        lower_decoded=True)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    qstr = F.regexp_extract(base, "\\?(.*)$", 1)
+    qstr = pct_normalize(F.regexp_extract(base, "\\?(.*)$", 1),
+                         lower_decoded=False)
     params = F.array_sort(F.filter(F.split(qstr, "&"), lambda p: p != ""))
     return F.concat(
         surt_host(host), F.lit(")"), path,
@@ -129,6 +192,40 @@ def _mime_expr(url_col):
         expr = F.when(F.col(url_col).endswith(suffix),
                       F.lit(mime)).otherwise(expr)
     return expr
+
+
+# Percent-encoding edge captures both engines plant literally
+# (url, fetch timestamp); the body is encode(url) so digests are
+# per-url deterministic. Expected SURT keys are pinned in
+# tests/test_cdx.py::test_surt_percent_normalization:
+#   %7E/%41/%2d over-encoded unreserved → decoded (~ / a / -);
+#   %c3%a9 mixed-case non-ASCII → %C3%A9 (uppercase hex, kept);
+#   %2F/%2f reserved slash → %2F kept, the two spellings collapse to
+#   ONE key (an equivalent-encoding duplicate pair, +1h apart);
+#   100%break / trail% → invalid escapes pass through verbatim;
+#   xn-- punycode authority → ordinary lowercase/reverse path;
+#   query %41→A (case KEPT in query), %25 kept, %7e→~, params sorted.
+_PLANTED_PCT = (
+    ("https://pct.example/%7Euser/%41bout/file%2dname.html",
+     "2025-06-01 10:00:00"),
+    ("https://pct.example/caf%c3%a9/page%2fone.html",
+     "2025-06-01 11:00:00"),
+    ("https://pct.example/a%2Fb.html", "2025-06-01 12:00:00"),
+    ("https://pct.example/a%2fb.html", "2025-06-01 13:00:00"),
+    ("https://pct.example/100%break/it.html", "2025-06-01 14:00:00"),
+    ("https://pct.example/trail%", "2025-06-01 15:00:00"),
+    ("https://xn--bcher-kva.example/b%C3%BCcher.html",
+     "2025-06-01 16:00:00"),
+    ("https://pct.example/search.html?x=%7e&q=%41%25",
+     "2025-06-01 17:00:00"),
+)
+
+
+def _planted_pct_df(spark: SparkSession) -> DataFrame:
+    rows = ", ".join(f"('{u}', '{ts}')" for u, ts in _PLANTED_PCT)
+    return spark.sql(
+        f"SELECT url, to_timestamp(ts) AS warc_ts, encode(url, 'UTF-8') "
+        f"AS html FROM VALUES {rows} AS t(url, ts)")
 
 
 def _captures(spark: SparkSession) -> DataFrame:
@@ -149,7 +246,8 @@ def _captures(spark: SparkSession) -> DataFrame:
     v3 = sel.select(
         F.concat(F.lit("http://"), host, F.lit(":80"), rest).alias("url"),
         F.expr("warc_ts + INTERVAL 3 HOUR").alias("warc_ts"), "html")
-    return raw.unionAll(v1).unionAll(v2).unionAll(v3)
+    return (raw.unionAll(v1).unionAll(v2).unionAll(v3)
+            .unionAll(_planted_pct_df(spark)))
 
 
 def cdx_records(pages: DataFrame,
@@ -262,15 +360,39 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared SURT fragments (DuckDB): h/p/ps derive from a column named
 # `url`; _SURT_SQL composes them — the same decomposition the Spark
 # surt_key() expression uses, so the two stay reviewable side by side.
+
+
+def _pct_sql(e: str, lower_decoded: bool) -> str:
+    """DuckDB twin of :func:`pct_normalize` over SQL expression ``e``
+    (same strpos-into-hex-alphabet nibble arithmetic, RE2-safe)."""
+    code = ("CAST((strpos('0123456789ABCDEF', upper(s[1])) - 1) * 16"
+            " + strpos('0123456789ABCDEF', upper(s[2])) - 1 AS INTEGER)")
+    dec = f"lower(chr({code}))" if lower_decoded else f"chr({code})"
+    # coalesce: DuckDB array_to_string([], '') is NULL, not '' —
+    # a %-free string must normalize to itself, not NULL
+    return f"""str_split({e}, '%')[1] || coalesce(array_to_string(
+      list_transform(str_split({e}, '%')[2:], s ->
+        CASE WHEN length(s) >= 2
+              AND strpos('0123456789ABCDEF', upper(s[1])) > 0
+              AND strpos('0123456789ABCDEF', upper(s[2])) > 0
+        THEN CASE WHEN regexp_matches(chr({code}), '^[A-Za-z0-9._~-]$')
+                  THEN {dec} || s[3:]
+                  ELSE '%' || upper(s[1]) || upper(s[2]) || s[3:] END
+        ELSE '%' || s END), ''), '')"""
+
+
 _H_SQL = """regexp_replace(regexp_replace(lower(regexp_extract(
             regexp_replace(url, '#.*$', ''),
             '^https?://([^/?#]+)', 1)), ':(80|443)$', ''),
           '^www\\.', '')"""
-_P_SQL = """lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+_RAW_P_SQL = """lower(regexp_extract(regexp_replace(url, '#.*$', ''),
               '^https?://[^/?#]+([^?#]*)', 1))"""
-_PS_SQL = """list_sort(list_filter(
-          str_split(regexp_extract(regexp_replace(url, '#.*$', ''),
-                    '\\?(.*)$', 1), '&'), x -> x <> ''))"""
+_P_SQL = _pct_sql(_RAW_P_SQL, lower_decoded=True)
+_RAW_Q_SQL = """regexp_extract(regexp_replace(url, '#.*$', ''),
+                    '\\?(.*)$', 1)"""
+_PS_SQL = f"""list_sort(list_filter(
+          str_split({_pct_sql(_RAW_Q_SQL, lower_decoded=False)},
+                    '&'), x -> x <> ''))"""
 _SURT_SQL = """array_to_string(list_reverse(string_split(
           regexp_replace(h, ':\\d+$', ''), '.')), ',')
         || CASE WHEN regexp_extract(h, ':(\\d+)$', 1) <> ''
@@ -297,7 +419,10 @@ _CAPTURES_CTE = f"""
     UNION ALL
     SELECT 'http://' || regexp_extract(url, '^https?://([^/?#]+)', 1)
              || ':80' || regexp_replace(url, '^https?://[^/?#]+', ''),
-           warc_ts + INTERVAL 3 HOUR, html FROM sel),
+           warc_ts + INTERVAL 3 HOUR, html FROM sel
+    UNION ALL
+    SELECT url, warc_ts, encode(url) FROM (VALUES
+__PLANTED_PCT_VALUES__) pct(url, warc_ts)),
   recs AS (
     SELECT
       {_SURT_SQL} AS surt_key,
@@ -408,7 +533,12 @@ CDX_ORACLES = {
 }
 
 
+_PLANTED_PCT_VALUES = ",\n".join(
+    f"      ('{u}', TIMESTAMP '{ts}')" for u, ts in _PLANTED_PCT)
+
+
 def oracle_sql_for_cdx(repo_root: str | None = None) -> dict[str, str]:
     path = pages_path(repo_root)
-    return {k: v.replace("__PAGES_PARQUET__", path)
+    return {k: (v.replace("__PAGES_PARQUET__", path)
+                .replace("__PLANTED_PCT_VALUES__", _PLANTED_PCT_VALUES))
             for k, v in CDX_ORACLES.items()}

@@ -193,3 +193,63 @@ def test_lookup_routes_and_counts(spark):
             host = r["query_url"].split("/")[2].lower()
             hk = ",".join(reversed(host.split(".")))
             assert s["start_key"] <= hk <= s["end_key"]
+
+
+def test_surt_percent_normalization(spark):
+    """Round-5 SURT hardening: RFC 3986 pct-normalization in BOTH
+    engines — uppercase hex, decode unreserved (lowercased in the path,
+    case kept in the query), reserved escapes kept, invalid escapes
+    verbatim, punycode hosts through the ordinary path. The same eight
+    inputs are planted as captures (_PLANTED_PCT), so oracle parity on
+    cdx_index re-proves the DuckDB twin on every run."""
+    import duckdb
+
+    from document_converter_api_spark.operators.cdx import (
+        _H_SQL,
+        _P_SQL,
+        _PLANTED_PCT,
+        _PS_SQL,
+        _SURT_SQL,
+    )
+
+    expected = {
+        # over-encoded unreserved decode; path-decoded chars lowercase
+        "https://pct.example/%7Euser/%41bout/file%2dname.html":
+            "example,pct)/~user/about/file-name.html",
+        # mixed-case hex of non-ASCII bytes -> uppercase, KEPT
+        "https://pct.example/caf%c3%a9/page%2fone.html":
+            "example,pct)/caf%C3%A9/page%2Fone.html",
+        # reserved %2F never decodes; the two spellings collapse
+        "https://pct.example/a%2Fb.html": "example,pct)/a%2Fb.html",
+        "https://pct.example/a%2fb.html": "example,pct)/a%2Fb.html",
+        # invalid escapes (non-hex, truncated) pass through verbatim
+        "https://pct.example/100%break/it.html":
+            "example,pct)/100%break/it.html",
+        "https://pct.example/trail%": "example,pct)/trail%",
+        # ACE/punycode authority: ordinary lowercase/reverse path
+        "https://xn--bcher-kva.example/b%C3%BCcher.html":
+            "example,xn--bcher-kva)/b%C3%BCcher.html",
+        # query: params sorted AFTER normalization, decoded case KEPT
+        "https://pct.example/search.html?x=%7e&q=%41%25":
+            "example,pct)/search.html?q=A%25&x=~",
+    }
+    assert set(expected) == {u for u, _ in _PLANTED_PCT}
+    for url, want in expected.items():
+        assert _surt(spark, url) == want, url
+
+    vals = ", ".join(f"('{u}')" for u in expected)
+    rows = duckdb.connect().execute(
+        f"""SELECT url, {_SURT_SQL} AS k FROM (
+              SELECT url, {_H_SQL} AS h, {_P_SQL} AS p, {_PS_SQL} AS ps
+              FROM (VALUES {vals}) t(url))""").fetchall()
+    assert {u: k for u, k in rows} == expected
+
+
+def test_pct_normalization_is_idempotent_and_no_op_on_canonical(spark):
+    # a %-free url is untouched (the coalesce('') regression guard),
+    # and normalizing an already-normal key changes nothing
+    assert (_surt(spark, "https://h.example/plain/path.html?q=1")
+            == "example,h)/plain/path.html?q=1")
+    once = _surt(spark, "https://pct.example/caf%c3%a9/x.html")
+    again = _surt(spark, "https://pct.example/" + once.split(")/", 1)[1])
+    assert once.split(")/", 1)[1] == again.split(")/", 1)[1]
