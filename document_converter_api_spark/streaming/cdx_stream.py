@@ -14,8 +14,20 @@ union of per-batch outputs equals the one-shot batch output REGARDLESS
 of how the crawl is chopped into micro-batches — the same strongest-
 form stream==batch pin the linkage drain carries, pinned in
 ``tests/test_streaming_cdx.py``. Each epoch owns its ``batch_id=N``
-partition (data rows, not folded state — no epoch pruning), so replays
-after a crash overwrite their own partition and nothing else.
+partition (data rows, not folded state — ``keep_state_epochs`` pruning
+would DELETE index records, so it is deliberately not used here), so
+replays after a crash overwrite their own partition and nothing else.
+
+Run retention (round-4 verdict item 7): runs are retired by the
+maintenance compactor, not by epoch age — ``jobs/cdxindex.
+compact_stream_state`` folds accumulated runs plus the current L1
+parquet level into a new L1 generation, rewrites the published shard
+set + ``cluster.idx``, commits a manifest atomically, and only then
+deletes the folded ``batch_id=N`` directories. The records directory
+therefore plateaus at "runs since last compaction" instead of growing
+for the crawl's lifetime; byte-identity with the one-shot batch index
+and crash-safety of the retire step are both pinned in
+``tests/test_streaming_cdx.py``.
 """
 
 from __future__ import annotations

@@ -102,3 +102,101 @@ def test_compaction_equals_batch_index_byte_for_byte(spark, tmp_path):
         assert a == b, f"{name} differs between compaction and batch"
     assert (open(os.path.join(compacted, "cluster.idx")).read()
             == open(os.path.join(batch, "cluster.idx")).read())
+
+
+def test_compact_stream_state_retires_runs_and_plateaus(spark, tmp_path):
+    """Round-4 verdict item 7: the maintenance compactor must bound the
+    runs directory. Three drain→compact cycles: after every compaction
+    the records/ directory holds ZERO un-retired runs (it plateaus at
+    whatever arrived since the last pass, not at crawl lifetime), the
+    manifest generation advances, exactly one L1 generation survives,
+    and the final published index is byte-identical to one batch
+    run_cdx_job over everything ever drained."""
+    import gzip
+    import json
+
+    from jobs.cdxindex import compact_stream_state, run_cdx_job
+
+    indir = str(tmp_path / "in")
+    stream_out = str(tmp_path / "stream")
+    index_out = str(tmp_path / "index")
+    recdir = os.path.join(stream_out, "records")
+    l1dir = os.path.join(stream_out, "l1")
+
+    slices = [(0, 100), (100, 80), (180, 60)]
+    total = 0
+    for i, (start, n) in enumerate(slices):
+        seg = pq.read_table(PAGES).slice(start, n)
+        os.makedirs(indir, exist_ok=True)
+        pq.write_table(seg, os.path.join(indir, f"seg-{i:03d}.parquet"))
+        total += n
+        run_cdx_available_now(spark, indir, stream_out)
+        stats = compact_stream_state(spark, stream_out, index_out,
+                                     shards=3)
+        assert stats["gen"] == i
+        assert stats["level_records"] == total
+        # every run retired: the records dir plateaus at zero between
+        # segment drops instead of growing with crawl lifetime
+        leftover = [d for d in os.listdir(recdir)
+                    if d.startswith("batch_id=")]
+        assert leftover == [], leftover
+        gens = [d for d in os.listdir(l1dir) if d.startswith("gen=")]
+        assert gens == [f"gen={i}"], gens
+        manifest = json.load(open(os.path.join(l1dir, "MANIFEST.json")))
+        assert manifest["gen"] == i
+
+    # a compaction with NOTHING new is a no-op on content
+    again = compact_stream_state(spark, stream_out, index_out, shards=3)
+    assert again["level_records"] == total
+    assert again["folded_runs"] == 0
+
+    batch = str(tmp_path / "batch")
+    bstats = run_cdx_job(spark, indir, batch, shards=3)
+    assert bstats["index_records"] == total
+    names_s = sorted(os.listdir(os.path.join(index_out, "indexes")))
+    names_b = sorted(os.listdir(os.path.join(batch, "indexes")))
+    assert names_s == names_b
+    for name in names_s:
+        a = gzip.decompress(open(
+            os.path.join(index_out, "indexes", name), "rb").read())
+        b = gzip.decompress(open(
+            os.path.join(batch, "indexes", name), "rb").read())
+        assert a == b, f"{name} differs between stream+compact and batch"
+    assert (open(os.path.join(index_out, "cluster.idx")).read()
+            == open(os.path.join(batch, "cluster.idx")).read())
+
+
+def test_compact_stream_state_recovers_from_crashed_delete(spark,
+                                                           tmp_path):
+    """Crash-safety: a run directory that survives past the manifest
+    commit (simulated stale delete) is never re-folded — its batch_id
+    is <= folded_through, so the next pass prunes it without reading."""
+    import json
+    import shutil
+
+    from jobs.cdxindex import compact_stream_state
+
+    indir = str(tmp_path / "in")
+    stream_out = str(tmp_path / "stream")
+    index_out = str(tmp_path / "index")
+    recdir = os.path.join(stream_out, "records")
+    _split_corpus(indir, n_files=1, take=50)
+    run_cdx_available_now(spark, indir, stream_out)
+
+    # preserve a copy of the run, compact, then "un-delete" it
+    run_dirs = [d for d in os.listdir(recdir) if d.startswith("batch_id=")]
+    saved = str(tmp_path / "saved")
+    shutil.copytree(os.path.join(recdir, run_dirs[0]),
+                    os.path.join(saved, run_dirs[0]))
+    s1 = compact_stream_state(spark, stream_out, index_out, shards=2)
+    assert s1["level_records"] == 50
+    shutil.copytree(os.path.join(saved, run_dirs[0]),
+                    os.path.join(recdir, run_dirs[0]))
+
+    s2 = compact_stream_state(spark, stream_out, index_out, shards=2)
+    assert s2["folded_runs"] == 0          # stale run never re-read
+    assert s2["level_records"] == 50       # no duplicate records
+    assert not os.path.exists(os.path.join(recdir, run_dirs[0]))
+    manifest = json.load(open(
+        os.path.join(stream_out, "l1", "MANIFEST.json")))
+    assert manifest["gen"] == s2["gen"]
