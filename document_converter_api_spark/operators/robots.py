@@ -32,12 +32,17 @@ from pyspark.sql import functions as F
 
 from .linkgraph import HOST_RE, all_pages_df, pages_path
 
-DISALLOW_RE = "Disallow: (\\S+)"
-# capital-A anchor: the lowercase "allow: " inside "Disallow: " can
-# never match
-ALLOW_RE = "Allow: (\\S+)"
-DELAY_RE = "Crawl-delay: ([0-9]+)"
-SITEMAP_RE = "Sitemap: (\\S+)"
+# RFC 9309 §2.1: directive names are case-insensitive and whitespace
+# around the colon is flexible — real robots.txt carries 'allow:/x',
+# 'SITEMAP: …', ' Crawl-Delay : 5' (round-4 advice). The line anchor
+# replaces the old capital-A trick: case-insensitively, "allow:" occurs
+# INSIDE "Disallow:", so only a ^-anchored match (multiline; Java and
+# RE2 agree on \n and \r\n terminators) keeps the two directives
+# distinct. Both engines get the same patterns.
+DISALLOW_RE = "(?im)^[ \\t]*disallow[ \\t]*:[ \\t]*(\\S+)"
+ALLOW_RE = "(?im)^[ \\t]*allow[ \\t]*:[ \\t]*(\\S+)"
+DELAY_RE = "(?im)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+)"
+SITEMAP_RE = "(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"
 
 
 def robots_rules(pages: DataFrame) -> DataFrame:
@@ -265,12 +270,12 @@ _RULES_CTE = f"""
         rules AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
                  unnest(CASE WHEN len(regexp_extract_all(body,
-                             'Disallow: (\\S+)', 1)) = 0
+                             '{DISALLOW_RE}', 1)) = 0
                         THEN [CAST(NULL AS VARCHAR)]
                         ELSE regexp_extract_all(body,
-                             'Disallow: (\\S+)', 1) END) AS rule,
+                             '{DISALLOW_RE}', 1) END) AS rule,
                  CAST(nullif(regexp_extract(body,
-                      'Crawl-delay: ([0-9]+)', 1), '') AS BIGINT)
+                      '{DELAY_RE}', 1), '') AS BIGINT)
                    AS crawl_delay
           FROM bodies)"""
 
@@ -313,13 +318,13 @@ ROBOTS_ORACLES = {
         WITH {_BODIES_CTE},
         dirs AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
-                 unnest(regexp_extract_all(body, 'Allow: (\\S+)', 1))
+                 unnest(regexp_extract_all(body, '{ALLOW_RE}', 1))
                    AS rule,
                  1 AS is_allow
           FROM bodies
           UNION ALL
           SELECT regexp_extract(url, '{HOST_RE}', 1),
-                 unnest(regexp_extract_all(body, 'Disallow: (\\S+)', 1)),
+                 unnest(regexp_extract_all(body, '{DISALLOW_RE}', 1)),
                  0
           FROM bodies),
         fetched AS (
@@ -359,10 +364,10 @@ ROBOTS_ORACLES = {
         decl AS (
           SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
                  unnest(CASE WHEN len(regexp_extract_all(body,
-                             'Sitemap: (\\S+)', 1)) = 0
+                             '{SITEMAP_RE}', 1)) = 0
                         THEN [NULL]
                         ELSE regexp_extract_all(body,
-                             'Sitemap: (\\S+)', 1) END) AS sitemap_url
+                             '{SITEMAP_RE}', 1) END) AS sitemap_url
           FROM bodies)
         SELECT host, sitemap_url,
                sitemap_url IS NOT NULL AS has_sitemap,

@@ -196,18 +196,34 @@ def read_warc(spark: SparkSession, path_glob: str,
     return files.mapInPandas(parse, PAGES_WARC_SCHEMA)
 
 
+def _header_safe(value: str) -> bytes:
+    """WARC header values are single CRLF-terminated lines (ISO 28500
+    §4): a crawled url carrying a raw CR/LF/NUL would inject header
+    lines and desynchronize every record after it in the member file.
+    Percent-encode exactly those bytes (the RFC 3986 escape a WARC
+    reader already understands for URIs) instead of rejecting — a
+    writer fed untrusted crawl data must not die mid-shard."""
+    if "\r" not in value and "\n" not in value and "\x00" not in value:
+        return value.encode()
+    cleaned = (value.replace("%", "%25").replace("\r", "%0D")
+               .replace("\n", "%0A").replace("\x00", "%00"))
+    return cleaned.encode()
+
+
 def warc_record_bytes(url: str, ts, payload: bytes,
                       record_type: str = "resource",
                       content_type: str | None = None) -> bytes:
     """One serialized WARC record. ``record_type`` picks the product:
     ``resource`` (fixture corpora), ``conversion`` (WET extracted text),
-    ``metadata`` (WAT JSON)."""
-    extra = (b"Content-Type: " + content_type.encode() + b"\r\n"
+    ``metadata`` (WAT JSON). ``url``/``content_type`` are sanitized
+    against header-line injection (see :func:`_header_safe`)."""
+    extra = (b"Content-Type: " + _header_safe(content_type) + b"\r\n"
              if content_type else b"")
     return (
         b"WARC/1.0\r\n"
         b"WARC-Type: " + record_type.encode() + b"\r\n"
-        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Target-URI: " + _header_safe(url)
+        + b"\r\n"
         b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
         + b"\r\n" + extra
         + b"Content-Length: " + str(len(payload)).encode() + b"\r\n"

@@ -332,3 +332,49 @@ class TestPrecedenceAndSitemaps:
                          for rows_ in by_host.values() for r in rows_
                          if r.sitemap_url is not None]
         assert any(fetched_flags) and not all(fetched_flags)
+
+
+def test_directive_parsing_is_rfc9309_flexible(spark):
+    """RFC 9309 §2.1 (round-4 advice): directive names case-insensitive,
+    whitespace around the colon flexible, directives anchored at line
+    start (case-insensitively 'allow:' occurs INSIDE 'Disallow:', so
+    only the anchor keeps them distinct), comments and lookalike names
+    never match. Both engines parse the same hostile body identically."""
+    import duckdb
+
+    from document_converter_api_spark.operators.robots import (
+        ALLOW_RE,
+        DELAY_RE,
+        DISALLOW_RE,
+        SITEMAP_RE,
+        robots_rules,
+    )
+
+    body = ("User-agent: *\n"
+            "allow:/lower\n"
+            "DISALLOW: /upper\n"
+            "Disallow: /canonical\n"
+            " \tdisAllow \t: /padded\n"
+            "crawl-delay : 7\n"
+            "SITEMAP: https://h.example/s.xml\n"
+            "# allow: /commented-out\n"
+            "Xdisallow: /lookalike\n")
+    pages = spark.createDataFrame(
+        [("https://h.example/robots.txt", body.encode("ascii"))],
+        "url string, html binary")
+    rows = robots_rules(pages).collect()
+    assert sorted(r["rule"] for r in rows) == [
+        "/canonical", "/padded", "/upper"]
+    assert all(r["crawl_delay"] == 7 for r in rows)
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""SELECT regexp_extract_all(b, '{ALLOW_RE}', 1),
+                   regexp_extract_all(b, '{DISALLOW_RE}', 1),
+                   regexp_extract_all(b, '{DELAY_RE}', 1),
+                   regexp_extract_all(b, '{SITEMAP_RE}', 1)
+            FROM (SELECT ? AS b)""", [body]).fetchone()
+    assert got[0] == ["/lower"]
+    assert sorted(got[1]) == ["/canonical", "/padded", "/upper"]
+    assert got[2] == ["7"]
+    assert got[3] == ["https://h.example/s.xml"]

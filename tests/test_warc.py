@@ -249,3 +249,42 @@ class TestWarcAdversarial:
         assert recs[0]["n_parse_errors"] == 0
         assert recs[0]["warc_ts"] == datetime.datetime(
             2025, 1, 2, 3, 4, 5, 123456)
+
+
+def test_header_injection_is_neutralized(tmp_path):
+    """A crawled url carrying CR/LF (or NUL, or a literal % that must
+    survive the escaping round) cannot inject header lines: the writer
+    percent-encodes those bytes, the member file stays parseable, and
+    every record after the hostile one survives."""
+    import datetime as dt
+    import os
+
+    from document_converter_api_spark.sources.warc import (
+        parse_warc_bytes,
+        warc_record_bytes,
+        write_warc,
+    )
+
+    ts = dt.datetime(2025, 1, 1, 12, 0, 0)
+    hostile = "https://h.example/a\r\nWARC-Type: injected\r\nX: b"
+    rec = warc_record_bytes(hostile, ts, b"body", content_type="text/x\r\nY: z")
+    # structure intact: the header block is exactly the 5 intended
+    # lines — the hostile text survives INLINE in its value, never as
+    # its own header line
+    head = rec.split(b"\r\n\r\n", 1)[0]
+    names = [ln.split(b":")[0] for ln in head.split(b"\r\n")[1:]]
+    assert names == [b"WARC-Type", b"WARC-Target-URI", b"WARC-Date",
+                     b"Content-Type", b"Content-Length"]
+    assert b"%0D%0AWARC-Type" in head
+
+    path = os.path.join(str(tmp_path), "inj.warc")
+    write_warc([
+        (hostile, ts, b"first"),
+        ("https://h.example/clean.html", ts, b"second"),
+    ], path)
+    rows = parse_warc_bytes(open(path, "rb").read(), source_file=path)
+    assert [r["html"] for r in rows] == [b"first", b"second"]
+    assert rows[0]["url"] == ("https://h.example/a%0D%0A"
+                              "WARC-Type: injected%0D%0AX: b")
+    assert rows[1]["url"] == "https://h.example/clean.html"
+    assert all(r["n_parse_errors"] == 0 for r in rows)
