@@ -33,9 +33,22 @@ literal ``(...)`` (with escapes/kerning arrays) and hex ``<...>`` strings,
 plain and FlateDecode streams.
 
 Semantics (pdfminer-style):
-* each ``Td``/``TD``/``T*``/``'`` newline-advance emits ``\\n``;
+* each ``Td``/``TD``/``T*``/``Tm``/``'`` newline-advance emits ``\\n``;
 * strings within one line concatenate;
 * every page's text ends with ``\\n\\f``.
+
+READING-ORDER CONTRACT (round-5, pinned in
+tests/test_pdf_robustness.py::test_reading_order_contract_is_stream_order):
+text is emitted in CONTENT-STREAM OPERATOR ORDER. pdfminer (MarkItDown's
+engine) instead runs layout analysis and orders by y-then-x, so on a
+multi-column page whose generator emits the right column first the two
+engines differ — deliberately. Stream order is deterministic,
+single-pass, and coordinate-free; for single-column documents (the
+golden corpus, and the overwhelming majority of crawled PDFs) the two
+orders coincide, which the byte-identity goldens prove. Flipping to
+layout order would require tracking the full text matrix through
+``Tm``/``Td``/``TD`` and a y-then-x sort per page — if ever done, the
+goldens must be regenerated in the same change.
 
 Pure Python; no Spark imports.
 """
@@ -270,7 +283,10 @@ def _stream_to_text(stream: bytes,
             if fonts is not None and last_name is not None:
                 cur_font = fonts.get(last_name, _LATIN1_FONT)
             pending.clear()
-        elif op in ("Td", "TD", "T*"):
+        elif op in ("Td", "TD", "T*", "Tm"):
+            # Tm included: a text-matrix reset is how multi-column and
+            # absolutely-positioned generators start a new line/region;
+            # without it an initial Tm page would run its lines together
             if not first_line:
                 newline()
             first_line = False
