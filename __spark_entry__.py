@@ -42,45 +42,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver's correctness gate covers only the FIRST 50 entries of
-# queries(). Round-4 rotation (VERDICT r3 item 3): lead with the 14
-# queries that have NO green driver row across r1-r3 (token_pack red in
-# r3, host_stats_salted red in r1, 12 never windowed), then everything
-# brand-new or changed in round 4 (url_aliases/robots_precedence/
-# sitemap_directives; the CDX and sitemap tiers; robots latin-1 oracles
-# + single-fetch hosts; linkgraph scheme-relative resolution + one-pass
-# anchor extraction + unsorted link_extract; dedup_clusters' convergence
-# sum; semantic_dedup's arrow default), then the same-file neighbors and
-# as much of the r3-new tier (one green row each) as fits slot 50.
-# Displaced (all with >=1 green driver row and still locally
-# oracle-checked every round by tools/check_oracle.py): the multimodal
-# trio, temporal tier, sampling tail, ANN tier, dedup r1/r2 block,
-# streaming twins, the long-stable 2.8 scalar/TPC-H queries, and the
-# r3-tier tail past slot 50.
+# queries(). Round-5 rotation (VERDICT r4 item 6): every query now has a
+# green driver row, so the window is (a) everything round 5 CHANGED —
+# the CDX tier (surt pct-normalization changed its RESULTS: +8 planted
+# captures), lang_audit (one-scan rewrite), the robots/sitemap-directive
+# tier (RFC 9309 case-insensitive regexes in both engines), token_pack
+# (same file as the new ordered_prefix_sum) — then (b) the two queries
+# whose only green row is r1 (sessionize, bucketed_join), then (c) the
+# oldest-evidence backfill: the last-green-r2 cohort in registry order.
+# 12 of that cohort don't fit slot 50 and are deliberately left out —
+# the long-stable TPC-H-style relational extensions (orders_join,
+# region_revenue, part_type_share, shipping_priority, big_orders,
+# top_revenue_orders, tpch_q1, rollup_stats, distinct_users,
+# except_users, value_percentiles, preview): unchanged since r1/r2,
+# core-Spark-only surfaces, still locally oracle-checked every round by
+# tools/check_oracle.py. Everything last-green r3/r4 keeps evidence at
+# most two rounds old without a slot.
 _GATE_WINDOW_FIRST = [
-    # never driver-green across r1-r3
-    "token_pack", "host_stats_salted", "bloom_filter", "chunk_overlap",
-    "cms_topk", "crawl_rate", "histogram_quantiles", "host_cap_sample",
-    "kmv_distinct", "mojibake_repair", "semantic_dedup", "snapshot_diff",
-    "webhook_payloads", "weighted_sample",
-    # brand-new in round 4
-    "url_aliases", "robots_precedence", "sitemap_directives",
-    "cdx_index", "cdx_shards", "cdx_revisits", "cdx_lookup",
-    "sitemap_urls", "sitemap_coverage", "sitemap_freshness",
-    # operators/oracles changed in round 4
-    "delay_compliance", "robots_rules", "robots_compliance",
-    "link_extract", "host_linkgraph", "anchor_stats", "link_pagerank",
-    "frontier_discovery", "frontier_priority", "dedup_clusters",
-    # same-file neighbors of round-4 changes (headtags/pagemeta/dedup),
-    # single green row (r3)
-    "index_gate", "canonical_clusters", "structured_data",
-    "charset_audit", "readability", "page_metadata", "lang_audit",
-    "host_quality", "crawl_budget", "template_detect",
-    # r3-new tier with exactly one green driver row
-    "bigram_logprob", "doc_line_dedup", "perplexity_buckets",
-    "dsir_select", "ngram_repetition", "incremental_minhash",
-    "dedup_weights", "logreg_train", "decontaminate",
-    "unicode_normalize", "unigram_logprob", "doc_repetition",
-    "bpe_pair_stats",
+    "cdx_index", "cdx_shards", "cdx_revisits",
+    "cdx_lookup", "lang_audit", "robots_rules",
+    "robots_compliance", "robots_precedence", "delay_compliance",
+    "sitemap_directives", "token_pack", "sessionize",
+    "bucketed_join", "status_counts", "stats_conditional",
+    "jobs_listing", "retention_filter", "point_lookup",
+    "resume_antijoin", "window_rank", "plain_text_format",
+    "gdocs_format", "chunk_text", "sanitize_names",
+    "url_extension", "iso_timestamps", "json_props",
+    "element_at_chunk", "download_names", "result_json",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "line_dedup",
+    "span_dedup", "incremental_dedup", "ann_cosine_topk",
+    "ann_lsh_bucketed", "ann_ivf", "ann_pq",
+    "lang_id", "quality_score", "token_count",
+    "fingerprint", "gopher_rules", "url_normalize",
+    "corpus_curation", "pii_redact",
 ]
 
 
