@@ -293,17 +293,28 @@ def compact_stream_state(spark: SparkSession, stream_output_dir: str,
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=True,
+                    help="pages input (batch mode) or the streaming "
+                         "drain's output dir (--compact-stream mode)")
     ap.add_argument("--input-format", default="parquet",
                     choices=("parquet", "warc"))
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--compact-stream", action="store_true",
+                    help="run compact_stream_state over --input (a "
+                         "streaming CDX drain dir): fold runs + L1 into "
+                         "a new generation, rebuild the index at "
+                         "--output, retire folded runs")
     args = ap.parse_args()
     spark = (SparkSession.builder.appName("cdxindex")
              .config("spark.sql.session.timeZone", "UTC").getOrCreate())
-    stats = run_cdx_job(spark, args.input, args.output,
-                        input_format=args.input_format,
-                        shards=args.shards)
+    if args.compact_stream:
+        stats = compact_stream_state(spark, args.input, args.output,
+                                     shards=args.shards)
+    else:
+        stats = run_cdx_job(spark, args.input, args.output,
+                            input_format=args.input_format,
+                            shards=args.shards)
     print(json.dumps(stats))
 
 

@@ -432,10 +432,13 @@ def main() -> None:
         queries["cdx_index"](spark, SF))
     add("cdx_shards",
         "cluster.idx ranges: per-host record counts aggregate FIRST "
-        "(10^4x reduction, map-side combined), the running-offset "
-        "window runs over the host table only — never over page rows "
-        "(pinned by tests/test_cdx.py) — and the 1-row total rides a "
-        "broadcast crossJoin.",
+        "(10^4x reduction, map-side combined); the running offset over "
+        "the host table is the fan-in-4096 tree prefix sum "
+        "(curation.ordered_prefix_sum) — every Window in this plan is "
+        "partitioned by the range-group id, no Exchange SinglePartition "
+        "window anywhere (pinned by tests/test_plans.py); the only "
+        "SinglePartition exchange is the 1-row scalar total that rides "
+        "a broadcast crossJoin.",
         queries["cdx_shards"](spark, SF))
     add("sitemap_urls",
         "sitemaps are ~1 row per host: the suffix filter pushes to the "
