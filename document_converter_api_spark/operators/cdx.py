@@ -140,7 +140,11 @@ def pct_normalize(col, lower_decoded: bool):
                 .otherwise(F.concat(F.lit("%"), h1, h2, rest)))
 
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
-    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+    normalized = F.concat(head, F.array_join(F.transform(tail, fix), ""))
+    # short-circuit the overwhelmingly common escape-free url: one
+    # contains() beats split+transform+join per row (the round-5 bench
+    # showed the unconditional form costing ~2x on the cdx tier)
+    return F.when(~col.contains("%"), col).otherwise(normalized)
 
 
 def surt_host(host_col):
@@ -369,8 +373,11 @@ def _pct_sql(e: str, lower_decoded: bool) -> str:
             " + strpos('0123456789ABCDEF', upper(s[2])) - 1 AS INTEGER)")
     dec = f"lower(chr({code}))" if lower_decoded else f"chr({code})"
     # coalesce: DuckDB array_to_string([], '') is NULL, not '' —
-    # a %-free string must normalize to itself, not NULL
-    return f"""str_split({e}, '%')[1] || coalesce(array_to_string(
+    # a %-free string must normalize to itself, not NULL. The outer
+    # CASE short-circuits the overwhelmingly common escape-free url,
+    # mirroring the Spark side's contains('%') guard.
+    return f"""CASE WHEN strpos({e}, '%') = 0 THEN {e}
+      ELSE str_split({e}, '%')[1] || coalesce(array_to_string(
       list_transform(str_split({e}, '%')[2:], s ->
         CASE WHEN length(s) >= 2
               AND strpos('0123456789ABCDEF', upper(s[1])) > 0
@@ -378,7 +385,7 @@ def _pct_sql(e: str, lower_decoded: bool) -> str:
         THEN CASE WHEN regexp_matches(chr({code}), '^[A-Za-z0-9._~-]$')
                   THEN {dec} || s[3:]
                   ELSE '%' || upper(s[1]) || upper(s[2]) || s[3:] END
-        ELSE '%' || s END), ''), '')"""
+        ELSE '%' || s END), ''), '') END"""
 
 
 _H_SQL = """regexp_replace(regexp_replace(lower(regexp_extract(
