@@ -290,8 +290,13 @@ def q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     host_key = F.regexp_extract("surt_key", "^([^)]*)\\)", 1)
     hosts = (recs.groupBy(host_key.alias("host_key"))
              .agg(F.count("*").cast("long").alias("n_recs")))
-    total = hosts.agg(F.sum("n_recs").alias("total"))
-    sharded = (ordered_prefix_sum(hosts, "host_key", "n_recs")
+    offs = ordered_prefix_sum(hosts, "host_key", "n_recs")
+    # the scalar total aggregates the CHECKPOINTED frame the prefix sum
+    # already materialized — a `hosts.agg(...)` here would re-run the
+    # whole capture scan + host aggregation a second time (measured ~2x
+    # on the tier at bench scale before this reuse)
+    total = offs.agg(F.sum("n_recs").alias("total"))
+    sharded = (offs
                .crossJoin(F.broadcast(total))
                .withColumn("shard_id",
                            F.floor(F.col("cum_before") * NSHARDS

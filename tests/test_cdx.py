@@ -119,16 +119,19 @@ def test_record_builder_is_shuffle_free(spark):
 
 def test_shard_window_runs_on_host_table_not_pages(spark):
     plan = _plan_of(q_cdx_shards(spark, ""))
-    # the running-offset Window must sit above the host-level
-    # HashAggregate (10^4x reduction), never directly over raw capture
-    # rows. formatted explain prints root-first, leaves last: the host
-    # agg must appear BETWEEN the Window and the leaf Scan.
+    # the running-offset Window must run over the HOST table (10^4x
+    # reduction), never directly over raw capture rows. Since the
+    # prefix sum localCheckpoints the range-partitioned host frame,
+    # the window's subtree bottoms out at the checkpoint scan
+    # (ExistingRDD) whose row is (host_key, n_recs, grp) — no parquet
+    # scan, no url/html column anywhere below the Window.
     w = plan.index("Window")
-    s = plan.index("Scan parquet", w)
-    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
-    assert any(w < a < s for a in aggs), (
-        "per-host aggregation must sit between the offset window and "
-        "the page scan")
+    below = plan[w:]
+    assert "Scan ExistingRDD" in below, (
+        "offset window must read the checkpointed host table")
+    assert "Scan parquet" not in below, (
+        "offset window subtree must never touch page rows")
+    assert "host_key" in below and "html" not in below
 
 
 def test_cdx_records_never_raise_on_adversarial_urls(spark):

@@ -1676,3 +1676,38 @@ class TestSketchDifferential:
                 pos = int(h[:3], 16) % BLOOM_BITS
                 exp[pos // 32] = exp.get(pos // 32, 0) | (1 << (pos % 32))
         assert got == exp
+
+
+def test_ordered_prefix_sum_matches_serial_cumsum(spark):
+    """curation.ordered_prefix_sum (the cdx_shards running offset) must
+    equal the serial exclusive cumsum in key order for arbitrary string
+    keys — including parts counts that exceed the tree fan-in (forcing
+    the recursive fold) and keys that collide into one range partition."""
+    import random
+
+    from document_converter_api_spark.operators.curation import (
+        ordered_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(f"host-{rng.randrange(10**6):06d}.{rng.choice('abc')}",
+             rng.randrange(1, 500)) for _ in range(731)]
+    # duplicate keys are legal input for a prefix sum only if the order
+    # within ties doesn't matter for the caller; cdx_shards feeds
+    # DISTINCT host keys, so dedupe here the same way
+    seen = {}
+    for k, v in rows:
+        seen[k] = v
+    rows = sorted(seen.items())
+    serial = {}
+    acc = 0
+    for k, v in rows:
+        serial[k] = acc
+        acc += v
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    for parts, fanin in ((4, 4096), (16, 3), (64, 2)):
+        got = {r["k"]: r["cum_before"]
+               for r in ordered_prefix_sum(df, "k", "v", parts=parts,
+                                           max_groups=fanin).collect()}
+        assert got == serial, (parts, fanin)
