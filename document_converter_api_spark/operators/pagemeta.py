@@ -115,21 +115,22 @@ def q_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``split("[^a-z]+")`` + ``isin(...)`` counted on the lowered text —
     then ONE ``F.aggregate`` folds that (tiny) match array into a
     ``struct<hits_en,hits_es,hits_de>``, expanded to columns via
-    ``F.inline(F.array(h))``. The Generate matters: three sibling
-    ``h.hits_xx`` projections would re-inline the whole chain three
-    times after projection collapse (HOF expressions get no codegen
-    CSE), whereas a generator evaluates its input exactly once — the
-    executed plan carries ONE ``regexp_extract_all``.
+    ``F.inline(F.array(h))`` (a Generate; equivalent to three
+    ``h.hits_xx`` struct-field projections — counterfactual measured
+    same plan, same time — CollapseProject already refuses to inline a
+    non-cheap multi-referenced column, so the executed plan carries ONE
+    ``regexp_extract_all`` either way).
 
     Measured (50k-page bench corpus, interleaved noop-write A/B,
     round-5 optimization log): the r4 hypothesis that the strip chain
-    re-evaluated per language was WRONG — an ``F.aggregate`` over the
-    full token array (0.95x) and three per-language ``regexp_count``
-    scans (1.01x) both matched the r4 form's ~6.3-8.5 s, because the
-    dominant costs are the split's per-token String allocation and any
-    repeated automaton scan. This shape profiles at: strip 1.3 s,
-    (?i)-match without the ``lower()`` copy ~1.1 s, declared-lang
-    regex 0.4 s, aggregate+inline ~0.5 s — ~2x the r4 form end to end.
+    re-evaluated per language was WRONG — the r4 plan also evaluated
+    its split once; an ``F.aggregate`` over the full token array
+    (0.95x) and three per-language ``regexp_count`` scans (1.01x) both
+    matched the r4 form's ~6.3-8.5 s. What actually pays: never
+    materializing the full token array (extract only stopword matches)
+    and skipping the full-string ``lower()`` copy via ``(?i)``. This
+    shape profiles at: strip 1.3 s, (?i)-match ~1.1 s, declared-lang
+    regex 0.4 s, aggregate ~0.5 s — 1.50x the r4 form end to end.
     The DuckDB oracle keeps its ``str_split`` + ``list_filter`` form —
     RE2 has no lookarounds — which is fine: the gate compares values,
     not plans."""
